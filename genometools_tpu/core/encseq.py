@@ -1,0 +1,293 @@
+"""Encseq: the encoded-sequence container — foundation of every engine.
+
+Capability equivalent of the reference GtEncseq (ref: src/core/encseq.c,
+struct at src/core/encseq_rep.h:112-227), redesigned for TPU:
+
+* The sequence set is one concatenated uint8 code array with SEPARATOR (255)
+  between sequences and WILDCARD (254) for ambiguity codes — exactly the
+  reference's logical model (ref: src/core/chardef.h).
+* Device representation is a dense jnp.uint8 array (one gather = random
+  access in any readmode — no branching on access types) plus a 2-bit
+  packed uint32 array (16 symbols/word) feeding the k-mer/compare kernels
+  (ref 2-bit path: src/core/encseq.c:5963-6160).
+* Special ranges are sorted (start, length) arrays == the reference's
+  SWtable (ref: src/core/encseq_rep.h:42-80), but kept as plain device
+  arrays searched with searchsorted instead of paged binary search.
+* Readmodes FWD/REV/CPL/RCL (ref: src/core/readmode_api.h:22-33) are index
+  arithmetic + complement LUT, never materialized copies.
+* Mirroring (virtual reverse-complement concatenation,
+  ref: encseq_rep.h:222 `hasmirror`) doubles the logical length:
+  codes + SEPARATOR + revcompl(codes).
+
+Suffix-ordering contract: `suffix_keys()` maps each position to an int32
+key — regular symbols keep their code; the special at position p maps to
+``num_chars + p`` (unique, ascending by position) and the empty suffix at
+totallength is the largest key. Plain lexicographic order of these keys
+reproduces the reference comparator exactly (specials > regulars; specials
+ordered among themselves by position; ref:
+src/core/encseq.c:7371-7462 gt_encseq_check_comparetwosuffixes).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .alphabet import Alphabet, dna_alphabet, protein_alphabet
+from .chardef import SEPARATOR, WILDCARD, is_special
+from .seqio import SeqSet, read_seqfiles
+
+FWD, REV, CPL, RCL = 0, 1, 2, 3
+READMODES = {"fwd": FWD, "rev": REV, "cpl": CPL, "rcl": RCL}
+
+
+def readmode_invert(rm: int) -> int:
+    # ref: src/core/readmode.c gt_readmode_invert
+    return {FWD: RCL, RCL: FWD, REV: CPL, CPL: REV}[rm]
+
+
+@dataclass
+class SpecialRanges:
+    """Sorted, disjoint (start, length) runs of special characters."""
+
+    starts: np.ndarray  # int64[k]
+    lengths: np.ndarray  # int64[k]
+
+    @property
+    def count(self) -> int:
+        return int(self.starts.size)
+
+    @property
+    def total(self) -> int:
+        return int(self.lengths.sum()) if self.lengths.size else 0
+
+
+def _runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length starts/lengths of True runs in a boolean mask."""
+    if mask.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    m = mask.astype(np.int8)
+    d = np.diff(m, prepend=0, append=0)
+    starts = np.flatnonzero(d == 1).astype(np.int64)
+    ends = np.flatnonzero(d == -1).astype(np.int64)
+    return starts, ends - starts
+
+
+class Encseq:
+    """Encoded multi-sequence container (host numpy + lazy device arrays)."""
+
+    def __init__(self, codes: np.ndarray, ssp: np.ndarray, descs: list[str],
+                 alphabet: Alphabet, mirrored: bool = False):
+        assert codes.dtype == np.uint8
+        self.codes = codes                      # uint8[totallength]
+        self.ssp = np.asarray(ssp, np.int64)    # separator positions
+        self.descs = descs
+        self.alphabet = alphabet
+        self.mirrored = mirrored
+        s, l = _runs(is_special(codes))
+        self.special_ranges = SpecialRanges(s, l)
+        w, wl = _runs(codes == WILDCARD)
+        self.wildcard_ranges = SpecialRanges(w, wl)
+        self._device = {}
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_seqset(cls, seqset: SeqSet, alphabet: Alphabet | None = None) -> "Encseq":
+        if alphabet is None:
+            sample = b"".join(s[:2048].tobytes() for s in seqset.seqs[:16])
+            from .alphabet import guess_alphabet
+            alphabet = guess_alphabet(sample)
+        parts, ssp, off = [], [], 0
+        for i, seq in enumerate(seqset.seqs):
+            if i > 0:
+                ssp.append(off)
+                off += 1
+            enc = alphabet.encode(seq)
+            parts.append(enc)
+            off += len(enc)
+        if len(parts) == 0:
+            codes = np.zeros(0, np.uint8)
+        else:
+            codes = np.empty(off, np.uint8)
+            pos = 0
+            si = 0
+            for i, p in enumerate(parts):
+                if i > 0:
+                    codes[ssp[si]] = SEPARATOR
+                    si += 1
+                    pos += 1
+                codes[pos:pos + len(p)] = p
+                pos += len(p)
+        return cls(codes, np.asarray(ssp, np.int64), list(seqset.descs), alphabet)
+
+    @classmethod
+    def from_files(cls, paths: list[str], alphabet: Alphabet | None = None) -> "Encseq":
+        """ref: gt_encseq_new_from_files (src/core/encseq.c:7503)."""
+        return cls.from_seqset(read_seqfiles(paths), alphabet)
+
+    @classmethod
+    def from_string(cls, s: str, alphabet: Alphabet | None = None) -> "Encseq":
+        seqs = [np.frombuffer(x.encode(), np.uint8) for x in s.split("|")]
+        return cls.from_seqset(SeqSet(seqs=seqs, descs=[""] * len(seqs)),
+                               alphabet or dna_alphabet())
+
+    def mirror(self) -> "Encseq":
+        """Virtually append the reverse complement
+        (ref: gt_encseq_mirror, encseq_rep.h:222). Materialized here: the
+        doubled array is what the device wants anyway."""
+        if self.mirrored:
+            return self
+        comp = self.alphabet.complement_table()
+        rc = comp[self.codes[::-1]]
+        codes = np.concatenate([self.codes, [SEPARATOR], rc]).astype(np.uint8)
+        n = self.codes.size
+        extra_ssp = [n] + [2 * n - p for p in self.ssp[::-1]]
+        ssp = np.concatenate([self.ssp, extra_ssp]).astype(np.int64)
+        descs = self.descs + [d + " (rc)" for d in self.descs[::-1]]
+        e = Encseq(codes, ssp, descs, self.alphabet, mirrored=True)
+        return e
+
+    # -- basic geometry ----------------------------------------------------
+    @property
+    def total_length(self) -> int:
+        return int(self.codes.size)
+
+    @property
+    def num_sequences(self) -> int:
+        return int(self.ssp.size) + 1 if self.total_length else 0
+
+    def seq_startpos(self, seqnum) -> np.ndarray:
+        starts = np.concatenate([[0], self.ssp + 1])
+        return starts[seqnum]
+
+    def seq_endpos(self, seqnum) -> np.ndarray:
+        """Inclusive end position."""
+        ends = np.concatenate([self.ssp - 1, [self.total_length - 1]])
+        return ends[seqnum]
+
+    def seq_length(self, seqnum) -> np.ndarray:
+        return self.seq_endpos(seqnum) - self.seq_startpos(seqnum) + 1
+
+    def seqnum_of_pos(self, pos) -> np.ndarray:
+        """Vectorized position -> sequence number (ref: gt_encseq_seqnum)."""
+        return np.searchsorted(self.ssp, np.asarray(pos), side="right")
+
+    def max_seq_length(self) -> int:
+        if self.num_sequences == 0:
+            return 0
+        return int(self.seq_length(np.arange(self.num_sequences)).max())
+
+    # -- access ------------------------------------------------------------
+    def get_encoded_char(self, pos, readmode: int = FWD) -> np.ndarray:
+        """Random access in any readmode (ref: gt_encseq_get_encoded_char)."""
+        pos = np.asarray(pos)
+        n = self.total_length
+        if readmode in (REV, RCL):
+            pos = n - 1 - pos
+        c = self.codes[pos]
+        if readmode in (CPL, RCL):
+            c = np.where(is_special(c), c, self.alphabet.complement_table()[c])
+        return c
+
+    def codes_view(self, readmode: int = FWD) -> np.ndarray:
+        """Whole code array transformed by readmode (copy for non-FWD)."""
+        c = self.codes
+        if readmode in (REV, RCL):
+            c = c[::-1]
+        if readmode in (CPL, RCL):
+            comp = self.alphabet.complement_table()
+            c = np.where(is_special(c), c, comp[c])
+        return np.ascontiguousarray(c)
+
+    def extract_decoded(self, frompos: int, topos: int) -> str:
+        """Decode [frompos, topos] inclusive (ref: gt_encseq_extract_decoded)."""
+        return self.alphabet.decode(self.codes[frompos:topos + 1])
+
+    # -- suffix sort keys --------------------------------------------------
+    def suffix_keys(self, readmode: int = FWD) -> np.ndarray:
+        """int32 keys reproducing reference suffix comparison semantics.
+
+        Regular symbol -> its code; special at position p -> num_chars + p;
+        sentinel (empty suffix) at totallength -> num_chars + totallength.
+        """
+        c = self.codes_view(readmode)
+        n = c.size
+        if n + self.alphabet.num_chars >= 2 ** 31:
+            raise NotImplementedError("int64 index path not yet wired")
+        keys = np.empty(n + 1, np.int32)
+        pos = np.arange(n, dtype=np.int32)
+        special = is_special(c)
+        keys[:n] = np.where(special, self.alphabet.num_chars + pos, c.astype(np.int32))
+        keys[n] = self.alphabet.num_chars + n
+        return keys
+
+    # -- 2-bit packed device form -----------------------------------------
+    def twobit_packed(self) -> np.ndarray:
+        """uint32[ceil(n/16)] with symbol i in bits 2*(15-(i%16)) of word i//16
+        (big-endian within word so that whole-word integer compare == lexicographic
+        compare of 16 symbols, the property the reference exploits in
+        gt_encseq_compare_pairof_twobitencodings, ref: encseq.c:6449).
+        Specials are packed as 0; callers mask them via special ranges."""
+        n = self.total_length
+        nw = (n + 15) // 16
+        sym = np.where(is_special(self.codes), 0, self.codes).astype(np.uint64)
+        padded = np.zeros(nw * 16, np.uint64)
+        padded[:n] = sym
+        padded = padded.reshape(nw, 16)
+        shifts = np.arange(15, -1, -1, dtype=np.uint64) * 2
+        words = (padded << shifts).sum(axis=1, dtype=np.uint64)
+        return words.astype(np.uint32)
+
+    # -- persistence (our native format) ----------------------------------
+    def save(self, indexname: str) -> None:
+        """Write <indexname>.gte (npz) + <indexname>.gte.json metadata."""
+        np.savez_compressed(
+            indexname + ".gte",
+            codes=self.codes, ssp=self.ssp,
+        )
+        meta = {
+            "version": 1,
+            "alphabet": "dna" if self.alphabet.is_dna() else
+                        ("protein" if self.alphabet.is_protein() else "custom"),
+            "groups": self.alphabet.groups,
+            "wildcards": self.alphabet.wildcards,
+            "mirrored": self.mirrored,
+            "descs": self.descs,
+            "totallength": self.total_length,
+            "numofsequences": self.num_sequences,
+            "specialcharacters": self.special_ranges.total,
+            "specialranges": self.special_ranges.count,
+        }
+        Path(indexname + ".gte.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, indexname: str) -> "Encseq":
+        data = np.load(indexname + ".gte.npz")
+        meta = json.loads(Path(indexname + ".gte.json").read_text())
+        if meta["alphabet"] == "dna":
+            alpha = dna_alphabet()
+        elif meta["alphabet"] == "protein":
+            alpha = protein_alphabet()
+        else:
+            alpha = Alphabet(meta["groups"], meta["wildcards"], "?")
+        return cls(data["codes"], data["ssp"], list(meta["descs"]), alpha,
+                   mirrored=meta["mirrored"])
+
+    # -- device ------------------------------------------------------------
+    def device_codes(self, readmode: int = FWD):
+        """jnp.uint8 codes on the default device (cached)."""
+        key = ("codes", readmode)
+        if key not in self._device:
+            import jax.numpy as jnp
+            self._device[key] = jnp.asarray(self.codes_view(readmode))
+        return self._device[key]
+
+    def device_suffix_keys(self, readmode: int = FWD):
+        key = ("keys", readmode)
+        if key not in self._device:
+            import jax.numpy as jnp
+            self._device[key] = jnp.asarray(self.suffix_keys(readmode))
+        return self._device[key]

@@ -1,0 +1,23 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh so
+sharding/collective code paths are exercised without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_TESTDATA = pathlib.Path("/root/reference/testdata")
+
+
+@pytest.fixture(scope="session")
+def testdata():
+    if not REFERENCE_TESTDATA.is_dir():
+        pytest.skip("reference testdata not available")
+    return REFERENCE_TESTDATA
