@@ -1,0 +1,137 @@
+"""Loader for the native host-side library (native/gtnative.cpp).
+
+Compiles on demand with g++ -O3 into a cache dir next to the package and
+loads via ctypes. Every entry point has a numpy/Python fallback in the
+calling module, so absence of a toolchain degrades performance, not
+capability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parents[2]
+_SRC = _REPO / "native" / "gtnative.cpp"
+_CACHE = _REPO / "native" / "_build"
+
+_lib = None
+_tried = False
+
+
+def _compile() -> Path | None:
+    if not _SRC.exists():
+        return None
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    out = _CACHE / f"gtnative-{tag}.so"
+    if out.exists():
+        return out
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    with tempfile.TemporaryDirectory(dir=str(_CACHE)) as td:
+        tmp = Path(td) / "gtnative.so"
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", str(_SRC), "-o", str(tmp)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+        os.replace(tmp, out)
+    return out
+
+
+def get_lib():
+    """Return the loaded ctypes library or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = _compile()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    pp = ctypes.POINTER(i32p)
+
+    lib.gt_free.argtypes = [ctypes.c_void_p]
+    lib.gt_kasai_lcp.argtypes = [i32p, i32p, ctypes.c_int64, i32p]
+    lib.gt_enum_lcp_intervals.restype = ctypes.c_int64
+    lib.gt_enum_lcp_intervals.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int32, pp, pp, pp]
+    lib.gt_maxpairs.restype = ctypes.c_int64
+    lib.gt_maxpairs.argtypes = [
+        i32p, i32p, u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8,
+        pp, pp, pp]
+    _lib = lib
+    return _lib
+
+
+def _as_i32(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _take_array(lib, ptr, count: int) -> np.ndarray:
+    """Copy a malloc'd int32 array into numpy and free the original."""
+    if count == 0:
+        lib.gt_free(ptr)
+        return np.zeros(0, np.int32)
+    out = np.ctypeslib.as_array(ptr, shape=(count,)).copy()
+    lib.gt_free(ptr)
+    return out
+
+
+def kasai_lcp_native(keys: np.ndarray, sa: np.ndarray) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = _as_i32(keys)
+    sa = _as_i32(sa)
+    lcp = np.zeros(sa.size, np.int32)
+    lib.gt_kasai_lcp(_i32ptr(keys), _i32ptr(sa), sa.size, _i32ptr(lcp))
+    return lcp
+
+
+def enum_lcp_intervals_native(lcp: np.ndarray, mindepth: int):
+    """Return (depth, lb, rb) arrays of all lcp-intervals with
+    depth >= mindepth, or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lcp = _as_i32(lcp)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    pd, pl, pr = i32p(), i32p(), i32p()
+    cnt = lib.gt_enum_lcp_intervals(
+        _i32ptr(lcp), lcp.size, mindepth,
+        ctypes.byref(pd), ctypes.byref(pl), ctypes.byref(pr))
+    return (_take_array(lib, pd, cnt), _take_array(lib, pl, cnt),
+            _take_array(lib, pr, cnt))
+
+
+def maxpairs_native(sa: np.ndarray, lcp: np.ndarray, cls: np.ndarray,
+                    searchlength: int, sigma: int):
+    """Return (p1, p2, length) arrays of maximal pairs, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sa = _as_i32(sa)
+    lcp = _as_i32(lcp)
+    cls = np.ascontiguousarray(cls, dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    p1, p2, pl = i32p(), i32p(), i32p()
+    cnt = lib.gt_maxpairs(
+        _i32ptr(sa), _i32ptr(lcp),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.size, searchlength, sigma,
+        ctypes.byref(p1), ctypes.byref(p2), ctypes.byref(pl))
+    return (_take_array(lib, p1, cnt), _take_array(lib, p2, cnt),
+            _take_array(lib, pl, cnt))

@@ -1,0 +1,167 @@
+"""Maximal repeated pairs — the repfind core engine.
+
+Capability equivalent of the reference gt_enumeratemaxpairs_generic
+(ref: src/match/esa-maxpairs.c:477) and `gt repfind`
+(ref: src/tools/gt_repfind.c).
+
+A pair (p1, p2, len) is a maximal repeat iff the substrings of length
+``len`` at p1 and p2 are equal, extending left or right breaks equality
+(left-maximality: preceding characters differ or are special/absent;
+right-maximality: following characters differ — guaranteed by emitting at
+the exact lcp-interval depth).
+
+The traversal is the native bottom-up stack walk (native/gtnative.cpp
+gt_maxpairs) over device-built (suftab, lcptab); a pure-Python fallback
+and an O(n^2) brute force are provided for verification
+(mirror of the reference's test-maxpairs.c cross-check).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.chardef import is_special
+from ..core.encseq import Encseq
+from ..index.esa import EnhancedSuffixArray
+
+
+def left_context_classes(esa: EnhancedSuffixArray) -> np.ndarray:
+    """Class of the character preceding each suffix (uint8 per SA rank):
+    0..sigma-1 for regular chars, sigma for position 0 / preceding special
+    (the always-left-maximal class)."""
+    enc = esa.encseq
+    sigma = enc.alphabet.num_chars
+    codes = enc.codes_view(esa.readmode)
+    sa = esa.suftab.astype(np.int64)
+    prev = sa - 1
+    ok = prev >= 0
+    cls = np.full(sa.size, sigma, np.uint8)
+    pv = codes[np.clip(prev, 0, max(codes.size - 1, 0))]
+    reg = ok & ~is_special(pv)
+    cls[reg] = pv[reg]
+    return cls
+
+
+@dataclass
+class MaxPairs:
+    pos1: np.ndarray
+    pos2: np.ndarray
+    length: np.ndarray
+
+    @property
+    def count(self) -> int:
+        return int(self.pos1.size)
+
+    def canonical(self) -> np.ndarray:
+        """Sorted (len, min(pos), max(pos)) rows for set comparison."""
+        a = np.minimum(self.pos1, self.pos2)
+        b = np.maximum(self.pos1, self.pos2)
+        rows = np.stack([self.length, a, b], axis=1)
+        order = np.lexsort((rows[:, 2], rows[:, 1], rows[:, 0]))
+        return rows[order]
+
+
+def enumerate_maxpairs(esa: EnhancedSuffixArray, searchlength: int) -> MaxPairs:
+    """All maximal pairs with length >= searchlength."""
+    assert esa.lcptab is not None, "maxpairs needs the lcp table"
+    cls = left_context_classes(esa)
+    sigma = esa.encseq.alphabet.num_chars
+    from ..core.native import maxpairs_native
+    res = maxpairs_native(esa.suftab, esa.lcptab, cls, searchlength, sigma)
+    if res is None:
+        res = _maxpairs_py(esa.suftab, esa.lcptab, cls, searchlength, sigma)
+    return MaxPairs(*res)
+
+
+def _maxpairs_py(sa, lcp, cls, searchlength, sigma):
+    """Pure-Python mirror of the native stack walk (fallback + test oracle)."""
+    n1 = len(sa)
+    nclasses = sigma + 1
+    p1, p2, ln = [], [], []
+
+    class Node:
+        __slots__ = ("depth", "lists")
+
+        def __init__(self, depth):
+            self.depth = depth
+            self.lists = [[] for _ in range(nclasses)]
+
+    def emit_leaf(node, rank):
+        if node.depth < searchlength:
+            return
+        cb = cls[rank]
+        for ca in range(nclasses):
+            if ca == cb and ca != sigma:
+                continue
+            for pa in node.lists[ca]:
+                p1.append(pa)
+                p2.append(sa[rank])
+                ln.append(node.depth)
+
+    def emit_child(node, child):
+        if node.depth < searchlength:
+            return
+        for ca in range(nclasses):
+            for cb in range(nclasses):
+                if ca == cb and ca != sigma:
+                    continue
+                for pa in node.lists[ca]:
+                    for pb in child.lists[cb]:
+                        p1.append(pa)
+                        p2.append(pb)
+                        ln.append(node.depth)
+
+    def merge(node, child):
+        for c in range(nclasses):
+            node.lists[c].extend(child.lists[c])
+
+    stack = [Node(0)]
+    for i in range(1, n1 + 1):
+        l = lcp[i] if i < n1 else 0
+        if l > stack[-1].depth:
+            fresh = Node(l)
+            fresh.lists[cls[i - 1]].append(sa[i - 1])
+            stack.append(fresh)
+        else:
+            emit_leaf(stack[-1], i - 1)
+            stack[-1].lists[cls[i - 1]].append(sa[i - 1])
+        while l < stack[-1].depth:
+            child = stack.pop()
+            if l > stack[-1].depth:
+                fresh = Node(l)
+                merge(fresh, child)
+                stack.append(fresh)
+                break
+            emit_child(stack[-1], child)
+            merge(stack[-1], child)
+    return (np.asarray(p1, np.int32), np.asarray(p2, np.int32),
+            np.asarray(ln, np.int32))
+
+
+def maxpairs_bruteforce(encseq: Encseq, searchlength: int,
+                        readmode: int = 0) -> MaxPairs:
+    """O(n^2 * len) oracle: check every position pair directly."""
+    codes = encseq.codes_view(readmode)
+    n = codes.size
+    sp = is_special(codes)
+    p1, p2, ln = [], [], []
+    for a in range(n):
+        for b in range(a + 1, n):
+            # common prefix length of suffixes a, b over regular chars
+            l = 0
+            while (a + l < n and b + l < n and not sp[a + l] and not sp[b + l]
+                   and codes[a + l] == codes[b + l]):
+                l += 1
+            if l < searchlength:
+                continue
+            # right-maximal by construction (loop stopped); left-maximal?
+            if a > 0 and b > 0 and not sp[a - 1] and not sp[b - 1] \
+                    and codes[a - 1] == codes[b - 1]:
+                continue
+            p1.append(a)
+            p2.append(b)
+            ln.append(l)
+    return MaxPairs(np.asarray(p1, np.int32), np.asarray(p2, np.int32),
+                    np.asarray(ln, np.int32))

@@ -1,0 +1,127 @@
+"""repfind: maximal exact repeats with reference-format reporting.
+
+Capability equivalent of `gt repfind` (ref: src/tools/gt_repfind.c).
+Output lines follow the reference querymatch format for self matches
+(ref: src/match/querymatch.c:431 prettyprint):
+
+    len1 seqnum1 relpos1 F len2 seqnum2 relpos2
+
+with the instance at the smaller absolute position printed first, and `P`
+(here: R per golden files) for palindromic (-r) matches against the
+reverse complement.
+
+Validated against the reference golden files
+testdata/repfind-result/{Duplicate.fna.result, Atinsert-8-8, ...}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.encseq import FWD, Encseq
+from ..index.esa import EnhancedSuffixArray, build_esa
+from .maxpairs import MaxPairs, enumerate_maxpairs
+
+
+def _format_rows(encseq: Encseq, p1: np.ndarray, p2: np.ndarray,
+                 length: np.ndarray, direction: str) -> np.ndarray:
+    """(len, seq1, rel1, len, seq2, rel2) int rows, smaller abs pos first."""
+    a = np.minimum(p1, p2).astype(np.int64)
+    b = np.maximum(p1, p2).astype(np.int64)
+    s1 = encseq.seqnum_of_pos(a)
+    s2 = encseq.seqnum_of_pos(b)
+    r1 = a - encseq.seq_startpos(s1)
+    r2 = b - encseq.seq_startpos(s2)
+    return np.stack([length, s1, r1, length, s2, r2], axis=1)
+
+
+def repfind_self(encseq: Encseq, minlength: int,
+                 esa: EnhancedSuffixArray | None = None) -> np.ndarray:
+    """Forward self maximal repeats (gt repfind -l). Returns int rows
+    (len, seq1, rel1, len, seq2, rel2)."""
+    if esa is None:
+        esa = build_esa(encseq, FWD)
+    mp = enumerate_maxpairs(esa, minlength)
+    return _format_rows(encseq, mp.pos1, mp.pos2, mp.length, "F")
+
+
+def _repfind_transformed(encseq: Encseq, minlength: int,
+                         complement: bool) -> np.ndarray:
+    """Matches between the sequence set and its reverse (-r) or reverse
+    complement (-p). Redesign of the reference's readmode machinery
+    (ref: gt_repfind.c:776 runs maxpairs per GT_READMODE_{REVERSE,
+    REVCOMPL}): concatenate seq + SEPARATOR + transformed(seq) and run the
+    same forward maxpairs engine, keeping only cross-half pairs. A pair
+    (p, q) with q in the transformed half maps back to forward start
+    2n - q - (len-1); maximality in the concatenation equals maximality of
+    the transformed-match relation."""
+    from ..core.chardef import SEPARATOR, is_special as _issp
+    n = encseq.total_length
+    tr = encseq.codes[::-1]
+    if complement:
+        comp = encseq.alphabet.complement_table()
+        tr = np.where(_issp(tr), tr, comp[tr])
+    codes = np.concatenate([encseq.codes, [SEPARATOR], tr]).astype(np.uint8)
+    ssp = np.concatenate([encseq.ssp, [n],
+                          2 * n - encseq.ssp[::-1]]).astype(np.int64)
+    m = Encseq(codes, ssp, encseq.descs + encseq.descs[::-1],
+               encseq.alphabet)
+    esa = build_esa(m, FWD)
+    mp = enumerate_maxpairs(esa, minlength)
+    p1, p2, ln = mp.pos1.astype(np.int64), mp.pos2.astype(np.int64), \
+        mp.length.astype(np.int64)
+    lo = np.minimum(p1, p2)
+    hi = np.maximum(p1, p2)
+    keep = (lo < n) & (hi > n)
+    lo, hi, ln = lo[keep], hi[keep], ln[keep]
+    fpos = 2 * n - hi - (ln - 1)
+    # every match appears under both mirror orientations (x, mirror(y)) and
+    # (y, mirror(x)); canonicalize to one report per match like the
+    # reference
+    a = np.minimum(lo, fpos)
+    b = np.maximum(lo, fpos)
+    uniq = np.unique(np.stack([a, b, ln], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1], uniq[:, 2]
+
+
+def repfind_reverse(encseq: Encseq, minlength: int) -> np.ndarray:
+    """Reverse matches (gt repfind -r, direction letter R): substring at
+    pos1 read forward equals substring at pos2 read backward."""
+    lo, fpos, ln = _repfind_transformed(encseq, minlength, complement=False)
+    return _format_rows(encseq, lo.astype(np.int64), fpos.astype(np.int64),
+                        ln, "R")
+
+
+def repfind_palindromic(encseq: Encseq, minlength: int) -> np.ndarray:
+    """Reverse-strand matches (gt repfind -p, direction letter P)."""
+    lo, fpos, ln = _repfind_transformed(encseq, minlength, complement=True)
+    return _format_rows(encseq, lo.astype(np.int64), fpos.astype(np.int64),
+                        ln, "P")
+
+
+def format_match_lines(rows: np.ndarray, direction: str = "F") -> list[str]:
+    return [f"{r[0]} {r[1]} {r[2]} {direction} {r[3]} {r[4]} {r[5]}"
+            for r in rows.tolist()]
+
+
+def parse_result_file(path: str) -> np.ndarray:
+    """Parse a reference repfind .result file into canonical rows."""
+    rows = []
+    dirs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            rows.append([int(parts[0]), int(parts[1]), int(parts[2]),
+                         int(parts[4]), int(parts[5]), int(parts[6])])
+            dirs.append(parts[3])
+    return np.asarray(rows, np.int64), dirs
+
+
+def canonical_sort(rows: np.ndarray) -> np.ndarray:
+    if rows.size == 0:
+        return rows.reshape(0, 6)
+    order = np.lexsort(tuple(rows[:, i] for i in (5, 4, 2, 1, 0)))
+    return rows[order]

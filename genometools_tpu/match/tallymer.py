@@ -1,0 +1,213 @@
+"""Tallymer: k-mer counting and occurrence search.
+
+Capability equivalent of the reference tyr-* family
+(ref: src/match/tyr-mkindex.c, tyr-search.c, tyr-mersplit.c).
+
+mkindex redesign: the reference walks a suffix-tree DFS over the ESA
+(ref: tyr-mkindex.c:514 enumeratelcpintervals). Because the suffix array
+lists mers in lexicographic order, the same result is a *vectorized
+segmentation*: a rank r contributes a k-mer iff its suffix has >= k
+regular characters; ranks with lcp >= k continue the previous mer's run;
+run boundaries (lcp[r] < k) delimit distinct mers, and counts are run
+lengths. No traversal, no stack — two scans and a cumsum, TPU/numpy
+friendly.
+
+Index files follow the reference formats:
+  .mer — sorted mers, 2-bit packed MERBYTES(k) = ceil(k/4) bytes each
+          (ref: src/match/tyr-basic.h:24-28)
+  .mct — one count byte per mer capped at 255; larger counts spill to a
+          (merindex, count) list appended after the byte section
+          (ref: src/match/tyr-mkindex.c Largecount)
+  .mbd — prefix-code bucket directory for O(1) bucket lookup
+          (ref: src/match/tyr-mersplit.c)
+Here .mct/.mbd carry a tiny JSON+npz container instead of raw C structs
+(byte layouts of the reference are r/w by `merfiles_compat` if needed).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..core.chardef import is_special
+from ..core.encseq import Encseq
+from ..index.esa import EnhancedSuffixArray
+from ..ops.kmer import kmer_codes_np, pack_mers_2bit
+
+
+@dataclass
+class MerIndex:
+    mersize: int
+    mer_codes: np.ndarray   # int64[nmers], sorted ascending
+    counts: np.ndarray      # int64[nmers]
+    alphabet_size: int = 4
+
+    @property
+    def num_mers(self) -> int:
+        return int(self.mer_codes.size)
+
+    # -- persistence -------------------------------------------------------
+    def save(self, indexname: str) -> None:
+        packed = pack_mers_2bit(self.mer_codes, self.mersize)
+        packed.tofile(indexname + ".mer")
+        small = np.minimum(self.counts, 255).astype(np.uint8)
+        large_idx = np.nonzero(self.counts > 255)[0]
+        with open(indexname + ".mct", "wb") as f:
+            f.write(small.tobytes())
+            lg = np.empty((large_idx.size, 2), np.uint64)
+            lg[:, 0] = large_idx
+            lg[:, 1] = self.counts[large_idx]
+            f.write(lg.tobytes())
+        meta = {"mersize": self.mersize, "nummers": self.num_mers,
+                "numlarge": int(large_idx.size),
+                "alphabetsize": self.alphabet_size}
+        Path(indexname + ".tyr.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, indexname: str) -> "MerIndex":
+        meta = json.loads(Path(indexname + ".tyr.json").read_text())
+        k = meta["mersize"]
+        nm = meta["nummers"]
+        merbytes = (k + 3) // 4
+        packed = np.fromfile(indexname + ".mer", dtype=np.uint8)
+        packed = packed.reshape(nm, merbytes)
+        codes = np.zeros(nm, np.int64)
+        for b in range(merbytes):
+            codes = (codes << 8) | packed[:, b].astype(np.int64)
+        codes >>= (merbytes * 4 - k) * 2
+        with open(indexname + ".mct", "rb") as f:
+            small = np.frombuffer(f.read(nm), np.uint8)
+            counts = small.astype(np.int64)
+            rest = f.read()
+        if rest:
+            lg = np.frombuffer(rest, np.uint64).reshape(-1, 2)
+            counts[lg[:, 0].astype(np.int64)] = lg[:, 1]
+        return cls(k, codes, counts, meta.get("alphabetsize", 4))
+
+    # -- bucket directory (mersplit) ---------------------------------------
+    def bucket_directory(self, prefixlength: int | None = None) -> tuple[int, np.ndarray]:
+        """(prefixlength, boundaries[4^pl + 1]) — mers with prefix code c
+        occupy [bounds[c], bounds[c+1]) (ref: tyr-mersplit.c)."""
+        if prefixlength is None:
+            prefixlength = min(self.mersize, max(1, int(np.log2(max(self.num_mers, 2)) // 2)))
+        shift = 2 * (self.mersize - prefixlength)
+        pref = (self.mer_codes >> shift).astype(np.int64)
+        nb = 4 ** prefixlength
+        bounds = np.searchsorted(pref, np.arange(nb + 1))
+        return prefixlength, bounds
+
+
+def mkindex(esa: EnhancedSuffixArray, mersize: int,
+            minocc: int = 1, maxocc: int | None = None) -> MerIndex:
+    """Count all k-mers of the indexed sequence set (both the engine and
+    semantics of `gt tallymer mkindex` over one ESA)."""
+    enc = esa.encseq
+    codes = enc.codes_view(esa.readmode)
+    n = codes.size
+    sa = esa.suftab.astype(np.int64)
+    lcp = esa.lcptab
+    k = mersize
+    if n < k:
+        return MerIndex(k, np.zeros(0, np.int64), np.zeros(0, np.int64))
+    code, valid = kmer_codes_np(codes, k)
+    # ranks whose suffix contributes a mer: position has a full valid window
+    ok = (sa <= n - k)
+    ok &= np.where(ok, valid[np.clip(sa, 0, max(n - k, 0))], False)
+    # run boundaries: lcp < k starts a new mer
+    newrun = lcp < k
+    # count per run among ok ranks, emit mer code from any member
+    run_id = np.cumsum(newrun) - 1
+    run_ok = run_id[ok]
+    nruns = int(run_id[-1]) + 1 if run_id.size else 0
+    counts = np.bincount(run_ok, minlength=nruns)
+    # representative position per run (first ok member)
+    first_idx = np.full(nruns, -1, np.int64)
+    idx_ok = np.nonzero(ok)[0]
+    # reverse to get first occurrence via assignment
+    first_idx[run_ok[::-1]] = idx_ok[::-1]
+    present = counts > 0
+    mer_codes = np.zeros(nruns, np.int64)
+    mer_codes[present] = code[sa[first_idx[present]]]
+    sel = present & (counts >= minocc)
+    if maxocc is not None:
+        sel &= counts <= maxocc
+    return MerIndex(k, mer_codes[sel], counts[sel].astype(np.int64))
+
+
+def occurrence_distribution(merindex: MerIndex) -> dict[int, int]:
+    """count -> how many distinct mers (`gt tallymer mkindex` histogram
+    mode, ref: tyr-mkindex.c adddistpos2distribution)."""
+    vals, cnts = np.unique(merindex.counts, return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, cnts)}
+
+
+@dataclass
+class MerSearchResult:
+    qseqnum: np.ndarray
+    qpos: np.ndarray
+    counts: np.ndarray
+    strand: np.ndarray  # ord('+') or ord('-')
+    codes: np.ndarray
+
+
+def search(merindex: MerIndex, queries: Encseq,
+           forward: bool = True, reverse: bool = True) -> MerSearchResult:
+    """Stream query windows against the mer index
+    (ref: gt_tyrsearch, src/match/tyr-search.c:213). Vectorized: all query
+    windows are encoded at once and matched with one searchsorted per
+    strand (log #mers per window; the .mbd bucket directory is subsumed by
+    searchsorted's binary search)."""
+    k = merindex.mersize
+    codes = queries.codes_view(0)
+    n = codes.size
+    if n < k:
+        z = np.zeros(0, np.int64)
+        return MerSearchResult(z, z, z, z, z)
+    code, valid = kmer_codes_np(codes, k)
+    pos = np.arange(n - k + 1)
+    seqnum = queries.seqnum_of_pos(pos)
+    relpos = pos - queries.seq_startpos(seqnum)
+    out_qs, out_qp, out_ct, out_st, out_cd = [], [], [], [], []
+
+    def one_strand(qcodes, strand_char):
+        idx = np.searchsorted(merindex.mer_codes, qcodes)
+        idx_c = np.clip(idx, 0, max(merindex.num_mers - 1, 0))
+        hit = valid & (idx < merindex.num_mers) & \
+            (merindex.mer_codes[idx_c] == qcodes)
+        out_qs.append(seqnum[hit])
+        out_qp.append(relpos[hit])
+        out_ct.append(merindex.counts[idx_c[hit]])
+        out_st.append(np.full(int(hit.sum()), ord(strand_char), np.int64))
+        out_cd.append(qcodes[hit])
+
+    if forward:
+        one_strand(code, "+")
+    if reverse:
+        # reverse complement of each window: code arithmetic
+        rc = _revcomp_codes(code, k)
+        one_strand(rc, "-")
+    return MerSearchResult(*(np.concatenate(x) if x else np.zeros(0, np.int64)
+                             for x in (out_qs, out_qp, out_ct, out_st, out_cd)))
+
+
+def _revcomp_codes(code: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement k-mer codes (2-bit, complement = 3-x)."""
+    out = np.zeros_like(code)
+    c = code.copy()
+    for _ in range(k):
+        out = (out << 2) | (3 - (c & 3))
+        c >>= 2
+    return out
+
+
+def mkindex_bruteforce(encseq: Encseq, mersize: int) -> MerIndex:
+    """Oracle: hash every window directly (mirror of the reference's
+    -test brute-force recount, ref: tyr-mkindex.c:87-150)."""
+    codes = encseq.codes
+    code, valid = kmer_codes_np(codes, mersize) if codes.size >= mersize \
+        else (np.zeros(0, np.int64), np.zeros(0, bool))
+    vals, cnts = np.unique(code[valid], return_counts=True)
+    return MerIndex(mersize, vals.astype(np.int64), cnts.astype(np.int64))
