@@ -1,0 +1,333 @@
+"""seed_extend: k-mer seeding + diagonal-band filtering + xdrop extension.
+
+Capability equivalent of `gt seed_extend` / gt_diagbandseed_run
+(ref: src/match/diagbandseed.c:5734) with the xdrop extension path
+(ref: src/match/seed-extend.c:994 gt_extend_sesp).
+
+Pipeline (semantics mirrored from the reference; see the per-function
+references):
+  1. k-mer lists (code, seqnum, endpos) per sequence set, both strands
+     (ref: gt_diagbandseed_get_kmers, diagbandseed.c:1189)
+  2. merge equal codes into seed pairs (aseq, bseq, bpos, apos), with
+     per-code frequency cap maxfreq = MAX(alen, blen) and self-comparison
+     rules aseq < bseq or (aseq == bseq and bpos >= apos+1)
+     (ref: gt_diagbandseed_merge, diagbandseed.c:2654)
+  3. sort seed pairs by (aseq, bseq, bpos, apos)
+  4. per (aseq, bseq) segment: update diagonal-band coverage for every
+     seed (band = (amaxlen + bpos - apos) >> logdiagbandwidth, score =
+     non-overlapping covered B positions), then walk seeds in order and
+     extend those whose coverage = score[band] + max(score[band±1]) >=
+     mincoverage (ref: diagband-struct.c, segment2matches
+     diagbandseed.c:4136)
+  5. per surviving seed: skip if bpos <= previous match's b_end
+     (use_apos=0 rule, ref: possibly_extend diagbandseed.c:3540), else
+     xdrop-extend both directions and combine
+     (ref: gt_extend_sesp + gt_combine_extensions, seed-extend.c)
+
+The numbers-equal target is testdata/seedextend{1,3}.out.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.chardef import is_special
+from ..core.encseq import Encseq
+from ..ops.kmer import kmer_codes_np
+from ..ops.xdrop import XdropBest, XdropScores, optimal_xdrop_belowscore, \
+    xdrop_extend
+
+
+@dataclass
+class SeedExtendParams:
+    seedlength: int | None = None
+    minidentity: int = 80
+    sensitivity: int = 97
+    userdefinedleastlength: int = 20   # -l
+    logdiagbandwidth: int = 6
+    mincoverage: int | None = None     # default 2.5 * seedlength
+    maxfreq: int | None = None
+    use_apos: int = 0
+    forward: bool = True
+    reverse: bool = True               # P strand
+    no_diagband_filter: bool = False
+    scores: XdropScores = field(default_factory=XdropScores)
+
+    @property
+    def errorpercentage(self) -> int:
+        return 100 - self.minidentity
+
+    def belowscore(self) -> int:
+        return optimal_xdrop_belowscore(self.errorpercentage,
+                                        self.sensitivity)
+
+
+def default_seedlength(aenc: Encseq, benc: Encseq, nchars: int = 4) -> int:
+    """ref: gt_seed_extend.c:1032-1049."""
+    import math
+    avg = 0.5 * (aenc.total_length + benc.total_length)
+    log_avg = int(round(math.log(max(avg, 2)) / math.log(nchars)))
+    maxseqlength = max(aenc.max_seq_length(), benc.max_seq_length())
+    return max(min(log_avg, maxseqlength, 32), 2)
+
+
+def enumerate_kmers(encseq: Encseq, k: int, revcomp: bool = False):
+    """(codes int64, seqnum int64, endpos int64) of all valid k-windows,
+    endpos relative to its sequence start, in the strand's reading order.
+    For revcomp=True each sequence is read reverse-complemented and endpos
+    is in revcomp coordinates (ref: kmer iteration under
+    GT_READMODE_REVCOMPL)."""
+    codes_all, seqs_all, end_all = [], [], []
+    comp = encseq.alphabet.complement_table()
+    for s in range(encseq.num_sequences):
+        lo = int(encseq.seq_startpos(s))
+        hi = int(encseq.seq_endpos(s))
+        seq = encseq.codes[lo:hi + 1]
+        if revcomp:
+            seq = np.where(is_special(seq[::-1]), seq[::-1], comp[seq[::-1]])
+        if seq.size < k:
+            continue
+        code, valid = kmer_codes_np(seq, k)
+        pos = np.nonzero(valid)[0]
+        codes_all.append(code[pos])
+        seqs_all.append(np.full(pos.size, s, np.int64))
+        end_all.append(pos + k - 1)
+    if not codes_all:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return (np.concatenate(codes_all), np.concatenate(seqs_all),
+            np.concatenate(end_all))
+
+
+def build_seed_pairs(alist, blist, selfcomp: bool, maxfreq: int | None,
+                     inseqseeds: bool = True, mindist: int = 1,
+                     maxdist: int | None = None):
+    """Vectorized merge-join on sorted codes; returns (aseq, bseq, bpos,
+    apos) arrays sorted by (aseq, bseq, bpos, apos).
+
+    mindist/maxdist: same-sequence pairs require
+    apos + mindist <= bpos <= apos + maxdist (ref: seedpairdistance;
+    default start is seedlength unless -overlapping-seeds,
+    ref: gt_seed_extend.c:1199-1204)."""
+    acode, aseq, apos = alist
+    bcode, bseq, bpos = blist
+    ao = np.argsort(acode, kind="stable")
+    bo = np.argsort(bcode, kind="stable")
+    acode, aseq, apos = acode[ao], aseq[ao], apos[ao]
+    bcode, bseq, bpos = bcode[bo], bseq[bo], bpos[bo]
+
+    # group boundaries per code
+    ua, astart = np.unique(acode, return_index=True)
+    ub, bstart = np.unique(bcode, return_index=True)
+    acount = np.diff(np.append(astart, acode.size))
+    bcount = np.diff(np.append(bstart, bcode.size))
+    # intersect codes
+    common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+    an, bn = acount[ia], bcount[ib]
+    if maxfreq is not None:
+        keep = np.maximum(an, bn) <= maxfreq
+        ia, ib, an, bn = ia[keep], ib[keep], an[keep], bn[keep]
+    # cartesian products per common code
+    reps = an * bn
+    total = int(reps.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    grp = np.repeat(np.arange(reps.size), reps)
+    within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+    ai = astart[ia][grp] + within // bn[grp]
+    bi = bstart[ib][grp] + within % bn[grp]
+    pa_seq, pa_pos = aseq[ai], apos[ai]
+    pb_seq, pb_pos = bseq[bi], bpos[bi]
+    if selfcomp:
+        keep = (pa_seq < pb_seq)
+        if inseqseeds:
+            inrange = (pa_seq == pb_seq) & (pa_pos + mindist <= pb_pos)
+            if maxdist is not None:
+                inrange &= pb_pos <= pa_pos + maxdist
+            keep |= inrange
+        pa_seq, pa_pos = pa_seq[keep], pa_pos[keep]
+        pb_seq, pb_pos = pb_seq[keep], pb_pos[keep]
+    order = np.lexsort((pa_pos, pb_pos, pb_seq, pa_seq))
+    return pa_seq[order], pb_seq[order], pb_pos[order], pa_pos[order]
+
+
+@dataclass
+class SeedExtendMatch:
+    dblen: int
+    dbseqnum: int
+    dbstart: int
+    direction: str
+    querylen: int
+    queryseqnum: int
+    querystart: int
+    score: int
+    distance: int
+    identity: float
+
+    def line(self) -> str:
+        return (f"{self.dblen} {self.dbseqnum} {self.dbstart} "
+                f"{self.direction} {self.querylen} {self.queryseqnum} "
+                f"{self.querystart} {self.score} {self.distance} "
+                f"{self.identity:.2f}")
+
+
+def _score2distance(score: int, alignedlen: int) -> int:
+    # ref: seed-extend.c:26 gt_querymatch_score2distance
+    if score >= 0:
+        return (alignedlen - score) // 3
+    return -((alignedlen + score) // 3)
+
+
+def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
+                     dbstart_rel: int, querystart_rel: int, seedlength: int,
+                     belowscore: int, scores: XdropScores):
+    """gt_extend_sesp for one seed; useq/vseq are the full (transformed)
+    sequences of the pair. Returns (u_left, v_left, left_score, u_right,
+    v_right, right_score) or None if the seed instances overlap."""
+    ulen_total, vlen_total = len(useq), len(vseq)
+    if same_seq and dbstart_rel + seedlength - 1 >= querystart_rel:
+        return None
+    u_left = v_left = left_score = 0
+    if dbstart_rel > 0 and querystart_rel > 0:
+        r_voffset = dbstart_rel + seedlength if same_seq else 0
+        ulen = dbstart_rel
+        vlen = querystart_rel - r_voffset
+        if ulen > 0 and vlen > 0:
+            u = useq[0:dbstart_rel][::-1]
+            v = vseq[r_voffset:querystart_rel][::-1]
+            best = xdrop_extend(u, v, belowscore, scores)
+            u_left, v_left, left_score = best.ivalue, best.jvalue, best.score
+    r_urightbound = min(ulen_total, querystart_rel - v_left) if same_seq \
+        else ulen_total
+    u_right = v_right = right_score = 0
+    if dbstart_rel + seedlength < r_urightbound and \
+            querystart_rel + seedlength < vlen_total:
+        u = useq[dbstart_rel + seedlength:r_urightbound]
+        v = vseq[querystart_rel + seedlength:]
+        best = xdrop_extend(u, v, belowscore, scores)
+        u_right, v_right, right_score = best.ivalue, best.jvalue, best.score
+    return u_left, v_left, left_score, u_right, v_right, right_score
+
+
+def seed_extend(aenc: Encseq, benc: Encseq | None = None,
+                params: SeedExtendParams | None = None) -> list[SeedExtendMatch]:
+    params = params or SeedExtendParams()
+    selfcomp = benc is None
+    benc = benc or aenc
+    k = params.seedlength or default_seedlength(aenc, benc)
+    mincov = params.mincoverage if params.mincoverage is not None \
+        else int(2.5 * k)
+    belowscore = params.belowscore()
+    matches: list[SeedExtendMatch] = []
+
+    alist = enumerate_kmers(aenc, k, revcomp=False)
+    comp = benc.alphabet.complement_table()
+    amaxlen = aenc.max_seq_length()
+    bmaxlen = benc.max_seq_length()
+
+    strands = []
+    if params.forward:
+        strands.append("F")
+    if params.reverse:
+        strands.append("P")
+    for direction in strands:
+        blist = enumerate_kmers(benc, k, revcomp=(direction == "P"))
+        pa_seq, pb_seq, pb_pos, pa_pos = build_seed_pairs(
+            alist, blist, selfcomp, params.maxfreq,
+            inseqseeds=True, mindist=k)
+        matches.extend(_process_seed_pairs(
+            aenc, benc, direction, pa_seq, pb_seq, pb_pos, pa_pos, k,
+            mincov, belowscore, params, selfcomp, amaxlen))
+    return matches
+
+
+def _seq_codes(enc: Encseq, s: int, revcomp: bool) -> np.ndarray:
+    lo = int(enc.seq_startpos(s))
+    hi = int(enc.seq_endpos(s))
+    seq = enc.codes[lo:hi + 1]
+    if revcomp:
+        comp = enc.alphabet.complement_table()
+        seq = np.where(is_special(seq[::-1]), seq[::-1], comp[seq[::-1]])
+    return seq
+
+
+def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
+                        pa_pos, k, mincov, belowscore, params, selfcomp,
+                        amaxlen):
+    matches = []
+    n = pa_seq.size
+    if n == 0:
+        return matches
+    # segment boundaries: contiguous (aseq,bseq) runs
+    seg_break = np.zeros(n, bool)
+    seg_break[0] = True
+    seg_break[1:] = (pa_seq[1:] != pa_seq[:-1]) | (pb_seq[1:] != pb_seq[:-1])
+    seg_starts = np.flatnonzero(seg_break)
+    seg_ends = np.append(seg_starts[1:], n)
+
+    logw = params.logdiagbandwidth
+    for s0, s1 in zip(seg_starts, seg_ends):
+        aseq, bseq = int(pa_seq[s0]), int(pb_seq[s0])
+        apos = pa_pos[s0:s1].astype(np.int64)
+        bpos = pb_pos[s0:s1].astype(np.int64)
+        if not params.no_diagband_filter:
+            band = (amaxlen + bpos - apos) >> logw
+            nb = int(band.max()) + 2
+            score = np.zeros(nb + 2, np.int64)
+            lastpos = np.zeros(nb + 2, np.int64)
+            for i in range(apos.size):
+                d = int(band[i]) + 1  # +1 so band-1/band+1 indexing is safe
+                key = int(bpos[i])
+                if lastpos[d] == 0 or lastpos[d] + k <= key:
+                    lastpos[d] = key
+                    score[d] += k
+                elif lastpos[d] < key:
+                    score[d] += key - lastpos[d]
+                    lastpos[d] = key
+            coverage = score[band + 1] + np.maximum(score[band],
+                                                    score[band + 2])
+            sel = coverage >= mincov
+        else:
+            sel = np.ones(apos.size, bool)
+
+        useq = _seq_codes(aenc, aseq, False)
+        vseq = _seq_codes(benc, bseq, direction == "P")
+        same_seq = selfcomp and aseq == bseq
+        haspreviousmatch = False
+        prev_b_end = -1
+        for i in np.nonzero(sel)[0]:
+            bp, ap = int(bpos[i]), int(apos[i])
+            if haspreviousmatch and params.use_apos == 0 and \
+                    prev_b_end >= bp:
+                continue
+            dbstart_rel = ap + 1 - k
+            querystart_rel = bp + 1 - k
+            ext = _extend_one_seed(useq, vseq, same_seq, dbstart_rel,
+                                   querystart_rel, k, belowscore,
+                                   params.scores)
+            if ext is None:
+                continue
+            u_l, v_l, sc_l, u_r, v_r, sc_r = ext
+            dblen = k + u_l + u_r
+            querylen = k + v_l + v_r
+            alignedlen = dblen + querylen
+            total_score = k * params.scores.mat + sc_l + sc_r
+            dist = _score2distance(total_score, alignedlen)
+            a_start = dbstart_rel - u_l
+            b_start = querystart_rel - v_l
+            haspreviousmatch = True
+            prev_b_end = b_start + querylen - 1
+            # final filters (ref: querymatch.c:722 check_final_generic)
+            err = 200.0 * dist / alignedlen
+            if err > params.errorpercentage:
+                continue
+            if alignedlen < 2 * params.userdefinedleastlength:
+                continue
+            identity = 100.0 - err
+            matches.append(SeedExtendMatch(
+                dblen, aseq, a_start, direction, querylen, bseq,
+                b_start, total_score, dist, identity))
+    return matches

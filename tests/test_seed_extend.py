@@ -1,0 +1,112 @@
+"""seed_extend + xdrop tests vs reference goldens and brute force."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from genometools_tpu.core.encseq import Encseq
+from genometools_tpu.match.seed_extend import (SeedExtendParams,
+                                               build_seed_pairs,
+                                               default_seedlength,
+                                               enumerate_kmers, seed_extend)
+from genometools_tpu.ops.xdrop import (XdropScores, optimal_xdrop_belowscore,
+                                       xdrop_extend, xdrop_extend_bruteforce)
+
+
+class TestXdrop:
+    def test_perfect_match(self):
+        u = np.array([0, 1, 2, 3] * 5, np.uint8)
+        best = xdrop_extend(u, u.copy(), 6)
+        assert best.ivalue == 20 and best.jvalue == 20
+        assert best.score == 40  # EVAL(i+j, 0) = 40
+
+    def test_mismatch_stops(self):
+        u = np.array([0, 0, 0, 0], np.uint8)
+        v = np.array([0, 0, 3, 3], np.uint8)
+        best = xdrop_extend(u, v, 3)
+        assert best.ivalue == 2 and best.jvalue == 2
+        assert best.score == 4
+
+    def test_single_indel(self):
+        # u = aaaa c gggg ; v = aaaa gggg -> expect full alignment w/ 1 del
+        u = np.array([0] * 4 + [1] + [2] * 6, np.uint8)
+        v = np.array([0] * 4 + [2] * 6, np.uint8)
+        best = xdrop_extend(u, v, 6)
+        assert best.ivalue == 11 and best.jvalue == 10
+        # EVAL = (11+10) - 3*1 = 18
+        assert best.score == 18
+
+    def test_specials_never_match(self):
+        u = np.array([0, 254, 0], np.uint8)
+        v = np.array([0, 254, 0], np.uint8)
+        best = xdrop_extend(u, v, 10)
+        # wildcard never matches wildcard
+        assert best.ivalue <= 3 and best.score <= 4
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_score_bounded_by_unpruned_dp(self, seed):
+        rng = np.random.default_rng(seed)
+        u = rng.integers(0, 4, 18).astype(np.uint8)
+        v = rng.integers(0, 4, 18).astype(np.uint8)
+        got = xdrop_extend(u, v, 30)
+        ref = xdrop_extend_bruteforce(u, v, 30)
+        # with a huge X-drop bound, no pruning: scores must agree
+        assert got.score == ref
+
+    def test_belowscore_table(self):
+        assert optimal_xdrop_belowscore(20, 97) == 6
+        assert optimal_xdrop_belowscore(1, 90) == 3
+
+
+class TestSeedlist:
+    def test_kmer_list_matches_golden(self, testdata):
+        e = Encseq.from_files([str(testdata / "small_poly.fas")])
+        al = enumerate_kmers(e, 10, revcomp=False)
+        bl = enumerate_kmers(e, 10, revcomp=True)
+        got = [f"# Kmer ({c:X},{p},{s})"
+               for lst in (al, bl) for c, s, p in zip(*lst)]
+        want = [l.strip() for l in gzip.open(
+            str(testdata / "seedextend1.out.gz"), "rt") if "Kmer" in l]
+        assert set(got) == set(want)
+
+    def test_seedpair_list_matches_golden(self, testdata):
+        e = Encseq.from_files([str(testdata / "small_poly.fas")])
+        al = enumerate_kmers(e, 10, revcomp=False)
+        want = [l.strip() for l in gzip.open(
+            str(testdata / "seedextend1.out.gz"), "rt") if "SeedPair" in l]
+        got = []
+        for rc in (False, True):
+            bl = enumerate_kmers(e, 10, revcomp=rc)
+            aseq, bseq, bpos, apos = build_seed_pairs(
+                al, bl, True, None, inseqseeds=True, mindist=10)
+            got += [f"# SeedPair ({a},{b},{ap},{bp})"
+                    for a, b, bp, ap in zip(aseq, bseq, bpos, apos)]
+        assert got == want  # exact order: sorted by (aseq,bseq,bpos,apos)
+
+
+class TestSeedExtendGolden:
+    def test_small_poly_xdrop(self, testdata):
+        """gt seed_extend -extendxdrop 97 -l 10 -ii small_poly golden."""
+        e = Encseq.from_files([str(testdata / "small_poly.fas")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=10)
+        got = [m.line() for m in seed_extend(e, None, p)]
+        want = [l.strip() for l in
+                open(str(testdata / "seedextend3.out")) if l.strip()]
+        assert got == want
+
+    def test_default_seedlength(self, testdata):
+        e = Encseq.from_files([str(testdata / "small_poly.fas")])
+        assert default_seedlength(e, e) == 3
+
+    def test_duplicate_selfmatch(self, testdata):
+        """Duplicate.fna: the two 840bp copies must align end to end."""
+        e = Encseq.from_files([str(testdata / "Duplicate.fna")])
+        p = SeedExtendParams(seedlength=14, userdefinedleastlength=100)
+        ms = seed_extend(e, None, p)
+        big = [m for m in ms if m.direction == "F" and m.dblen >= 800]
+        assert len(big) >= 1
+        m = big[0]
+        assert m.dbseqnum == 0 and m.queryseqnum == 1
+        assert m.identity > 99.0
