@@ -1,0 +1,101 @@
+"""Readjoiner tests vs reference golden .spm / contig files."""
+
+import numpy as np
+import pytest
+
+from genometools_tpu.assembly.readjoiner import (ReadSet, StringGraph,
+                                                 assemble, find_contained,
+                                                 find_spms)
+
+
+class TestSpm:
+    def test_tiny_singlestrand(self, testdata):
+        rs = ReadSet.from_files([str(testdata / "readjoiner" / "tiny.fas")])
+        got = find_spms(rs, 3, singlestrand=True).lines()
+        want = [l.strip() for l in open(
+            str(testdata / "readjoiner" / "tiny_singlestrand.spm"))]
+        assert sorted(got) == sorted(want)
+
+    def test_tiny_mirrored(self, testdata):
+        rs = ReadSet.from_files([str(testdata / "readjoiner" / "tiny.fas")])
+        got = find_spms(rs, 3).lines()
+        want = [l.strip() for l in open(
+            str(testdata / "readjoiner" / "tiny_mirrored.spm"))]
+        assert sorted(got) == sorted(want)
+
+    def test_pw_exact(self, testdata):
+        """`gt readjoiner spmtest -test bruteforce -l 3` golden."""
+        rs = ReadSet.from_files([str(testdata / "readjoiner" / "pw.fas")])
+        got = sorted(find_spms(rs, 3).lines())
+        want = sorted(l.strip() for l in open(
+            str(testdata / "readjoiner" / "pw-ex.spm")))
+        assert got == want
+
+    def test_spm_definition(self):
+        """Every reported SPM is a true suffix-prefix match."""
+        rs = ReadSet.from_seqset(_mkseqs(["acgtacg", "tacgttt", "gtttaca"]))
+        spms = find_spms(rs, 3)
+        for sr, ss, pr, ps, l in zip(spms.suf_read, spms.suf_strand,
+                                     spms.pref_read, spms.pref_strand,
+                                     spms.length):
+            a = rs.reads[sr] if ss else rs.rc(sr)
+            b = rs.reads[pr] if ps else rs.rc(pr)
+            assert (a[len(a) - l:] == b[:l]).all()
+
+
+def _mkseqs(strs):
+    from genometools_tpu.core.seqio import SeqSet
+    return SeqSet(seqs=[np.frombuffer(s.encode(), np.uint8) for s in strs],
+                  descs=[""] * len(strs))
+
+
+class TestContained:
+    def test_duplicate_and_substring(self):
+        rs = ReadSet.from_seqset(_mkseqs(
+            ["acgtacgtac", "acgtacgtac", "gtacgt", "ttttcccc"]))
+        c = find_contained(rs)
+        assert c.tolist() == [False, True, True, False]
+
+    def test_rc_contained(self):
+        # read1 is rc of a substring of read0
+        rs = ReadSet.from_seqset(_mkseqs(["acgtaccggtaa", "ggtacg"]))
+        # rc(read1) = cgtacc, substring of read0
+        c = find_contained(rs)
+        assert c.tolist() == [False, True]
+
+    def test_reference_contained_file(self, testdata):
+        rs = ReadSet.from_files(
+            [str(testdata / "readjoiner" / "contained_eqlen.fas")])
+        c = find_contained(rs)
+        # at least the duplicates collapse; kept set must be unique
+        kept = [rs.reads[i].tobytes() for i in range(rs.num_reads) if not c[i]]
+        assert len(set(kept)) == len(kept)
+
+
+class TestAssembly:
+    def test_3_varlen_contig_golden(self, testdata):
+        got = assemble([str(testdata / "readjoiner" / "3_varlen_seq.fas")],
+                       minlen=5, min_depth=2, min_length=31)
+        want = open(str(testdata / "readjoiner" /
+                        "3_varlen_seq.contigs.fas")).read().splitlines()
+        got_lines = []
+        for h, s in got:
+            got_lines.append(">" + h)
+            got_lines.append(s)
+        assert got_lines == want
+
+    def test_transitive_reduction(self):
+        # overlapping tiling of one source string: r0 -> r1 -> r2 with the
+        # direct r0 -> r2 edge transitive (l_ac = l_ab + l_bc - len(r1))
+        src = "acctagcgttaagc"
+        rs = ReadSet.from_seqset(_mkseqs([src[0:10], src[2:12], src[4:14]]))
+        spms = find_spms(rs, 4)
+        g = StringGraph.from_spms(rs, spms)
+        g.reduce_self()
+        removed = g.reduce_transitive()
+        assert removed >= 1
+        contigs = g.spell_contigs(min_depth=3)
+        assert len(contigs) == 1
+        seq, depth, desc = contigs[0]
+        assert depth == 3
+        assert seq == src
