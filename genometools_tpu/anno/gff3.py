@@ -1,0 +1,350 @@
+"""GFF3 parsing and output.
+
+Capability equivalent of the reference GFF3 machinery
+(ref: src/extended/gff3_parser.c (~3k LoC), gff3_visitor.c,
+gff3_in_stream.c, gff3_out_stream_api.c).
+
+Parser: full GFF3 — directives (##gff-version, ##sequence-region, other
+##meta), comments, attribute escaping (%XX), ID/Parent feature graphs
+with multi-parent features, multi-line features (same ID => multi
+feature), ### separators, embedded ##FASTA section, '>' shortcut.
+
+Output: reference-compatible rendering — ID regeneration per type
+(gene00001 -> gene1, counters per type in order of first output,
+ref: gff3_visitor.c), ID first then Parent then other attributes, '###'
+separator after every top-level feature group.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from dataclasses import dataclass, field
+
+from .genome_node import (CommentNode, EOFNode, FeatureNode, GenomeNode,
+                          MetaNode, Range, RegionNode, SequenceNode)
+
+GFF_VERSION = "3"
+
+
+class GFF3Error(ValueError):
+    pass
+
+
+def _unescape(s: str) -> str:
+    return urllib.parse.unquote(s) if "%" in s else s
+
+
+def _escape_attr(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in "=;,&\t\n%" or ord(ch) < 0x20:
+            out.append("%%%02X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def parse_attributes(s: str, line_no: int = 0) -> dict[str, str]:
+    attrs = {}
+    if s in (".", ""):
+        return attrs
+    for part in s.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise GFF3Error(f'line {line_no}: attribute "{part}" lacks "="')
+        key, _, val = part.partition("=")
+        key = key.strip()
+        if not key:
+            raise GFF3Error(f"line {line_no}: empty attribute key")
+        if key in attrs:
+            raise GFF3Error(f'line {line_no}: duplicate attribute "{key}"')
+        attrs[key] = val
+    return attrs
+
+
+def parse_gff3(text: str, checkids: bool = False,
+               strict: bool = True) -> list[GenomeNode]:
+    """Parse a GFF3 document into top-level nodes in document order.
+
+    Feature graphs are linked via Parent; only top-level features (no
+    parents) appear in the returned list (their subtrees hang off
+    .children) — the reference's in-stream delivers the same shape.
+    """
+    nodes: list[GenomeNode] = []
+    id_map: dict[str, FeatureNode] = {}
+    regions: dict[str, RegionNode] = {}
+    serial = 0
+    in_fasta = False
+    fasta_desc = None
+    fasta_seq: list[str] = []
+
+    def flush_fasta():
+        nonlocal fasta_desc, fasta_seq
+        if fasta_desc is not None:
+            nodes.append(SequenceNode(fasta_desc, "".join(fasta_seq)))
+        fasta_desc, fasta_seq = None, []
+
+    def close_region(hard: bool):
+        # '###': forget IDs seen so far (features are complete)
+        if hard:
+            id_map.clear()
+
+    for line_no, raw in enumerate(text.splitlines(), 1):
+        line = raw.rstrip("\n")
+        if in_fasta:
+            if line.startswith(">"):
+                flush_fasta()
+                fasta_desc = line[1:]
+            elif line.strip():
+                fasta_seq.append(line.strip())
+            continue
+        if not line.strip():
+            continue
+        if line.startswith("###"):
+            close_region(True)
+            continue
+        if line.startswith("##"):
+            if line.startswith("##gff-version"):
+                ver = line.split()[-1] if len(line.split()) > 1 else ""
+                if strict and ver and not ver.startswith("3"):
+                    raise GFF3Error(f"line {line_no}: unsupported gff "
+                                    f"version {ver}")
+            elif line.startswith("##sequence-region"):
+                parts = line.split()
+                if len(parts) != 4:
+                    raise GFF3Error(f"line {line_no}: malformed "
+                                    "##sequence-region")
+                try:
+                    start, end = int(parts[2]), int(parts[3])
+                except ValueError as exc:
+                    raise GFF3Error(f"line {line_no}: {exc}") from None
+                if start > end:
+                    raise GFF3Error(f"line {line_no}: region start > end")
+                region = RegionNode(parts[1], start, end)
+                regions[parts[1]] = region
+                nodes.append(region)
+            elif line.startswith("##FASTA"):
+                in_fasta = True
+            else:
+                d = line[2:].split(None, 1)
+                nodes.append(MetaNode(d[0] if d else "",
+                                      d[1] if len(d) > 1 else ""))
+            continue
+        if line.startswith("#"):
+            nodes.append(CommentNode(line[1:]))
+            continue
+        if line.startswith(">"):
+            in_fasta = True
+            fasta_desc = line[1:]
+            continue
+
+        cols = line.split("\t")
+        if len(cols) != 9:
+            if strict:
+                # message wording follows the reference parser
+                raise GFF3Error(f"line {line_no} does not contain 9 tab (\\t) "
+                                f"separated fields")
+            continue
+        seqid, source, ftype, start_s, end_s, score_s, strand, phase, attrs_s \
+            = cols
+        try:
+            start, end = int(start_s), int(end_s)
+        except ValueError:
+            raise GFF3Error(f"line {line_no}: non-numeric range") from None
+        if start > end:
+            raise GFF3Error(f"line {line_no}: start {start} > end {end}")
+        if strand not in "+-.?":
+            raise GFF3Error(f"line {line_no}: invalid strand {strand!r}")
+        if phase not in (".", "0", "1", "2"):
+            raise GFF3Error(f"line {line_no}: invalid phase {phase!r}")
+        score = None if score_s == "." else float(score_s)
+        attrs = parse_attributes(attrs_s, line_no)
+
+        fid = attrs.get("ID")
+        parents = attrs.get("Parent")
+        node = FeatureNode(_unescape(seqid), ftype, start, end, strand,
+                           _unescape(source), score, phase)
+        serial += 1
+        node.serial = serial
+        node.attributes = {k: _unescape(v) for k, v in attrs.items()}
+        # declared sequence-regions must contain their features
+        # (ref: gff3_parser.c "is not contained in sequence region" check)
+        reg = regions.get(node.seqid)
+        if strict and reg is not None and not reg.range.contains(node.range):
+            raise GFF3Error(
+                f"line {line_no}: sequence region {node.seqid} "
+                f"({reg.range.start}, {reg.range.end}) does not contain "
+                f"feature range ({start}, {end})")
+        if fid and fid in id_map:
+            # multi-line feature: same ID => multi-feature group
+            rep = id_map[fid]
+            node.is_multi = True
+            rep.is_multi = True
+            node.multi_representative = rep
+        elif fid:
+            id_map[fid] = node
+        # Parent must be defined earlier in the document (GFF3 spec; the
+        # reference errors out the same way, ref: gff3_parser.c)
+        if parents:
+            for pid in parents.split(","):
+                parent = id_map.get(pid)
+                if parent is None:
+                    raise GFF3Error(
+                        f'line {line_no}: Parent "{pid}" was not defined')
+                parent.add_child(node)
+        else:
+            nodes.append(node)
+
+    flush_fasta()
+
+    # synthesize ##sequence-region directives for seqids that lack one,
+    # placed before the first feature of that seqid
+    # (ref: gff3 in-stream region creation, gt_gff3_prob_10.out)
+    have = set(regions)
+    span: dict[str, Range] = {}
+    for n in nodes:
+        if isinstance(n, FeatureNode) and n.seqid not in have:
+            for m in n.traverse():
+                r = span.get(n.seqid)
+                span[n.seqid] = m.range if r is None else r.join(m.range)
+    out: list[GenomeNode] = []
+    emitted = set()
+    for n in nodes:
+        if isinstance(n, FeatureNode) and n.seqid in span and \
+                n.seqid not in emitted:
+            out.append(RegionNode(n.seqid, span[n.seqid].start,
+                                  span[n.seqid].end))
+            emitted.add(n.seqid)
+        out.append(n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# output
+# ---------------------------------------------------------------------------
+
+class GFF3Writer:
+    """Render nodes back to GFF3 text (ref: gff3_visitor.c).
+
+    retainids=False regenerates feature IDs as <type><N> with per-type
+    counters, assigning IDs only to features that have children or are
+    multi-features.
+    """
+
+    def __init__(self, retainids: bool = False, fasta_width: int = 80):
+        self.retainids = retainids
+        self.fasta_width = fasta_width
+        self._type_counters: dict[str, int] = {}
+        self._ids: dict[int, str] = {}
+        self.lines: list[str] = []
+        self._version_written = False
+        self._had_fasta = False
+
+    def _write_version(self):
+        if not self._version_written:
+            self.lines.append(f"##gff-version {GFF_VERSION}")
+            self._version_written = True
+
+    def _alloc_id(self, node: FeatureNode) -> str:
+        if id(node) in self._ids:
+            return self._ids[id(node)]
+        if self.retainids and node.get_attribute("ID"):
+            new = node.get_attribute("ID")
+        else:
+            n = self._type_counters.get(node.type, 0) + 1
+            self._type_counters[node.type] = n
+            new = f"{node.type}{n}"
+        self._ids[id(node)] = new
+        return new
+
+    def _attr_string(self, node: FeatureNode, parent_ids: list[str]) -> str:
+        parts = []
+        needs_id = bool(node.children) or node.is_multi
+        if needs_id and node.multi_representative is None:
+            parts.append("ID=" + _escape_attr(self._alloc_id(node)))
+        elif node.multi_representative is not None:
+            parts.append(
+                "ID=" + _escape_attr(self._alloc_id(node.multi_representative)))
+        if parent_ids:
+            parts.append("Parent=" + ",".join(map(_escape_attr, parent_ids)))
+        for k, v in node.attributes.items():
+            if k in ("ID", "Parent"):
+                continue
+            parts.append(f"{k}={_escape_attr(v)}")
+        return ";".join(parts) if parts else "."
+
+    def _feature_line(self, node: FeatureNode, parent_ids: list[str]) -> str:
+        # reference renders scores with %.3g (ref: gff3_visitor.c)
+        score = "." if node.score is None else f"{node.score:.3g}"
+        return "\t".join([
+            node.seqid, node.source, node.type, str(node.range.start),
+            str(node.range.end), score, node.strand, node.phase,
+            self._attr_string(node, parent_ids)])
+
+    def visit_feature_tree(self, top: FeatureNode):
+        self._write_version()
+        # Emission order (matches reference outputs, see
+        # standard_gene_as_dag_sorted.gff3): DFS pre-order where every
+        # node hangs under its LAST parent in document order — i.e. a
+        # multi-parent feature prints only after all its parents — and
+        # siblings print in document order.
+        attach_children: dict[int, list[FeatureNode]] = {}
+        all_nodes = top.traverse()
+        for n in all_nodes:
+            if n is top:
+                continue
+            attach = max(n.parents, key=lambda p: p.serial)
+            attach_children.setdefault(id(attach), []).append(n)
+        for lst in attach_children.values():
+            # siblings sort by (start, end), ties in document order
+            # (ref: standard_gene_as_dag_sorted.gff3)
+            lst.sort(key=lambda n: (n.range.start, n.range.end, n.serial))
+        order: list[FeatureNode] = []
+        stack = [top]
+        while stack:
+            n = stack.pop()
+            order.append(n)
+            stack.extend(reversed(attach_children.get(id(n), [])))
+        emitted_id = False
+        for n in order:
+            pids = [self._alloc_id(p) for p in n.parents]
+            if pids or n.children or n.is_multi:
+                emitted_id = True
+            self.lines.append(self._feature_line(n, pids))
+        # '###' delimits the ID scope; only needed when IDs were emitted
+        if emitted_id:
+            self.lines.append("###")
+
+    def visit(self, node: GenomeNode):
+        if isinstance(node, FeatureNode):
+            self.visit_feature_tree(node)
+        elif isinstance(node, RegionNode):
+            self._write_version()
+            self.lines.append(f"##sequence-region   {node.seqid} "
+                              f"{node.range.start} {node.range.end}")
+        elif isinstance(node, CommentNode):
+            self._write_version()
+            self.lines.append("#" + node.comment)
+        elif isinstance(node, MetaNode):
+            self._write_version()
+            self.lines.append(f"##{node.directive} {node.data}".rstrip())
+        elif isinstance(node, SequenceNode):
+            self._write_version()
+            if not self._had_fasta:
+                self.lines.append("##FASTA")
+                self._had_fasta = True
+            self.lines.append(">" + node.description)
+            for i in range(0, len(node.sequence), self.fasta_width):
+                self.lines.append(node.sequence[i:i + self.fasta_width])
+
+    def render(self, nodes) -> str:
+        for n in nodes:
+            self.visit(n)
+        self._write_version()
+        return "\n".join(self.lines) + "\n"
+
+
+def gff3_to_string(nodes, retainids: bool = False) -> str:
+    return GFF3Writer(retainids=retainids).render(nodes)

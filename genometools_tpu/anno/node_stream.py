@@ -1,0 +1,172 @@
+"""Node streams: pull-based annotation pipeline.
+
+Capability equivalent of the reference GtNodeStream architecture
+(ref: src/extended/node_stream_api.h:25-74, gt_node_stream_next) and the
+most-used concrete streams (gff3_in_stream.c, gff3_out_stream_api.c,
+sort_stream.c, merge_stream.c, add_introns_stream.c, select_stream.c,
+stat_stream.c, uniq_stream.c, inter_feature_stream.c).
+
+A stream is any iterator of GenomeNode; combinators are generator
+functions, which keeps the pull semantics (`next_tree`) of the reference
+without the C boilerplate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from .genome_node import (CommentNode, FeatureNode, GenomeNode, MetaNode,
+                          Range, RegionNode, SequenceNode)
+from .gff3 import parse_gff3
+
+
+def gff3_in_stream(paths_or_text, strict: bool = True) -> Iterator[GenomeNode]:
+    """ref: gff3_in_stream.c — parse one or more files into a node flow."""
+    if isinstance(paths_or_text, str) and "\n" in paths_or_text:
+        yield from parse_gff3(paths_or_text, strict=strict)
+        return
+    paths = [paths_or_text] if isinstance(paths_or_text, str) else paths_or_text
+    for p in paths:
+        with open(p) as f:
+            yield from parse_gff3(f.read(), strict=strict)
+
+
+def _node_sort_key(node: GenomeNode):
+    """ref: gt_genome_node_compare — regions first, then features by
+    (seqid, range); comments/metas keep document position at the front."""
+    if isinstance(node, RegionNode):
+        return (0, node.seqid, 0, 0)
+    if isinstance(node, (MetaNode, CommentNode)):
+        return (1, "", 0, 0)
+    if isinstance(node, SequenceNode):
+        return (3, "", 0, 0)
+    return (2, node.seqid or "", node.range.start if node.range else 0,
+            -(node.range.end if node.range else 0))
+
+
+def sort_stream(stream: Iterable[GenomeNode]) -> Iterator[GenomeNode]:
+    """ref: sort_stream.c — buffer everything, emit in sorted order
+    (stable for equal keys)."""
+    yield from sorted(stream, key=_node_sort_key)
+
+
+def merge_stream(streams: list[Iterable[GenomeNode]]) -> Iterator[GenomeNode]:
+    """ref: merge_stream.c — merge sorted streams keeping global order."""
+    import heapq
+    iters = [iter(s) for s in streams]
+    heap = []
+    for i, it in enumerate(iters):
+        for node in it:
+            heap.append((_node_sort_key(node), i, id(node), node))
+    heap.sort(key=lambda t: (t[0], t[1]))
+    for _, _, _, node in heap:
+        yield node
+
+
+def select_stream(stream, seqid: str | None = None,
+                  typefilter: str | None = None,
+                  max_gene_length: int | None = None,
+                  min_gene_score: float | None = None,
+                  contain: Range | None = None,
+                  overlap: Range | None = None) -> Iterator[GenomeNode]:
+    """ref: select_stream.c / gt select tool filters."""
+    for node in stream:
+        if not isinstance(node, FeatureNode):
+            yield node
+            continue
+        if seqid is not None and node.seqid != seqid:
+            continue
+        if typefilter is not None and all(
+                n.type != typefilter for n in node.traverse()):
+            continue
+        if max_gene_length is not None and node.type == "gene" and \
+                node.range.length > max_gene_length:
+            continue
+        if min_gene_score is not None and node.type == "gene" and \
+                (node.score is None or node.score < min_gene_score):
+            continue
+        if contain is not None and not contain.contains(node.range):
+            continue
+        if overlap is not None and not overlap.overlaps(node.range):
+            continue
+        yield node
+
+
+def add_introns_stream(stream) -> Iterator[GenomeNode]:
+    """ref: add_introns_stream.c / gt gff3 -addintrons: insert intron
+    features between consecutive exons of each parent."""
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            for n in node.traverse():
+                exons = sorted([c for c in n.children if c.type == "exon"],
+                               key=lambda c: c.range.start)
+                if len(exons) >= 2 and not any(
+                        c.type == "intron" for c in n.children):
+                    for a, b in zip(exons, exons[1:]):
+                        if a.range.end + 1 <= b.range.start - 1:
+                            intron = FeatureNode(
+                                n.seqid, "intron", a.range.end + 1,
+                                b.range.start - 1, a.strand, a.source)
+                            n.add_child(intron)
+        yield node
+
+
+def inter_feature_stream(stream, outside_type: str, inter_type: str
+                         ) -> Iterator[GenomeNode]:
+    """ref: inter_feature_stream.c / gt interfeat: add <inter_type>
+    features between consecutive <outside_type> children."""
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            for n in node.traverse():
+                outs = sorted([c for c in n.children
+                               if c.type == outside_type],
+                              key=lambda c: c.range.start)
+                for a, b in zip(outs, outs[1:]):
+                    if a.range.end + 1 <= b.range.start - 1:
+                        mid = FeatureNode(n.seqid, inter_type,
+                                          a.range.end + 1, b.range.start - 1,
+                                          a.strand, a.source)
+                        n.add_child(mid)
+        yield node
+
+
+def uniq_stream(stream) -> Iterator[GenomeNode]:
+    """ref: uniq_stream.c — drop repeated identical feature trees
+    (same type/range/strand and identical children shapes)."""
+    def sig(node: FeatureNode):
+        return (node.seqid, node.type, node.range.start, node.range.end,
+                node.strand,
+                tuple(sorted(sig(c) for c in node.children)))
+
+    seen = set()
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            s = sig(node)
+            if s in seen:
+                continue
+            seen.add(s)
+        yield node
+
+
+class FeatureStats:
+    """ref: stat_stream.c / gt stat output."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+        self.total_features = 0
+
+    def add(self, node: FeatureNode):
+        for n in node.traverse():
+            self.counts[n.type] = self.counts.get(n.type, 0) + 1
+            self.total_features += 1
+
+    def report(self) -> list[str]:
+        out = [f"{t}s: {c}" for t, c in sorted(self.counts.items())]
+        return out
+
+
+def stat_stream(stream, stats: FeatureStats) -> Iterator[GenomeNode]:
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            stats.add(node)
+        yield node

@@ -217,6 +217,62 @@ def _add_repfind(sub):
 
 
 # ---------------------------------------------------------------------------
+# gff3 and annotation tools
+# ---------------------------------------------------------------------------
+
+def cmd_gff3(args):
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.node_stream import add_introns_stream, sort_stream
+    import itertools
+    nodes = []
+    for p in args.files or ["-"]:
+        text = sys.stdin.read() if p == "-" else open(p).read()
+        nodes.extend(parse_gff3(text, strict=not args.tidy))
+    stream = iter(nodes)
+    if args.addintrons:
+        stream = add_introns_stream(stream)
+    if args.sort:
+        stream = sort_stream(stream)
+    out = GFF3Writer(retainids=args.retainids).render(list(stream))
+    sys.stdout.write(out)
+    return 0
+
+
+def _add_gff3(sub):
+    p = sub.add_parser("gff3", help="parse, validate and output GFF3")
+    p.add_argument("files", nargs="*")
+    p.add_argument("-sort", action="store_true")
+    p.add_argument("-retainids", action="store_true")
+    p.add_argument("-addintrons", action="store_true")
+    p.add_argument("-tidy", action="store_true")
+    p.set_defaults(func=cmd_gff3)
+
+
+def cmd_stat(args):
+    from .anno.gff3 import parse_gff3
+    from .anno.node_stream import FeatureStats, stat_stream
+    from .anno.genome_node import FeatureNode, RegionNode
+    stats = FeatureStats()
+    n_regions = 0
+    for p in args.files:
+        nodes = parse_gff3(open(p).read())
+        n_regions += sum(isinstance(n, RegionNode) for n in nodes)
+        list(stat_stream(nodes, stats))
+    print(f"parsed genome node DAGs: "
+          f"{stats.counts.get('gene', 0)}")
+    print(f"sequence regions: {n_regions}")
+    for t in sorted(stats.counts):
+        print(f"{t}s: {stats.counts[t]}")
+    return 0
+
+
+def _add_stat(sub):
+    p = sub.add_parser("stat", help="show statistics about GFF3 features")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_stat)
+
+
+# ---------------------------------------------------------------------------
 # seqstat
 # ---------------------------------------------------------------------------
 
@@ -256,7 +312,7 @@ def _add_seqstat(sub):
 # ---------------------------------------------------------------------------
 
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
-             _add_seqstat]
+             _add_seqstat, _add_gff3, _add_stat]
 
 
 def main(argv=None):

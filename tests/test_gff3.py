@@ -1,0 +1,124 @@
+"""GFF3 + node-stream tests vs reference goldens."""
+
+import pytest
+
+from genometools_tpu.anno.genome_node import FeatureNode, Range
+from genometools_tpu.anno.gff3 import GFF3Error, GFF3Writer, parse_gff3
+from genometools_tpu.anno.node_stream import (FeatureStats, add_introns_stream,
+                                              gff3_in_stream, select_stream,
+                                              sort_stream, stat_stream,
+                                              uniq_stream)
+
+GOLDEN_CASES = [
+    ("revision_numbers.gff3", "revision_numbers.out", False),
+    ("gt_gff3_prob_2.in", "gt_gff3_prob_2.out", True),
+    ("gt_gff3_prob_5.in", "gt_gff3_prob_5.out", True),
+    ("gt_gff3_prob_7.in", "gt_gff3_prob_7.unsorted", False),
+    ("gt_gff3_prob_7.in", "gt_gff3_prob_7.sorted", True),
+    ("gt_gff3_prob_8.in", "gt_gff3_prob_8.out", False),
+    ("gt_gff3_prob_9.in", "gt_gff3_prob_9.out", False),
+    ("gt_gff3_prob_10.in", "gt_gff3_prob_10.out", False),
+    ("gt_gff3_prob_11.in", "gt_gff3_prob_11.out", False),
+    ("standard_gene_as_dag.gff3", "standard_gene_as_dag_sorted.gff3", False),
+    ("gt_gff3_test_15.gff3", "gt_gff3_test_15.out", False),
+    ("gt_gff3_test_18.gff3", "gt_gff3_test_18.gff3", False),
+    ("gt_gff3_test_22.gff3", "gt_gff3_test_22.gff3", False),
+    ("gt_gff3_test_23.gff3", "gt_gff3_test_23.gff3", False),
+    ("gt_gff3_test_24.gff3", "gt_gff3_test_23.gff3", False),
+    ("gt_gff3_test_25.gff3", "gt_gff3_test_25.out", False),
+    ("additional_attribute.gff3", "additional_attribute.gff3", False),
+]
+
+
+class TestGoldens:
+    @pytest.mark.parametrize("inp,out,dosort", GOLDEN_CASES)
+    def test_golden(self, testdata, inp, out, dosort):
+        nodes = parse_gff3((testdata / inp).read_text())
+        if dosort:
+            nodes = list(sort_stream(nodes))
+        got = GFF3Writer().render(nodes)
+        assert got == (testdata / out).read_text()
+
+    def test_short_sorted(self, testdata):
+        nodes = parse_gff3((testdata / "gff3_file_1_short.txt").read_text())
+        got = GFF3Writer().render(nodes)
+        want = (testdata / "gff3_file_1_short_sorted.txt").read_text()
+        assert sorted(got.splitlines()) == want.splitlines()
+
+    def test_prob1_errors(self, testdata):
+        with pytest.raises(GFF3Error):
+            parse_gff3((testdata / "gt_gff3_prob_1.gff3").read_text())
+
+    def test_prob6_error_message(self, testdata):
+        with pytest.raises(GFF3Error, match="does not contain"):
+            parse_gff3((testdata / "gt_gff3_prob_6.in").read_text())
+
+
+class TestParser:
+    def test_escaping(self):
+        nodes = parse_gff3(
+            "##gff-version 3\nchr1\t.\tgene\t1\t10\t.\t+\t.\t"
+            "ID=g%3B1;Note=a%2Cb\n")
+        feats = [n for n in nodes if isinstance(n, FeatureNode)]
+        assert feats[0].get_attribute("ID") == "g;1"
+        assert feats[0].get_attribute("Note") == "a,b"
+
+    def test_fasta_section(self):
+        nodes = parse_gff3(
+            "##gff-version 3\nchr1\t.\tgene\t1\t4\t.\t+\t.\t.\n"
+            "##FASTA\n>chr1\nACGT\nAC\n")
+        from genometools_tpu.anno.genome_node import SequenceNode
+        seqs = [n for n in nodes if isinstance(n, SequenceNode)]
+        assert len(seqs) == 1 and seqs[0].sequence == "ACGTAC"
+
+    def test_multi_parent(self):
+        text = ("##gff-version 3\n"
+                "c\t.\tgene\t1\t100\t.\t+\t.\tID=g1\n"
+                "c\t.\tmRNA\t1\t100\t.\t+\t.\tID=m1;Parent=g1\n"
+                "c\t.\tmRNA\t1\t100\t.\t+\t.\tID=m2;Parent=g1\n"
+                "c\t.\texon\t1\t50\t.\t+\t.\tParent=m1,m2\n")
+        nodes = parse_gff3(text)
+        feats = [n for n in nodes if isinstance(n, FeatureNode)]
+        gene = feats[0]
+        m1, m2 = gene.children
+        assert m1.children[0] is m2.children[0]
+
+    def test_undefined_parent_raises(self):
+        with pytest.raises(GFF3Error, match="was not defined"):
+            parse_gff3("##gff-version 3\n"
+                       "c\t.\texon\t1\t50\t.\t+\t.\tParent=nope\n")
+
+
+class TestStreams:
+    def _gene(self):
+        text = ("##gff-version 3\n"
+                "c\t.\tgene\t1\t100\t.\t+\t.\tID=g1\n"
+                "c\t.\tmRNA\t1\t100\t.\t+\t.\tID=m1;Parent=g1\n"
+                "c\t.\texon\t1\t20\t.\t+\t.\tParent=m1\n"
+                "c\t.\texon\t50\t70\t.\t+\t.\tParent=m1\n")
+        return parse_gff3(text)
+
+    def test_add_introns(self):
+        nodes = list(add_introns_stream(self._gene()))
+        feats = [n for n in nodes if isinstance(n, FeatureNode)]
+        mrna = feats[0].children[0]
+        introns = [c for c in mrna.children if c.type == "intron"]
+        assert len(introns) == 1
+        assert (introns[0].range.start, introns[0].range.end) == (21, 49)
+
+    def test_select(self):
+        nodes = list(select_stream(self._gene(), typefilter="exon"))
+        feats = [n for n in nodes if isinstance(n, FeatureNode)]
+        assert len(feats) == 1
+        nodes = list(select_stream(self._gene(), typefilter="CDS"))
+        assert not [n for n in nodes if isinstance(n, FeatureNode)]
+
+    def test_uniq(self):
+        nodes = self._gene() + self._gene()
+        out = [n for n in uniq_stream(nodes) if isinstance(n, FeatureNode)]
+        assert len(out) == 1
+
+    def test_stats(self):
+        stats = FeatureStats()
+        list(stat_stream(self._gene(), stats))
+        assert stats.counts == {"gene": 1, "mRNA": 1, "exon": 2}
