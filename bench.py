@@ -32,14 +32,19 @@ def _build_rate(keys_padded: np.ndarray, n1: int, device) -> float:
     npad = keys_padded.size
     with jax.default_device(device):
         k = jax.device_put(jax.numpy.asarray(keys_padded), device)
+        # force a host round trip first: on the remote (axon tunnel)
+        # backend, block_until_ready is unreliable until the first
+        # transfer handshake has happened
+        np.asarray(k[:8])
         # warmup / compile
         sa, _, _ = _build_sa_impl(k, npad, False)
-        sa.block_until_ready()
+        np.asarray(sa[:8])
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             sa, _, _ = _build_sa_impl(k, npad, False)
             sa.block_until_ready()
+            np.asarray(sa[:8])  # sync via tiny fetch
             times.append(time.perf_counter() - t0)
     return n1 / min(times)
 

@@ -99,6 +99,76 @@ def repfind_palindromic(encseq: Encseq, minlength: int) -> np.ndarray:
                         ln, "P")
 
 
+def repfind_extend(encseq: Encseq, minlength: int,
+                   extension: str = "greedy", minidentity: int = 90,
+                   maxalignedlendifference: int = 30,
+                   perc_mat_history: int = 55, history: int = 64,
+                   esa: EnhancedSuffixArray | None = None) -> list:
+    """repfind -extendgreedy/-extendxdrop: extend every maximal pair
+    (ref: gt_rf_extend_selfmatch_with_output, seed-extend.c:1457).
+
+    Returns SeedExtendMatch records in the reference's 10-column format.
+    Validated against repfind-result/Duplicate.fna-greedy-8-8-90-30-55.
+    """
+    from ..ops.greedy import PolishingInfo
+    from ..ops.xdrop import optimal_xdrop_belowscore
+    from .seed_extend import SeedExtendMatch, _extend_one_seed, \
+        _score2distance, _seq_codes
+
+    if esa is None:
+        esa = build_esa(encseq, FWD)
+    mp = enumerate_maxpairs(esa, minlength)
+    errorpercentage = 100 - minidentity
+    greedy_ctx = None
+    belowscore = 0
+    if extension == "greedy":
+        pol = PolishingInfo.new(float(errorpercentage), history)
+        greedy_ctx = (pol, perc_mat_history, maxalignedlendifference,
+                      history)
+    else:
+        belowscore = optimal_xdrop_belowscore(errorpercentage, 97)
+
+    out = []
+    seq_cache = {}
+
+    def seq_of(s):
+        if s not in seq_cache:
+            seq_cache[s] = _seq_codes(encseq, s, False)
+        return seq_cache[s]
+
+    a = np.minimum(mp.pos1, mp.pos2).astype(np.int64)
+    b = np.maximum(mp.pos1, mp.pos2).astype(np.int64)
+    for p1, p2, ln in zip(a, b, mp.length.astype(np.int64)):
+        s1 = int(encseq.seqnum_of_pos(p1))
+        s2 = int(encseq.seqnum_of_pos(p2))
+        r1 = int(p1 - encseq.seq_startpos(s1))
+        r2 = int(p2 - encseq.seq_startpos(s2))
+        same_seq = s1 == s2
+        from ..ops.xdrop import XdropScores
+        ext = _extend_one_seed(seq_of(s1), seq_of(s2), same_seq, r1, r2,
+                               int(ln), belowscore, XdropScores(),
+                               greedy_ctx)
+        if ext is None:
+            continue
+        u_l, v_l, sd_l, u_r, v_r, sd_r, _mm = ext
+        dblen = int(ln) + u_l + u_r
+        querylen = int(ln) + v_l + v_r
+        alignedlen = dblen + querylen
+        if extension == "greedy":
+            dist = sd_l + sd_r
+            score = alignedlen - 3 * dist
+        else:
+            score = 2 * int(ln) + sd_l + sd_r
+            dist = _score2distance(score, alignedlen)
+        err = 200.0 * dist / alignedlen
+        if err > errorpercentage or alignedlen < 2 * minlength:
+            continue
+        out.append(SeedExtendMatch(
+            dblen, s1, r1 - u_l, "F", querylen, s2, r2 - v_l,
+            score, dist, 100.0 - err))
+    return out
+
+
 def format_match_lines(rows: np.ndarray, direction: str = "F") -> list[str]:
     return [f"{r[0]} {r[1]} {r[2]} {direction} {r[3]} {r[4]} {r[5]}"
             for r in rows.tolist()]

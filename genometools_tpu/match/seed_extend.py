@@ -36,6 +36,7 @@ import numpy as np
 from ..core.chardef import is_special
 from ..core.encseq import Encseq
 from ..ops.kmer import kmer_codes_np
+from ..ops.greedy import PolishingInfo, greedy_extend, greedy_params_table
 from ..ops.xdrop import XdropBest, XdropScores, optimal_xdrop_belowscore, \
     xdrop_extend
 
@@ -54,6 +55,10 @@ class SeedExtendParams:
     reverse: bool = True               # P strand
     no_diagband_filter: bool = False
     scores: XdropScores = field(default_factory=XdropScores)
+    extension: str = "xdrop"           # "xdrop" | "greedy"
+    history: int = 64
+    perc_mat_history: int | None = None
+    maxalignedlendifference: int | None = None
 
     @property
     def errorpercentage(self) -> int:
@@ -62,6 +67,18 @@ class SeedExtendParams:
     def belowscore(self) -> int:
         return optimal_xdrop_belowscore(self.errorpercentage,
                                         self.sensitivity)
+
+    def greedy_params(self):
+        """(perc_mat_history, maxalignedlendifference) with table defaults
+        (ref: gt_optimal_maxalilendiff_perc_mat_history,
+        seed-extend.c:405)."""
+        pmh, mad = greedy_params_table(self.sensitivity,
+                                       self.errorpercentage)
+        if self.maxalignedlendifference is not None:
+            mad = self.maxalignedlendifference
+        if self.perc_mat_history is not None:
+            pmh = self.perc_mat_history
+        return pmh, mad
 
 
 def default_seedlength(aenc: Encseq, benc: Encseq, nchars: int = 4) -> int:
@@ -183,14 +200,31 @@ def _score2distance(score: int, alignedlen: int) -> int:
 
 def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
                      dbstart_rel: int, querystart_rel: int, seedlength: int,
-                     belowscore: int, scores: XdropScores):
+                     belowscore: int, scores: XdropScores,
+                     greedy_ctx: tuple | None = None):
     """gt_extend_sesp for one seed; useq/vseq are the full (transformed)
-    sequences of the pair. Returns (u_left, v_left, left_score, u_right,
-    v_right, right_score) or None if the seed instances overlap."""
+    sequences of the pair. Returns (u_left, v_left, left_score_or_dist,
+    u_right, v_right, right_score_or_dist, mismatches) or None if the
+    seed instances overlap. With greedy_ctx set, the per-side values are
+    (ext_u, ext_v, distance) from the polished points instead of xdrop
+    scores."""
     ulen_total, vlen_total = len(useq), len(vseq)
     if same_seq and dbstart_rel + seedlength - 1 >= querystart_rel:
         return None
-    u_left = v_left = left_score = 0
+
+    def extend(u, v):
+        if greedy_ctx is None:
+            best = xdrop_extend(u, v, belowscore, scores)
+            return best.ivalue, best.jvalue, best.score, 0
+        pol_info, pmh, mad, history = greedy_ctx
+        _, best = greedy_extend(
+            u, v, max_history=history, perc_mat_history=pmh,
+            maxalignedlendifference=mad, seedlength=seedlength,
+            pol_info=pol_info)
+        return (best.row, best.alignedlen - best.row, best.distance,
+                best.max_mismatches)
+
+    u_left = v_left = left_sd = left_mm = 0
     if dbstart_rel > 0 and querystart_rel > 0:
         r_voffset = dbstart_rel + seedlength if same_seq else 0
         ulen = dbstart_rel
@@ -198,18 +232,17 @@ def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
         if ulen > 0 and vlen > 0:
             u = useq[0:dbstart_rel][::-1]
             v = vseq[r_voffset:querystart_rel][::-1]
-            best = xdrop_extend(u, v, belowscore, scores)
-            u_left, v_left, left_score = best.ivalue, best.jvalue, best.score
+            u_left, v_left, left_sd, left_mm = extend(u, v)
     r_urightbound = min(ulen_total, querystart_rel - v_left) if same_seq \
         else ulen_total
-    u_right = v_right = right_score = 0
+    u_right = v_right = right_sd = right_mm = 0
     if dbstart_rel + seedlength < r_urightbound and \
             querystart_rel + seedlength < vlen_total:
         u = useq[dbstart_rel + seedlength:r_urightbound]
         v = vseq[querystart_rel + seedlength:]
-        best = xdrop_extend(u, v, belowscore, scores)
-        u_right, v_right, right_score = best.ivalue, best.jvalue, best.score
-    return u_left, v_left, left_score, u_right, v_right, right_score
+        u_right, v_right, right_sd, right_mm = extend(u, v)
+    return (u_left, v_left, left_sd, u_right, v_right, right_sd,
+            left_mm + right_mm)
 
 
 def seed_extend(aenc: Encseq, benc: Encseq | None = None,
@@ -296,6 +329,12 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
         useq = _seq_codes(aenc, aseq, False)
         vseq = _seq_codes(benc, bseq, direction == "P")
         same_seq = selfcomp and aseq == bseq
+        greedy_ctx = None
+        if params.extension == "greedy":
+            pmh, mad = params.greedy_params()
+            pol = PolishingInfo.new(float(params.errorpercentage),
+                                    params.history)
+            greedy_ctx = (pol, pmh, mad, params.history)
         haspreviousmatch = False
         prev_b_end = -1
         for i in np.nonzero(sel)[0]:
@@ -307,15 +346,19 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             querystart_rel = bp + 1 - k
             ext = _extend_one_seed(useq, vseq, same_seq, dbstart_rel,
                                    querystart_rel, k, belowscore,
-                                   params.scores)
+                                   params.scores, greedy_ctx)
             if ext is None:
                 continue
-            u_l, v_l, sc_l, u_r, v_r, sc_r = ext
+            u_l, v_l, sd_l, u_r, v_r, sd_r, _mm = ext
             dblen = k + u_l + u_r
             querylen = k + v_l + v_r
             alignedlen = dblen + querylen
-            total_score = k * params.scores.mat + sc_l + sc_r
-            dist = _score2distance(total_score, alignedlen)
+            if params.extension == "greedy":
+                dist = sd_l + sd_r
+                total_score = alignedlen - 3 * dist
+            else:
+                total_score = k * params.scores.mat + sd_l + sd_r
+                dist = _score2distance(total_score, alignedlen)
             a_start = dbstart_rel - u_l
             b_start = querystart_rel - v_l
             haspreviousmatch = True

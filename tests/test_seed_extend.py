@@ -110,3 +110,54 @@ class TestSeedExtendGolden:
         m = big[0]
         assert m.dbseqnum == 0 and m.queryseqnum == 1
         assert m.identity > 99.0
+
+
+class TestGreedy:
+    def test_exact_edit_distance_without_trim(self):
+        """With trimming disabled, greedy fronts compute plain edit
+        distance when the alignment reaches the sequence ends."""
+        from genometools_tpu.ops.greedy import (edit_distance_oracle,
+                                                greedy_extend)
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            u = rng.integers(0, 4, 20).astype(np.uint8)
+            v = u.copy()
+            # a few edits
+            for _ in range(3):
+                i = rng.integers(0, len(v))
+                v[i] = rng.integers(0, 4)
+            d, best = greedy_extend(u, v, trim=False,
+                                    perc_mat_history=0,
+                                    maxalignedlendifference=10**9)
+            assert d == edit_distance_oracle(u, v)
+
+    def test_seedextend3_greedy_golden(self, testdata):
+        e = Encseq.from_files([str(testdata / "small_poly.fas")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=10, extension="greedy")
+        got = [m.line() for m in seed_extend(e, None, p)]
+        want = [l.strip() for l in
+                open(str(testdata / "seedextend3.out")) if l.strip()]
+        assert got == want
+
+    def test_repfind_greedy_golden(self, testdata):
+        from genometools_tpu.match.repfind import repfind_extend
+        e = Encseq.from_files([str(testdata / "Duplicate.fna")])
+        ms = repfind_extend(e, 8, "greedy", 90, 30, 55)
+        got = sorted(m.line() for m in ms)
+        want = sorted(
+            l.strip() for l in open(str(
+                testdata / "repfind-result" /
+                "Duplicate.fna-greedy-8-8-90-30-55"))
+            if l.strip() and not l.startswith("#"))
+        assert got == want
+
+    def test_polishing_table(self):
+        from genometools_tpu.ops.greedy import PolishingInfo
+        pol = PolishingInfo.new(20.0, 64)
+        assert pol.cut_depth == 15
+        assert pol.match_score == 400
+        assert pol.difference_score == 600
+        # all-match history is polished; all-mismatch is not
+        assert pol.history_is_polished((1 << 30) - 1)
+        assert not pol.history_is_polished(0)
