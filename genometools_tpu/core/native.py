@@ -68,8 +68,76 @@ def get_lib():
     lib.gt_maxpairs.argtypes = [
         i32p, i32p, u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8,
         pp, pp, pp]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gt_xdrop_batch.argtypes = [
+        u8p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.gt_greedy_batch.argtypes = [
+        u8p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, i64p]
     _lib = lib
     return _lib
+
+
+def _pack_seqs(seqs):
+    """Concatenate uint8 sequences; return (blob, offsets[2n] = (off, len))."""
+    offs = np.zeros(2 * len(seqs), np.int64)
+    pos = 0
+    parts = []
+    for i, s in enumerate(seqs):
+        s = np.ascontiguousarray(s, np.uint8)
+        offs[2 * i] = pos
+        offs[2 * i + 1] = s.size
+        parts.append(s)
+        pos += s.size
+    blob = np.concatenate(parts) if parts else np.zeros(1, np.uint8)
+    return blob, offs
+
+
+def xdrop_batch_native(us, vs, belowscore: int):
+    """Batched xdrop over pairs (us[i], vs[i]). Returns int64[n,3]
+    (ivalue, jvalue, score) or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ublob, uoff = _pack_seqs(us)
+    vblob, voff = _pack_seqs(vs)
+    n = len(us)
+    out = np.zeros(3 * n, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.gt_xdrop_batch(
+        ublob.ctypes.data_as(u8), uoff.ctypes.data_as(i64p),
+        vblob.ctypes.data_as(u8), voff.ctypes.data_as(i64p),
+        n, belowscore, out.ctypes.data_as(i64p))
+    return out.reshape(n, 3)
+
+
+def greedy_batch_native(us, vs, *, max_history, perc_mat_history,
+                        maxalignedlendifference, seedlengths, pol,
+                        trim=True):
+    """Batched greedy front-prune. Returns int64[n,5]
+    (alignedlen, row, distance, max_mismatches, died) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ublob, uoff = _pack_seqs(us)
+    vblob, voff = _pack_seqs(vs)
+    n = len(us)
+    sl = np.ascontiguousarray(seedlengths, np.int64)
+    out = np.zeros(5 * n, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    dfm = np.ascontiguousarray(pol.diff_from_max, np.int32)
+    ssum = np.ascontiguousarray(pol.score_sum, np.int32)
+    lib.gt_greedy_batch(
+        ublob.ctypes.data_as(u8), uoff.ctypes.data_as(i64p),
+        vblob.ctypes.data_as(u8), voff.ctypes.data_as(i64p),
+        n, max_history, perc_mat_history, maxalignedlendifference,
+        sl.ctypes.data_as(i64p), _i32ptr(dfm), _i32ptr(ssum),
+        pol.cut_depth, pol.mask, 1 if trim else 0,
+        out.ctypes.data_as(i64p))
+    return out.reshape(n, 5)
 
 
 def _as_i32(a: np.ndarray) -> np.ndarray:

@@ -212,11 +212,24 @@ def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
     if same_seq and dbstart_rel + seedlength - 1 >= querystart_rel:
         return None
 
+    from ..core.native import greedy_batch_native, xdrop_batch_native
+
     def extend(u, v):
         if greedy_ctx is None:
+            if scores == XdropScores():
+                res = xdrop_batch_native([u], [v], belowscore)
+                if res is not None:
+                    return int(res[0, 0]), int(res[0, 1]), int(res[0, 2]), 0
             best = xdrop_extend(u, v, belowscore, scores)
             return best.ivalue, best.jvalue, best.score, 0
         pol_info, pmh, mad, history = greedy_ctx
+        res = greedy_batch_native(
+            [u], [v], max_history=history, perc_mat_history=pmh,
+            maxalignedlendifference=mad, seedlengths=[seedlength],
+            pol=pol_info)
+        if res is not None:
+            al, row, dist, mm, died = res[0].tolist()
+            return int(row), int(al - row), int(dist), int(mm)
         _, best = greedy_extend(
             u, v, max_history=history, perc_mat_history=pmh,
             maxalignedlendifference=mad, seedlength=seedlength,

@@ -209,3 +209,402 @@ int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Xdrop extension (Zhang et al. arbitrary-score fronts) — native mirror of
+// the Python reference in ops/xdrop.py (semantics equivalent of
+// ref: src/match/xdrop.c:224). Batched over many (u, v) pairs.
+//
+// Sequences are uint8 codes; specials (>= 4 in DNA space; anything >= 250)
+// never match. Scores fixed to the seed-extend defaults mat=2 mis=-1
+// ins=-2 del=-2 => unit distances, gcd 3 (general scores stay in Python).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct XBest {
+  int64_t i, j, score;
+};
+
+static inline int64_t xlcp(const uint8_t *u, int64_t ulen, const uint8_t *v,
+                           int64_t vlen, int64_t i, int64_t j) {
+  int64_t l = 0;
+  while (i + l < ulen && j + l < vlen && u[i + l] == v[j + l] &&
+         u[i + l] < 4)
+    l++;
+  return l;
+}
+
+static XBest xdrop_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
+                       int64_t vlen, int64_t belowscore) {
+  XBest best{0, 0, 0};
+  if (ulen == 0 || vlen == 0) return best;
+  const int64_t gcd = 3, half_mat = 1;
+  const int64_t end_k = ulen - vlen;
+  const int64_t integermax = (ulen > vlen ? ulen : vlen);
+  const int64_t integermin = -integermax;
+  const int64_t dback = (belowscore + half_mat) / gcd + 1;
+  const int allowed_mininf = 0;  // max(dis)-1 = 0 for unit distances
+
+  auto EVAL = [&](int64_t K, int64_t D) { return K * half_mat - D * gcd; };
+
+  // fronts stored per (d, k) in a flat vector indexed d*d+d+k
+  std::vector<int64_t> fronts;
+  auto fget = [&](int64_t d, int64_t k) -> int64_t {
+    size_t idx = (size_t)(d * d + d + k);
+    return idx < fronts.size() ? fronts[idx] : integermin;
+  };
+  auto fset = [&](int64_t d, int64_t k, int64_t val) {
+    size_t idx = (size_t)(d * d + d + k);
+    if (idx >= fronts.size()) fronts.resize(idx + 64, integermin);
+    fronts[idx] = val;
+  };
+  std::vector<int64_t> big_t;
+
+  int64_t idx0 = xlcp(u, ulen, v, vlen, 0, 0);
+  int64_t lbound, ubound;
+  if (idx0 >= ulen || idx0 >= vlen) {
+    lbound = 1;
+    ubound = -1;
+  } else {
+    lbound = 0;
+    ubound = 0;
+  }
+  fset(0, 0, idx0);
+  best = {idx0, idx0, EVAL(2 * idx0, 0)};
+  int64_t bigt_tmp = best.score;
+  big_t.push_back(bigt_tmp);
+
+  int64_t currd = 0;
+  int cur_mininf = 0;
+  bool always_mininf = true;
+  while (lbound <= ubound) {
+    currd++;
+    for (int64_t k = lbound - 1; k <= ubound + 1; k++) {
+      int64_t i = integermin;
+      int direction = 0;
+      int64_t dd = currd - 1;  // all unit distances
+      if (lbound < k && dd >= 0 && -dd <= k - 1 && k - 1 <= dd) {
+        i = fget(dd, k - 1) + 1;
+        direction = 1;
+      }
+      if (lbound <= k && k <= ubound && dd >= 0 && -dd <= k && k <= dd) {
+        int64_t row = fget(dd, k) + 1;
+        if (direction == 0 || row > i) {
+          i = row;
+          direction = 2;
+        }
+      }
+      if (k < ubound && dd >= 0 && -dd <= k + 1 && k + 1 <= dd) {
+        int64_t row = fget(dd, k + 1);
+        if (direction == 0 || row > i) {
+          i = row;
+          direction = 3;
+        }
+      }
+      if (i < 0) {
+        if (direction == 0) always_mininf = false;
+        fset(currd, k, integermin);
+        continue;
+      }
+      int64_t j = i - k;
+      int64_t previousd = currd - dback;
+      if (previousd > 0 && previousd < (int64_t)big_t.size() &&
+          EVAL(i + j, currd) < big_t[previousd] - belowscore) {
+        fset(currd, k, integermin);
+        continue;
+      }
+      int64_t mn = ulen < vlen + k ? ulen : vlen + k;
+      if (k <= -currd || k >= currd ||
+          (fget(currd - 1, k) < i && i <= mn)) {
+        if (ulen > i && vlen > j) {
+          int64_t l = xlcp(u, ulen, v, vlen, i, j);
+          i += l;
+          j += l;
+        }
+        always_mininf = false;
+        fset(currd, k, i);
+        if (EVAL(i + j, currd) > bigt_tmp) {
+          bigt_tmp = EVAL(i + j, currd);
+          best = {i, j, bigt_tmp};
+        }
+      } else {
+        always_mininf = false;
+        fset(currd, k, fget(currd - 1, k));
+      }
+    }
+    if (always_mininf) {
+      cur_mininf++;
+      if (cur_mininf > allowed_mininf) break;
+    } else {
+      cur_mininf = 0;
+      always_mininf = true;
+    }
+    big_t.push_back(bigt_tmp);
+    if (-currd <= end_k && end_k <= currd && fget(currd, end_k) == ulen)
+      break;
+    for (int64_t k = lbound - 1; k <= ubound + 1; k++) {
+      if (fget(currd, k) > integermin) {
+        lbound = k;
+        break;
+      }
+    }
+    for (int64_t k = ubound + 1; k >= lbound - 1; k--) {
+      if (fget(currd, k) > integermin) {
+        ubound = k;
+        break;
+      }
+    }
+    for (int64_t k = 0; k >= lbound; k--) {
+      if (fget(currd, k) == vlen + k) {
+        lbound = k;
+        break;
+      }
+    }
+    for (int64_t k = 0; k <= ubound; k++) {
+      if (fget(currd, k) == ulen) {
+        ubound = k;
+        break;
+      }
+    }
+  }
+  return best;
+}
+
+static inline int popcount64(uint64_t v) {
+#if defined(__GNUC__)
+  return __builtin_popcountll(v);
+#else
+  int c = 0;
+  while (v) { c += v & 1; v >>= 1; }
+  return c;
+#endif
+}
+
+struct GBest {
+  int64_t alignedlen, row, distance, max_mismatches, died;
+};
+
+// Greedy front-prune extension — native mirror of ops/greedy.py
+// (ref: src/match/ft-front-prune.c:633).
+static GBest greedy_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
+                        int64_t vlen, int64_t max_history,
+                        int64_t perc_mat_history,
+                        int64_t maxalignedlendifference, int64_t seedlength,
+                        const int32_t *pol_diff_from_max,
+                        const int32_t *pol_score_sum, int64_t pol_cut_depth,
+                        int64_t pol_mask, int trim_enabled) {
+  struct FV {
+    int64_t row;
+    uint64_t hist;
+    int64_t hsize;
+    int64_t mm;
+    bool valid;
+  };
+  const int64_t sumlen = ulen + vlen;
+  const int64_t pol_size = 2 * pol_cut_depth;
+  const int64_t minmatch128 =
+      (perc_mat_history * 128) / 100 +
+      (((perc_mat_history * 128) % 100 == 0) ? 0 : 1);
+  const uint64_t hist_mask =
+      max_history == 64 ? ~((uint64_t)0) : ((((uint64_t)1) << max_history) - 1);
+  GBest best{0, 0, 0, 0, 0};
+
+  auto lcp = [&](int64_t row, int64_t vpos) {
+    int64_t l = 0;
+    while (row + l < ulen && vpos + l < vlen && u[row + l] == v[vpos + l] &&
+           u[row + l] < 4)
+      l++;
+    return l;
+  };
+  auto add_matches = [&](FV &fv, int64_t diag) {
+    int64_t c = lcp(fv.row, fv.row + diag);
+    if (c > 0) {
+      if (c >= max_history) {
+        fv.hist = ~((uint64_t)0);  // c >= 64 would be UB to shift
+      } else {
+        fv.hist = (fv.hist << c) | ((((uint64_t)1) << c) - 1);
+      }
+      if (fv.hsize < max_history) {
+        fv.hsize = fv.hsize + c < max_history ? fv.hsize + c : max_history;
+      }
+      fv.row += c;
+    }
+  };
+  auto shift_diff = [&](FV &fv) {
+    if (fv.hsize < max_history) fv.hsize++;
+    fv.hist <<= 1;
+  };
+  auto polished = [&](uint64_t h) {
+    uint64_t lo = h & (uint64_t)pol_mask;
+    uint64_t hi = (h >> pol_cut_depth) & (uint64_t)pol_mask;
+    return pol_diff_from_max[lo] >= 0 &&
+           pol_score_sum[lo] + pol_diff_from_max[hi] >= 0;
+  };
+
+  // diag-indexed window [lo, hi]; store in vector with offset
+  std::vector<FV> cur, nxt;
+  int64_t lo = 0, hi = 0, base = 0;  // cur[k - base]
+  cur.assign(1, FV{0, 0, 0, 0, true});
+  if (seedlength >= 64)
+    cur[0].hist = ~((uint64_t)0);
+  else
+    cur[0].hist = ((((uint64_t)1) << seedlength) - 1);
+  cur[0].hsize = seedlength < max_history ? seedlength : max_history;
+  add_matches(cur[0], 0);
+  int64_t distance = 0;
+
+  for (;;) {
+    if (distance > 0) {
+      nxt.assign((size_t)(hi - lo + 3), FV{0, 0, 0, 0, false});
+      int64_t nbase = lo - 1;
+      for (int64_t k = lo - 1; k <= hi + 1; k++) {
+        FV cand{0, 0, 0, 0, false};
+        // INSERTION from prev k-1 (row unchanged)
+        if (k - 1 >= lo && k - 1 <= hi && cur[k - 1 - base].valid) {
+          cand = cur[k - 1 - base];
+          cand.valid = true;
+        }
+        // MISMATCH from prev k (row+1)
+        if (k >= lo && k <= hi && cur[k - base].valid) {
+          const FV &c = cur[k - base];
+          if (!cand.valid || cand.row < c.row + 1) {
+            cand = c;
+            cand.row++;
+            cand.mm++;
+            cand.valid = true;
+          } else if (cand.row == c.row + 1) {
+            if (cand.mm < c.mm + 1) cand.mm = c.mm + 1;
+          }
+        }
+        // DELETION from prev k+1 (row+1)
+        if (k + 1 >= lo && k + 1 <= hi && cur[k + 1 - base].valid) {
+          const FV &c = cur[k + 1 - base];
+          if (!cand.valid || cand.row < c.row + 1) {
+            cand = c;
+            cand.row++;
+            cand.valid = true;
+          }
+        }
+        if (!cand.valid) continue;
+        shift_diff(cand);
+        add_matches(cand, k);
+        nxt[k - nbase] = cand;
+      }
+      cur.swap(nxt);
+      lo -= 1;
+      hi += 1;
+      base = lo;
+    }
+
+    int64_t maxalignedlen = -1;
+    for (int64_t k = lo; k <= hi; k++) {
+      if (!cur[k - base].valid) continue;
+      int64_t al = 2 * cur[k - base].row + k;
+      if (al > maxalignedlen) maxalignedlen = al;
+    }
+
+    if (trim_enabled) {
+      int64_t minlen = maxalignedlen >= maxalignedlendifference
+                           ? maxalignedlen - maxalignedlendifference
+                           : 0;
+      auto keep = [&](int64_t k) {
+        const FV &f = cur[k - base];
+        if (!f.valid) return false;
+        if (f.row > ulen || f.row + k > vlen) return false;
+        if (2 * f.row + k < minlen) return false;
+        int64_t need = (f.hsize * minmatch128) >> 7;
+        if (popcount64(f.hist & hist_mask) < need) return false;
+        return true;
+      };
+      while (lo <= hi && !keep(lo)) lo++;
+      while (hi >= lo && !keep(hi)) hi--;
+      if (lo > hi) {
+        best.died = 1;  // best polished point keeps its own distance
+        return best;
+      }
+    } else {
+      for (int64_t k = lo; k <= hi; k++) {
+        FV &f = cur[k - base];
+        if (f.valid && (f.row > ulen || f.row + k > vlen)) f.valid = false;
+      }
+      while (lo <= hi && !cur[lo - base].valid) lo++;
+      while (hi >= lo && !cur[hi - base].valid) hi--;
+      if (lo > hi) {
+        best.died = 1;
+        return best;
+      }
+    }
+
+    for (int64_t k = lo; k <= hi; k++) {
+      const FV &f = cur[k - base];
+      if (!f.valid) continue;
+      int64_t al = 2 * f.row + k;
+      if (al > best.alignedlen) {
+        uint64_t filled = f.hist;
+        if (f.hsize < pol_size) {
+          int64_t shift = pol_size - f.hsize;
+          filled |= ((((uint64_t)1) << shift) - 1) << f.hsize;
+        }
+        if (polished(filled)) {
+          best.alignedlen = al;
+          best.row = f.row;
+          best.distance = distance;
+          best.max_mismatches = f.mm;
+        }
+      }
+    }
+
+    int64_t end_k = vlen - ulen;
+    int64_t abs_end = end_k < 0 ? -end_k : end_k;
+    if (abs_end <= distance && lo <= end_k && end_k <= hi &&
+        cur[end_k - base].valid && cur[end_k - base].row == ulen) {
+      return best;
+    }
+    if (distance >= sumlen) return best;
+    distance++;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched xdrop: n pairs; useqs/vseqs concatenated with offsets.
+// out: int64[n*3] = (ivalue, jvalue, score) per pair.
+void gt_xdrop_batch(const uint8_t *useq, const int64_t *uoff,
+                    const uint8_t *vseq, const int64_t *voff, int64_t n,
+                    int64_t belowscore, int64_t *out) {
+  for (int64_t p = 0; p < n; p++) {
+    XBest b = xdrop_one(useq + uoff[2 * p], uoff[2 * p + 1],
+                        vseq + voff[2 * p], voff[2 * p + 1], belowscore);
+    out[3 * p] = b.i;
+    out[3 * p + 1] = b.j;
+    out[3 * p + 2] = b.score;
+  }
+}
+
+// Batched greedy: out int64[n*5] = (alignedlen,row,distance,maxmm,died).
+void gt_greedy_batch(const uint8_t *useq, const int64_t *uoff,
+                     const uint8_t *vseq, const int64_t *voff, int64_t n,
+                     int64_t max_history, int64_t perc_mat_history,
+                     int64_t maxalignedlendifference,
+                     const int64_t *seedlengths,
+                     const int32_t *pol_diff_from_max,
+                     const int32_t *pol_score_sum, int64_t pol_cut_depth,
+                     int64_t pol_mask, int trim_enabled, int64_t *out) {
+  for (int64_t p = 0; p < n; p++) {
+    GBest b = greedy_one(useq + uoff[2 * p], uoff[2 * p + 1],
+                         vseq + voff[2 * p], voff[2 * p + 1], max_history,
+                         perc_mat_history, maxalignedlendifference,
+                         seedlengths[p], pol_diff_from_max, pol_score_sum,
+                         pol_cut_depth, pol_mask, trim_enabled);
+    out[5 * p] = b.alignedlen;
+    out[5 * p + 1] = b.row;
+    out[5 * p + 2] = b.distance;
+    out[5 * p + 3] = b.max_mismatches;
+    out[5 * p + 4] = b.died;
+  }
+}
+
+}  // extern "C"
