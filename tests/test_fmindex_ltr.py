@@ -1,0 +1,117 @@
+"""FM-index + LTRharvest tests."""
+
+import numpy as np
+import pytest
+
+from genometools_tpu.core.alphabet import dna_alphabet
+from genometools_tpu.core.encseq import Encseq
+from genometools_tpu.index.esa import build_esa
+from genometools_tpu.index.fmindex import FMIndex, build_fmindex
+from genometools_tpu.ltr.ltrharvest import (LTRHarvestParams, LTRPrediction,
+                                            ltrharvest)
+
+
+def _codes(s):
+    return dna_alphabet().encode(s.encode())
+
+
+class TestFMIndex:
+    def _random_enc(self, n=800, seed=0):
+        rng = np.random.default_rng(seed)
+        s = "".join(rng.choice(list("acgt"), n))
+        return Encseq.from_string(s), s
+
+    def test_count_matches_naive(self):
+        enc, s = self._random_enc()
+        fm = build_fmindex(enc)
+        rng = np.random.default_rng(1)
+        for _ in range(30):
+            plen = int(rng.integers(1, 12))
+            start = int(rng.integers(0, len(s) - plen))
+            pat = s[start:start + plen]
+            naive = sum(1 for i in range(len(s) - plen + 1)
+                        if s[i:i + plen] == pat)
+            assert fm.count(_codes(pat)) == naive
+
+    def test_locate_matches_naive(self):
+        enc, s = self._random_enc(400, 2)
+        esa = build_esa(enc, with_lcp=False)
+        fm = FMIndex.from_esa(esa)
+        rng = np.random.default_rng(3)
+        for _ in range(15):
+            plen = int(rng.integers(2, 10))
+            start = int(rng.integers(0, len(s) - plen))
+            pat = s[start:start + plen]
+            naive = [i for i in range(len(s) - plen + 1)
+                     if s[i:i + plen] == pat]
+            got = fm.locate(_codes(pat), esa_sa=esa.suftab).tolist()
+            assert got == naive
+
+    def test_multiseq_with_separators(self):
+        enc = Encseq.from_string("acgtacgt|tacgta")
+        esa = build_esa(enc, with_lcp=False)
+        fm = FMIndex.from_esa(esa)
+        assert fm.count(_codes("acgt")) == 3
+        assert fm.count(_codes("acgta")) == 2  # pos 4 hits separator
+
+    def test_save_load(self, tmp_path):
+        enc, s = self._random_enc(200, 4)
+        fm = build_fmindex(enc)
+        fm.save(str(tmp_path / "idx"))
+        fm2 = FMIndex.load(str(tmp_path / "idx"))
+        assert fm2.count(_codes(s[10:20])) == fm.count(_codes(s[10:20]))
+
+
+class TestLTRharvest:
+    def _make_genome(self, seed=0):
+        """Plant an LTR element: LTR .. internal .. LTR with TSD."""
+        rng = np.random.default_rng(seed)
+
+        def rand(n):
+            return "".join(rng.choice(list("acgt"), n))
+
+        ltr = rand(250)
+        internal = rand(1200)
+        tsd = "gatca"
+        genome = rand(500) + tsd + ltr + internal + ltr + tsd + rand(500)
+        return genome, 500 + len(tsd), ltr, internal, tsd
+
+    def test_finds_planted_element(self):
+        genome, ltr_start, ltr, internal, tsd = self._make_genome()
+        enc = Encseq.from_string(genome)
+        params = LTRHarvestParams(seedlength=30, minlenltr=100,
+                                  maxlenltr=1000, mindistltr=1000,
+                                  maxdistltr=15000, with_tsd=True)
+        preds = ltrharvest(enc, params)
+        assert len(preds) == 1
+        p = preds[0]
+        assert abs(p.start1 - ltr_start) <= 3
+        assert abs((p.end1 - p.start1 + 1) - len(ltr)) <= 6
+        assert p.similarity >= 99.0
+        assert p.tsd_length >= 4
+
+    def test_no_element_in_random(self):
+        rng = np.random.default_rng(9)
+        genome = "".join(rng.choice(list("acgt"), 4000))
+        enc = Encseq.from_string(genome)
+        assert ltrharvest(enc) == []
+
+    def test_distance_filter(self):
+        # two close copies (distance < mindistltr) must not be predicted
+        rng = np.random.default_rng(10)
+        ltr = "".join(rng.choice(list("acgt"), 200))
+        genome = ltr + "".join(rng.choice(list("acgt"), 300)) + ltr
+        enc = Encseq.from_string(genome)
+        assert ltrharvest(enc) == []
+
+    def test_gff3_output(self):
+        genome, *_ = self._make_genome(1)
+        enc = Encseq.from_string(genome)
+        preds = ltrharvest(enc, LTRHarvestParams(with_tsd=True))
+        from genometools_tpu.ltr.ltrharvest import gff3_nodes
+        from genometools_tpu.anno.gff3 import gff3_to_string
+        nodes = gff3_nodes(preds, enc)
+        text = gff3_to_string(nodes)
+        assert "repeat_region" in text
+        assert "LTR_retrotransposon" in text
+        assert text.count("long_terminal_repeat") == 2 * len(preds)
