@@ -161,3 +161,37 @@ class TestGreedy:
         # all-match history is polished; all-mismatch is not
         assert pol.history_is_polished((1 << 30) - 1)
         assert not pol.history_is_polished(0)
+
+
+class TestXdropBatch:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_scalar(self, seed):
+        from genometools_tpu.ops.xdrop_batch import xdrop_extend_batch
+        rng = np.random.default_rng(seed)
+        us, vs, wants = [], [], []
+        for _ in range(60):
+            lu = int(rng.integers(1, 90))
+            lv = int(rng.integers(1, 90))
+            u = rng.integers(0, 5, lu).astype(np.uint8)
+            u[u == 4] = 254  # sprinkle wildcards
+            if rng.random() < 0.7 and lv <= lu:
+                v = u[:lv].copy()
+                idx = rng.random(lv) < 0.1
+                v[idx] = rng.integers(0, 4, idx.sum())
+            else:
+                v = rng.integers(0, 4, lv).astype(np.uint8)
+            us.append(u)
+            vs.append(v)
+            b = xdrop_extend(u, v, 6)
+            wants.append((b.ivalue, b.jvalue, b.score))
+        i, j, s = xdrop_extend_batch(us, vs, 6)
+        got = list(zip(i.tolist(), j.tolist(), s.tolist()))
+        assert got == wants
+
+    def test_identical_and_disjoint(self):
+        from genometools_tpu.ops.xdrop_batch import xdrop_extend_batch
+        u = np.tile(np.array([0, 1, 2, 3], np.uint8), 20)
+        w = np.full(80, 3, np.uint8)
+        i, j, s = xdrop_extend_batch([u, u], [u.copy(), w], 6)
+        assert (i[0], j[0]) == (80, 80)
+        assert s[1] <= 4
