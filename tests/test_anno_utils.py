@@ -1,0 +1,160 @@
+"""Tests: GTF/BED parsers, feature index/extractfeat, structures, HMM."""
+
+import numpy as np
+import pytest
+
+from genometools_tpu.anno.feature_index import FeatureIndex, extract_features
+from genometools_tpu.anno.genome_node import FeatureNode
+from genometools_tpu.anno.gff3 import gff3_to_string, parse_gff3
+from genometools_tpu.anno.parsers import gff3_to_gtf, parse_bed, parse_gtf
+from genometools_tpu.utils.hmm import HMM, coin_hmm_loaded, dice_hmm_loaded
+from genometools_tpu.utils.structures import (BloomFilter,
+                                              CompressedBitsequence,
+                                              DiscDistri, IntervalTree, RMQ,
+                                              UnionFind, WaveletTree)
+
+GTF = """chr1\ttest\texon\t100\t200\t.\t+\t.\tgene_id "g1"; transcript_id "t1";
+chr1\ttest\texon\t300\t400\t.\t+\t.\tgene_id "g1"; transcript_id "t1";
+chr1\ttest\tCDS\t150\t200\t.\t+\t0\tgene_id "g1"; transcript_id "t1";
+"""
+
+BED = """chr1\t99\t400\tfeat1\t900\t+\t149\t400\t0\t2\t101,101\t0,200
+"""
+
+
+class TestParsers:
+    def test_gtf(self):
+        genes = parse_gtf(GTF)
+        assert len(genes) == 1
+        g = genes[0]
+        assert g.type == "gene" and g.range.start == 100 and \
+            g.range.end == 400
+        t = g.children[0]
+        assert t.type == "mRNA"
+        assert sorted(c.type for c in t.children) == ["CDS", "exon", "exon"]
+
+    def test_gtf_roundtrip(self):
+        genes = parse_gtf(GTF)
+        text = gff3_to_gtf(genes)
+        genes2 = parse_gtf(text)
+        assert len(genes2) == 1
+        assert len(genes2[0].children[0].children) == 3
+
+    def test_bed(self):
+        feats = parse_bed(BED)
+        assert len(feats) == 1
+        f = feats[0]
+        assert f.range.start == 100 and f.range.end == 400
+        exons = [c for c in f.children if c.type == "exon"]
+        assert len(exons) == 2
+        assert exons[0].range.start == 100
+        cds = [c for c in f.children if c.type == "CDS"]
+        assert cds[0].range.start == 150
+
+
+class TestFeatureIndex:
+    def _nodes(self):
+        return parse_gff3(
+            "##gff-version 3\n"
+            "c\t.\tgene\t100\t500\t.\t+\t.\tID=g1\n"
+            "c\t.\tgene\t800\t900\t.\t-\t.\tID=g2\n"
+            "d\t.\tgene\t1\t50\t.\t+\t.\tID=g3\n")
+
+    def test_range_query(self):
+        fi = FeatureIndex()
+        fi.add_gff3(self._nodes())
+        assert fi.seqids() == ["c", "d"]
+        hits = fi.features_for_range("c", 450, 850)
+        assert len(hits) == 2
+        assert fi.features_for_range("c", 600, 700) == []
+        assert fi.range_for_seqid("c").start == 100
+
+    def test_extract_features(self):
+        nodes = parse_gff3(
+            "##gff-version 3\n"
+            "c\t.\tgene\t1\t20\t.\t+\t.\tID=g1\n"
+            "c\t.\tmRNA\t1\t20\t.\t+\t.\tID=m1;Parent=g1\n"
+            "c\t.\texon\t1\t4\t.\t+\t.\tParent=m1\n"
+            "c\t.\texon\t9\t12\t.\t+\t.\tParent=m1\n")
+        seqs = {"c": "acgtacgtacgtacgtacgt"}
+        out = extract_features(nodes, seqs, "exon", join=True)
+        assert out.num_sequences == 1
+        assert out.seqs[0].tobytes().decode() == "acgtacgt"
+
+
+class TestStructures:
+    def test_wavelet_tree(self):
+        rng = np.random.default_rng(0)
+        seq = rng.integers(0, 6, 300)
+        wt = WaveletTree(seq, 6)
+        for c in range(6):
+            for pos in (0, 7, 150, 300):
+                assert wt.rank(c, pos) == int((seq[:pos] == c).sum())
+        occ = np.flatnonzero(seq == 3)
+        if occ.size:
+            assert wt.select(3, 1) == occ[0]
+
+    def test_rmq(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 1000, 200)
+        r = RMQ(a)
+        for _ in range(50):
+            lo = int(rng.integers(0, 200))
+            hi = int(rng.integers(lo, 200))
+            v, idx = r.query(lo, hi)
+            assert v == a[lo:hi + 1].min()
+            assert a[idx] == v and lo <= idx <= hi
+
+    def test_compressed_bits(self):
+        rng = np.random.default_rng(2)
+        bits = rng.random(500) < 0.3
+        cb = CompressedBitsequence(bits)
+        for pos in (0, 63, 64, 100, 500):
+            assert cb.rank1(pos) == int(bits[:pos].sum())
+        k = int(bits.sum())
+        if k:
+            assert bits[cb.select1(k)]
+
+    def test_union_find(self):
+        uf = UnionFind(10)
+        uf.union(1, 2)
+        uf.union(2, 3)
+        assert uf.find(1) == uf.find(3)
+        assert uf.find(4) != uf.find(1)
+
+    def test_interval_tree(self):
+        it = IntervalTree([1, 10, 20], [5, 15, 30])
+        assert it.find_overlapping(12, 22) == [1, 2]
+        assert it.find_overlapping(6, 9) == []
+
+    def test_bloom(self):
+        bf = BloomFilter()
+        bf.add("acgt")
+        assert "acgt" in bf
+        assert "tttt" not in bf
+
+    def test_disc_distri(self):
+        d = DiscDistri()
+        d.add(5, 3)
+        d.add(1)
+        lines = d.show()
+        assert lines[0].startswith("1: 1")
+
+
+class TestHMM:
+    def test_valid_models(self):
+        assert coin_hmm_loaded().is_valid()
+        assert dice_hmm_loaded().is_valid()
+
+    def test_forward_backward_agree(self):
+        hmm = dice_hmm_loaded()
+        rng = np.random.default_rng(3)
+        obs = rng.integers(0, 6, 50)
+        assert abs(hmm.forward(obs) - hmm.backward(obs)) < 1e-8
+
+    def test_viterbi_finds_loaded_region(self):
+        hmm = dice_hmm_loaded()
+        obs = np.array([0, 1, 2, 3, 4, 5] * 5 + [5] * 30 + [2, 3, 1] * 5)
+        path = hmm.viterbi(obs)
+        assert path[35] == 1  # inside the loaded run
+        assert path[5] == 0
