@@ -308,11 +308,327 @@ def _add_seqstat(sub):
 
 
 # ---------------------------------------------------------------------------
+# seed_extend
+# ---------------------------------------------------------------------------
+
+def cmd_seed_extend(args):
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .match.seed_extend import SeedExtendParams, seed_extend
+    aenc = Encseq.load(args.ii)
+    benc = Encseq.load(args.qii) if args.qii else None
+    p = SeedExtendParams(
+        seedlength=args.seedlength or None,
+        minidentity=args.minidentity,
+        sensitivity=args.extendxdrop or args.extendgreedy or 97,
+        userdefinedleastlength=args.l,
+        extension="greedy" if args.extendgreedy else "xdrop",
+        maxfreq=args.maxfreq,
+        reverse=not args.no_reverse,
+        history=args.history,
+        perc_mat_history=args.percmathistory,
+        maxalignedlendifference=args.maxalilendiff)
+    for m in seed_extend(aenc, benc, p):
+        print(m.line())
+    return 0
+
+
+def _add_seed_extend(sub):
+    p = sub.add_parser("seed_extend", help="seed and extend matching")
+    p.add_argument("-ii", required=True)
+    p.add_argument("-qii", default=None, help="query index (default: self)")
+    p.add_argument("-l", type=int, default=20, help="minimum alignment len")
+    p.add_argument("-seedlength", type=int, default=0)
+    p.add_argument("-minidentity", type=int, default=80)
+    p.add_argument("-extendxdrop", type=int, nargs="?", const=97, default=0)
+    p.add_argument("-extendgreedy", type=int, nargs="?", const=97, default=0)
+    p.add_argument("-maxfreq", type=int, default=None)
+    p.add_argument("-no-reverse", dest="no_reverse", action="store_true")
+    p.add_argument("-history", type=int, default=64)
+    p.add_argument("-percmathistory", type=int, default=None)
+    p.add_argument("-maxalilendiff", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_seed_extend)
+
+
+# ---------------------------------------------------------------------------
+# readjoiner
+# ---------------------------------------------------------------------------
+
+def cmd_readjoiner(args):
+    from .assembly import readjoiner as rj
+    from .core.seqio import write_fasta
+    if args.sub == "prefilter":
+        rs = rj.ReadSet.from_files(args.db)
+        contained = rj.find_contained(rs)
+        keep = [r for r, c in zip(rs.reads, contained) if not c]
+        import numpy as _np
+        _np.savez_compressed(args.readset + ".reads",
+                             **{f"r{i}": r for i, r in enumerate(keep)})
+        print(f"# {len(rs.reads)} reads, {int(contained.sum())} contained, "
+              f"{len(keep)} kept", file=sys.stderr)
+    elif args.sub == "overlap":
+        rs = _load_readset(args.readset)
+        spms = rj.find_spms(rs, args.l, singlestrand=args.singlestrand)
+        with open(args.readset + ".spm", "w") as f:
+            for line in spms.lines():
+                f.write(line + "\n")
+        print(f"# {spms.length.size} SPMs", file=sys.stderr)
+    elif args.sub == "assembly":
+        rs = _load_readset(args.readset)
+        spms = rj.find_spms(rs, args.l)
+        g = rj.StringGraph.from_spms(rs, spms)
+        g.reduce_self()
+        g.reduce_transitive()
+        contigs = g.spell_contigs(min_depth=args.depthcutoff,
+                                  min_length=args.lengthcutoff)
+        with open(args.readset + ".contigs.fas", "w") as f:
+            for i, (seq, depth, desc) in enumerate(contigs):
+                f.write(f">contig_{i} length={len(seq)} depth={depth} "
+                        f"{desc}\n{seq}\n")
+        print(f"# {len(contigs)} contigs", file=sys.stderr)
+    elif args.sub == "spmtest":
+        rs = rj.ReadSet.from_files(args.db)
+        spms = rj.find_spms(rs, args.l, singlestrand=args.singlestrand)
+        for line in spms.lines():
+            print(line)
+    return 0
+
+
+def _load_readset(name):
+    import numpy as _np
+    from .assembly.readjoiner import ReadSet
+    d = _np.load(name + ".reads.npz")
+    return ReadSet([d[k] for k in sorted(d.files,
+                                         key=lambda s: int(s[1:]))])
+
+
+def _add_readjoiner(sub):
+    p = sub.add_parser("readjoiner", help="string graph assembler")
+    sp = p.add_subparsers(dest="sub", required=True)
+    pp_ = sp.add_parser("prefilter")
+    pp_.add_argument("-db", nargs="+", required=True)
+    pp_.add_argument("-readset", default="reads")
+    po = sp.add_parser("overlap")
+    po.add_argument("-readset", default="reads")
+    po.add_argument("-l", type=int, default=45)
+    po.add_argument("-singlestrand", action="store_true")
+    pa = sp.add_parser("assembly")
+    pa.add_argument("-readset", default="reads")
+    pa.add_argument("-l", type=int, default=45)
+    pa.add_argument("-depthcutoff", type=int, default=3)
+    pa.add_argument("-lengthcutoff", type=int, default=100)
+    ps = sp.add_parser("spmtest")
+    ps.add_argument("-db", nargs="+", required=True)
+    ps.add_argument("-l", type=int, default=3)
+    ps.add_argument("-singlestrand", action="store_true")
+    p.set_defaults(func=cmd_readjoiner)
+
+
+# ---------------------------------------------------------------------------
+# ltrharvest / packedindex / genomediff / uniquesub / matstat
+# ---------------------------------------------------------------------------
+
+def cmd_ltrharvest(args):
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .ltr.ltrharvest import LTRHarvestParams, gff3_nodes, ltrharvest
+    enc = Encseq.load(args.index)
+    params = LTRHarvestParams(
+        seedlength=args.seed, minlenltr=args.minlenltr,
+        maxlenltr=args.maxlenltr, mindistltr=args.mindistltr,
+        maxdistltr=args.maxdistltr, similar=args.similar,
+        mintsd=args.mintsd, with_tsd=args.mintsd > 0)
+    preds = ltrharvest(enc, params)
+    if args.gff3:
+        from .anno.gff3 import gff3_to_string
+        sys.stdout.write(gff3_to_string(gff3_nodes(preds, enc)))
+    else:
+        print("# s(ret) e(ret) l(ret) s(lLTR) e(lLTR) l(lLTR) "
+              "s(rLTR) e(rLTR) l(rLTR) sim(LTRs) seq-nr")
+        for p in preds:
+            print(f"{p.start1} {p.end2} {p.end2 - p.start1 + 1} "
+                  f"{p.start1} {p.end1} {p.end1 - p.start1 + 1} "
+                  f"{p.start2} {p.end2} {p.end2 - p.start2 + 1} "
+                  f"{p.similarity:.2f} {p.seqnum}")
+    return 0
+
+
+def _add_ltrharvest(sub):
+    p = sub.add_parser("ltrharvest", help="LTR retrotransposon prediction")
+    p.add_argument("-index", required=True)
+    p.add_argument("-seed", type=int, default=30)
+    p.add_argument("-minlenltr", type=int, default=100)
+    p.add_argument("-maxlenltr", type=int, default=1000)
+    p.add_argument("-mindistltr", type=int, default=1000)
+    p.add_argument("-maxdistltr", type=int, default=15000)
+    p.add_argument("-similar", type=float, default=85.0)
+    p.add_argument("-mintsd", type=int, default=4)
+    p.add_argument("-gff3", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_ltrharvest)
+
+
+def cmd_packedindex(args):
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.fmindex import build_fmindex
+    if args.sub == "mkindex":
+        enc = Encseq.from_files(args.db) if args.db else Encseq.load(args.ii)
+        fm = build_fmindex(enc)
+        fm.save(args.indexname)
+    return 0
+
+
+def _add_packedindex(sub):
+    p = sub.add_parser("packedindex", help="BWT-based compressed index")
+    sp = p.add_subparsers(dest="sub", required=True)
+    pm = sp.add_parser("mkindex")
+    pm.add_argument("-db", nargs="*", default=None)
+    pm.add_argument("-ii", default=None)
+    pm.add_argument("-indexname", required=True)
+    pm.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_packedindex)
+
+
+def cmd_genomediff(args):
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .match.genomediff import genomediff
+    genomes = [Encseq.from_files([f]) for f in args.files]
+    kr = genomediff(genomes)
+    print(len(genomes))
+    for i, f in enumerate(args.files):
+        print("\t".join([f] + [f"{kr[i, j]:.6f}"
+                               for j in range(len(genomes))]))
+    return 0
+
+
+def _add_genomediff(sub):
+    p = sub.add_parser("genomediff", help="pairwise Kr divergence")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_genomediff)
+
+
+def cmd_uniquesub(args):
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import load_esa
+    from .match.querysearch import minimum_unique_substrings
+    esa = load_esa(args.esa)
+    q = Encseq.from_files(args.query)
+    for qpos, length in minimum_unique_substrings(
+            esa, q, args.min, args.max):
+        line = f"{qpos} {length}"
+        if args.output_sequence:
+            line += " " + q.alphabet.decode(q.codes[qpos:qpos + length])
+        print(line)
+    return 0
+
+
+def _add_uniquesub(sub):
+    p = sub.add_parser("uniquesub", help="minimum unique substrings")
+    p.add_argument("-esa", required=True)
+    p.add_argument("-query", nargs="+", required=True)
+    p.add_argument("-min", type=int, default=1)
+    p.add_argument("-max", type=int, default=None)
+    p.add_argument("-output-sequence", dest="output_sequence",
+                   action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_uniquesub)
+
+
+def cmd_matstat(args):
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import load_esa
+    from .match.querysearch import matching_statistics
+    esa = load_esa(args.esa)
+    q = Encseq.from_files(args.query)
+    ms = matching_statistics(esa, q)
+    for qpos in range(ms.size):
+        print(f"{qpos} {int(ms[qpos])}")
+    return 0
+
+
+def _add_matstat(sub):
+    p = sub.add_parser("matstat", help="matching statistics")
+    p.add_argument("-esa", required=True)
+    p.add_argument("-query", nargs="+", required=True)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_matstat)
+
+
+# ---------------------------------------------------------------------------
+# sequence utility tools
+# ---------------------------------------------------------------------------
+
+def cmd_seqtool(args):
+    from .core.seqio import read_seqfiles, write_fasta
+    from .utils import seqtools
+    s = read_seqfiles(args.files)
+    if args.tool == "extractseq":
+        out = seqtools.extractseq(s, args.frompos, args.topos, args.match)
+    elif args.tool == "shredder":
+        out = seqtools.shredder(s, args.minlength, args.maxlength,
+                                args.overlap, args.coverage)
+    elif args.tool == "sequniq":
+        out = seqtools.sequniq(s, rev=args.rev)
+    elif args.tool == "seqfilter":
+        out = seqtools.seqfilter(s, args.minlength, args.maxlength,
+                                 args.maxseqnum)
+    elif args.tool == "simreads":
+        out = seqtools.simreads(s, num=args.num, length=args.length)
+    elif args.tool == "mutate":
+        out = seqtools.mutate(s, args.rate)
+    elif args.tool == "seqtranslate":
+        for desc, seq in zip(s.descs, s.seqs):
+            for f, t in enumerate(
+                    seqtools.translate_all_frames(seq.tobytes().decode())):
+                strand = "+" if f < 3 else "-"
+                print(f">{desc} ({f % 3}{strand})")
+                print(t)
+        return 0
+    elif args.tool == "fingerprint":
+        for fp in seqtools.fingerprints(s):
+            print(fp)
+        return 0
+    else:
+        raise SystemExit(f"unknown tool {args.tool}")
+    write_fasta(sys.stdout, [x.tobytes().decode("latin-1")
+                             for x in out.seqs], out.descs)
+    return 0
+
+
+def _add_seqtools(sub):
+    for name in ("extractseq", "shredder", "sequniq", "seqfilter",
+                 "simreads", "mutate", "seqtranslate", "fingerprint"):
+        p = sub.add_parser(name, help=f"{name} sequence tool")
+        p.add_argument("files", nargs="+")
+        p.add_argument("-frompos", type=int, default=None)
+        p.add_argument("-topos", type=int, default=None)
+        p.add_argument("-match", default=None)
+        p.add_argument("-minlength", type=int, default=300)
+        p.add_argument("-maxlength", type=int, default=700)
+        p.add_argument("-overlap", type=int, default=0)
+        p.add_argument("-coverage", type=int, default=1)
+        p.add_argument("-rev", action="store_true")
+        p.add_argument("-maxseqnum", type=int, default=None)
+        p.add_argument("-num", type=int, default=100)
+        p.add_argument("-length", type=int, default=100)
+        p.add_argument("-rate", type=float, default=1.0)
+        p.set_defaults(func=cmd_seqtool, tool=name)
+
+
+# ---------------------------------------------------------------------------
 # main dispatch
 # ---------------------------------------------------------------------------
 
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
-             _add_seqstat, _add_gff3, _add_stat]
+             _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
+             _add_readjoiner, _add_ltrharvest, _add_packedindex,
+             _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools]
 
 
 def main(argv=None):

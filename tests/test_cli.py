@@ -1,0 +1,81 @@
+"""End-to-end CLI tests (the stest-equivalent tier)."""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+from genometools_tpu.cli import main
+
+
+def run_cli(argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(argv)
+    return rc, buf.getvalue()
+
+
+class TestCLI:
+    def test_suffixerator_tallymer_repfind(self, tmp_path, testdata):
+        idx = str(tmp_path / "dup")
+        rc, _ = run_cli(["suffixerator", "-db",
+                         str(testdata / "Duplicate.fna"),
+                         "-indexname", idx, "-suf", "-lcp", "-tis", "-dna"])
+        assert rc == 0
+        rc, out = run_cli(["encseq", "info", idx])
+        assert "number of sequences: 2" in out
+        rc, out = run_cli(["tallymer", "mkindex", "-esa", idx,
+                           "-mersize", "19"])
+        assert rc == 0 and out  # histogram lines
+        rc, out = run_cli(["repfind", "-l", "8", "-ii", idx])
+        want = [l.strip() for l in open(str(
+            testdata / "repfind-result" / "Duplicate.fna.result"))]
+        assert sorted(out.splitlines()) == sorted(want)
+
+    def test_seed_extend_cli(self, tmp_path, testdata):
+        idx = str(tmp_path / "sp")
+        run_cli(["suffixerator", "-db", str(testdata / "small_poly.fas"),
+                 "-indexname", idx, "-suf", "-lcp", "-tis", "-dna"])
+        rc, out = run_cli(["seed_extend", "-ii", idx, "-l", "10",
+                           "-extendxdrop", "97"])
+        want = [l.strip() for l in open(str(testdata / "seedextend3.out"))
+                if l.strip()]
+        assert out.splitlines() == want
+
+    def test_gff3_cli(self, testdata):
+        rc, out = run_cli(["gff3", str(testdata / "gt_gff3_prob_8.in")])
+        assert out == (testdata / "gt_gff3_prob_8.out").read_text()
+
+    def test_readjoiner_cli(self, tmp_path, testdata, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        rc, _ = run_cli(["readjoiner", "prefilter", "-db",
+                         str(testdata / "readjoiner" / "3_varlen_seq.fas"),
+                         "-readset", "reads"])
+        assert rc == 0
+        rc, _ = run_cli(["readjoiner", "assembly", "-readset", "reads",
+                         "-l", "5", "-depthcutoff", "2",
+                         "-lengthcutoff", "31"])
+        got = open("reads.contigs.fas").read()
+        want = (testdata / "readjoiner" /
+                "3_varlen_seq.contigs.fas").read_text()
+        assert got == want
+
+    def test_spmtest_cli(self, testdata):
+        rc, out = run_cli(["readjoiner", "spmtest", "-db",
+                           str(testdata / "readjoiner" / "pw.fas"),
+                           "-l", "3"])
+        want = sorted(l.strip() for l in open(
+            str(testdata / "readjoiner" / "pw-ex.spm")))
+        assert sorted(out.splitlines()) == want
+
+    def test_seqstat(self, testdata):
+        rc, out = run_cli(["seqstat", str(testdata / "Atinsert.fna")])
+        assert "number of contigs:     21" in out
+
+    def test_seqtools_cli(self, testdata):
+        rc, out = run_cli(["fingerprint", str(testdata / "Duplicate.fna")])
+        assert len(out.splitlines()) == 2
+        rc, out = run_cli(["sequniq", str(testdata / "Duplicate.fna")])
+        assert out.count(">") == 2  # the two seqs differ in length
