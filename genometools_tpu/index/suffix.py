@@ -41,14 +41,30 @@ def _dense_rank_from_order(neq: jnp.ndarray, order: jnp.ndarray, n1: int):
     return jnp.zeros(n1, jnp.int32).at[order].set(r)
 
 
+# bootstrap width: the initial multi-key sort ranks prefixes of this many
+# symbols, so doubling starts at h=BOOT instead of h=1 (saves log2(BOOT)
+# sort rounds; exactness is preserved because every suffix contains the
+# unique sentinel, so out-of-range pad keys can never decide an order)
+_BOOT = 8
+
+
 @partial(jax.jit, static_argnames=("n1", "with_rank_levels"))
 def _build_sa_impl(keys: jnp.ndarray, n1: int, with_rank_levels: bool):
-    levels = max(1, math.ceil(math.log2(n1))) if n1 > 1 else 1
+    levels = max(1, math.ceil(math.log2(max(n1 / _BOOT, 2)))) if n1 > 1 else 1
     idx = jnp.arange(n1, dtype=jnp.int32)
 
-    # bootstrap: rank by first symbol
-    sk, order = jax.lax.sort((keys, idx), num_keys=1)
-    neq0 = jnp.concatenate([jnp.zeros(1, jnp.bool_), sk[1:] != sk[:-1]])
+    # bootstrap: rank by the first _BOOT symbol keys in one multi-key sort
+    ops = []
+    for j in range(_BOOT):
+        kj = jnp.where(idx + j < n1,
+                       keys[jnp.minimum(idx + j, n1 - 1)], jnp.int32(-1))
+        ops.append(kj)
+    sorted_ops = jax.lax.sort(tuple(ops) + (idx,), num_keys=_BOOT)
+    order = sorted_ops[-1]
+    neq0 = jnp.zeros(n1, jnp.bool_)
+    for j in range(_BOOT):
+        sk = sorted_ops[j]
+        neq0 = neq0.at[1:].set(neq0[1:] | (sk[1:] != sk[:-1]))
     rank = _dense_rank_from_order(neq0, order, n1)
 
     if with_rank_levels:
@@ -62,7 +78,7 @@ def _build_sa_impl(keys: jnp.ndarray, n1: int, with_rank_levels: bool):
 
     def body(carry):
         t, rank, ranks_all, _ = carry
-        h = jnp.int32(1) << t
+        h = jnp.int32(_BOOT) << t
         nxt = jnp.minimum(idx + h, n1 - 1)
         rank2 = jnp.where(idx + h < n1, rank[nxt], jnp.int32(-1))
         srank, srank2, order = jax.lax.sort((rank, rank2, idx), num_keys=2)
@@ -90,18 +106,31 @@ def _build_sa_impl(keys: jnp.ndarray, n1: int, with_rank_levels: bool):
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def _lcp_impl(sa: jnp.ndarray, ranks_all: jnp.ndarray, n1: int):
+def _lcp_impl(keys: jnp.ndarray, sa: jnp.ndarray, ranks_all: jnp.ndarray,
+              n1: int):
     levels = ranks_all.shape[0] - 1
     x = sa[:-1]
     y = sa[1:]
     l = jnp.zeros(n1 - 1, jnp.int32)
+    # rank row t covers prefixes of length _BOOT * 2^t
     for t in range(levels, -1, -1):
-        h = jnp.int32(1) << t
+        h = jnp.int32(_BOOT) << t
         rt = ranks_all[t]
         xs = jnp.minimum(x, n1 - 1)
         ys = jnp.minimum(y, n1 - 1)
         ok = (x < n1) & (y < n1) & (x != y) & (rt[xs] == rt[ys])
         step = jnp.where(ok, h, 0)
+        l = l + step
+        x = x + step
+        y = y + step
+    # residue below the bootstrap width: direct key comparisons
+    alive = jnp.ones(n1 - 1, jnp.bool_)
+    for _ in range(_BOOT - 1):
+        xs = jnp.minimum(x, n1 - 1)
+        ys = jnp.minimum(y, n1 - 1)
+        alive = alive & (x < n1) & (y < n1) & (x != y) & \
+            (keys[xs] == keys[ys])
+        step = alive.astype(jnp.int32)
         l = l + step
         x = x + step
         y = y + step
@@ -138,11 +167,12 @@ def build_suffix_array(keys, with_lcp: bool = True):
         keys_p = np.concatenate([keys, pad])
     else:
         keys_p = keys
-    sa, rank, ranks_all = _build_sa_impl(jnp.asarray(keys_p), npad, with_lcp)
+    keys_j = jnp.asarray(keys_p)
+    sa, rank, ranks_all = _build_sa_impl(keys_j, npad, with_lcp)
     sa = sa[:n1]
     if not with_lcp:
         return sa, None
-    lcp = _lcp_impl(sa, ranks_all, n1)
+    lcp = _lcp_impl(keys_j, sa, ranks_all, n1)
     return sa, lcp
 
 

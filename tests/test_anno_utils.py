@@ -158,3 +158,18 @@ class TestHMM:
         path = hmm.viterbi(obs)
         assert path[35] == 1  # inside the loaded run
         assert path[5] == 0
+
+
+class TestSketch:
+    def test_svg_render(self, testdata):
+        from genometools_tpu.anno.sketch import Diagram, sketch
+        nodes = parse_gff3((testdata / "gff3_file_1_short.txt").read_text())
+        svg = sketch(nodes)
+        assert svg.startswith("<svg")
+        assert "gene" in svg and "exon" in svg
+        assert svg.count("<rect") > 5
+        d = Diagram.from_nodes(nodes)
+        assert d.seqid == "ctg123"
+        # exons overlap -> must occupy more than one line in the track
+        exon_track = [t for t in d.tracks if t.ftype == "exon"][0]
+        assert len(exon_track.lines) >= 2
