@@ -1,0 +1,64 @@
+"""Multi-device pipeline tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from genometools_tpu.core.encseq import Encseq
+from genometools_tpu.index.suffix import build_suffix_array
+from genometools_tpu.parallel.dist_esa import (make_mesh,
+                                               sharded_kmer_histogram,
+                                               sharded_suffix_sort)
+
+
+def _keys_padded(seqstr, ndev=8):
+    import jax.numpy as jnp
+    e = Encseq.from_string(seqstr)
+    keys = e.suffix_keys()
+    n1 = keys.size
+    npad = ((n1 + ndev - 1) // ndev) * ndev
+    pad = keys.max() + 1 + np.arange(npad - n1, dtype=np.int32)
+    return np.concatenate([keys, pad]).astype(np.int32), n1, npad
+
+
+class TestShardedPipeline:
+    def test_histogram(self):
+        import jax.numpy as jnp
+        mesh = make_mesh(8)
+        keys, n1, npad = _keys_padded("acgtacgtnn|ggg")
+        hist = sharded_kmer_histogram(jnp.asarray(keys), npad, mesh)
+        assert int(np.asarray(hist).sum()) == npad
+
+    def test_sharded_sort_matches_single(self):
+        import jax.numpy as jnp
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        s = "".join(rng.choice(list("acgtn"), 301, p=[0.24] * 4 + [0.04]))
+        keys, n1, npad = _keys_padded(s)
+        sa, hist = sharded_suffix_sort(jnp.asarray(keys), npad, 32, mesh)
+        ref, _ = build_suffix_array(keys, with_lcp=False)
+        assert np.asarray(sa).tolist() == np.asarray(ref)[:npad].tolist()
+
+
+class TestDistributedDoubling:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_single_chip(self, seed):
+        import jax.numpy as jnp
+        from genometools_tpu.parallel.dist_doubling import \
+            distributed_build_sa
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(seed)
+        s = "".join(rng.choice(list("acgtn"), 500, p=[0.24] * 4 + [0.04]))
+        keys, n1, npad = _keys_padded(s)
+        sa = distributed_build_sa(jnp.asarray(keys), npad, mesh)
+        ref, _ = build_suffix_array(keys, with_lcp=False)
+        assert np.asarray(sa).tolist() == np.asarray(ref)[:npad].tolist()
+
+    def test_repetitive(self):
+        import jax.numpy as jnp
+        from genometools_tpu.parallel.dist_doubling import \
+            distributed_build_sa
+        mesh = make_mesh(8)
+        keys, n1, npad = _keys_padded("acg" * 120)
+        sa = distributed_build_sa(jnp.asarray(keys), npad, mesh)
+        ref, _ = build_suffix_array(keys, with_lcp=False)
+        assert np.asarray(sa).tolist() == np.asarray(ref)[:npad].tolist()
