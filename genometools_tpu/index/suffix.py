@@ -45,7 +45,7 @@ def _dense_rank_from_order(neq: jnp.ndarray, order: jnp.ndarray, n1: int):
 # symbols, so doubling starts at h=BOOT instead of h=1 (saves log2(BOOT)
 # sort rounds; exactness is preserved because every suffix contains the
 # unique sentinel, so out-of-range pad keys can never decide an order)
-_BOOT = 8
+_BOOT = 4
 
 
 @partial(jax.jit, static_argnames=("n1", "with_rank_levels"))
