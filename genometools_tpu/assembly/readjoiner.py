@@ -382,3 +382,52 @@ def assemble(paths: list[str], minlen: int = 5,
         out.append((f"contig_{i} length={len(seq)} depth={depth} {desc}",
                     seq))
     return out
+
+
+# ---------------------------------------------------------------------------
+# graph output formats (ref: src/match/gfa_writer.c, asqg_writer.c)
+# ---------------------------------------------------------------------------
+
+def write_gfa(readset: ReadSet, spms: SpmList, version: int = 1) -> str:
+    """GFA1/GFA2 rendering of the overlap graph (ref: gfa_writer.c)."""
+    alpha = dna_alphabet()
+    lines = []
+    if version == 1:
+        lines.append("H\tVN:Z:1.0")
+    else:
+        lines.append("H\tVN:Z:2.0")
+    for i, r in enumerate(readset.reads):
+        seq = alpha.decode(r)
+        if version == 1:
+            lines.append(f"S\t{i}\t{seq}")
+        else:
+            lines.append(f"S\t{i}\t{len(r)}\t{seq}")
+    for sr, ss, pr, ps, l in zip(spms.suf_read, spms.suf_strand,
+                                 spms.pref_read, spms.pref_strand,
+                                 spms.length):
+        o1 = "+" if ss else "-"
+        o2 = "+" if ps else "-"
+        if version == 1:
+            lines.append(f"L\t{sr}\t{o1}\t{pr}\t{o2}\t{l}M")
+        else:
+            la = len(readset.reads[sr])
+            lines.append(f"E\t*\t{sr}{o1}\t{pr}{o2}\t{la - l}\t{la}$"
+                         f"\t0\t{l}\t{l}M")
+    return "\n".join(lines) + "\n"
+
+
+def write_asqg(readset: ReadSet, spms: SpmList) -> str:
+    """ASQG (SGA) rendering (ref: asqg_writer.c)."""
+    alpha = dna_alphabet()
+    lines = ["HT\tVN:i:1\tER:f:0"]
+    for i, r in enumerate(readset.reads):
+        lines.append(f"VT\t{i}\t{alpha.decode(r)}")
+    for sr, ss, pr, ps, l in zip(spms.suf_read, spms.suf_strand,
+                                 spms.pref_read, spms.pref_strand,
+                                 spms.length):
+        la = len(readset.reads[sr])
+        lb = len(readset.reads[pr])
+        rc = 0 if (ss == ps) else 1
+        lines.append(f"ED\t{sr} {pr} {la - l} {la - 1} {la} 0 {l - 1} "
+                     f"{lb} {rc} -1")
+    return "\n".join(lines) + "\n"

@@ -56,6 +56,7 @@ class SeedExtendParams:
     no_diagband_filter: bool = False
     scores: XdropScores = field(default_factory=XdropScores)
     extension: str = "xdrop"           # "xdrop" | "greedy"
+    max_combine_mode: int = 2          # BOTH / ONLY_LEFT / ONLY_RIGHT
     history: int = 64
     perc_mat_history: int | None = None
     maxalignedlendifference: int | None = None
@@ -350,10 +351,14 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             greedy_ctx = (pol, pmh, mad, params.history)
         haspreviousmatch = False
         prev_b_end = -1
+        rectangles: list[tuple] = []  # (a_start, a_end, b_start, b_end)
         for i in np.nonzero(sel)[0]:
             bp, ap = int(bpos[i]), int(apos[i])
             if haspreviousmatch and params.use_apos == 0 and \
                     prev_b_end >= bp:
+                continue
+            if params.use_apos > 0 and _seed_in_rectangles(
+                    rectangles, ap, bp, k):
                 continue
             dbstart_rel = ap + 1 - k
             querystart_rel = bp + 1 - k
@@ -363,27 +368,54 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             if ext is None:
                 continue
             u_l, v_l, sd_l, u_r, v_r, sd_r, _mm = ext
-            dblen = k + u_l + u_r
-            querylen = k + v_l + v_r
-            alignedlen = dblen + querylen
-            if params.extension == "greedy":
-                dist = sd_l + sd_r
-                total_score = alignedlen - 3 * dist
-            else:
-                total_score = k * params.scores.mat + sd_l + sd_r
-                dist = _score2distance(total_score, alignedlen)
-            a_start = dbstart_rel - u_l
-            b_start = querystart_rel - v_l
             haspreviousmatch = True
-            prev_b_end = b_start + querylen - 1
-            # final filters (ref: querymatch.c:722 check_final_generic)
-            err = 200.0 * dist / alignedlen
-            if err > params.errorpercentage:
-                continue
-            if alignedlen < 2 * params.userdefinedleastlength:
-                continue
-            identity = 100.0 - err
-            matches.append(SeedExtendMatch(
-                dblen, aseq, a_start, direction, querylen, bseq,
-                b_start, total_score, dist, identity))
+            accepted = None
+            # combine modes BOTH / ONLY_LEFT / ONLY_RIGHT tried in order
+            # (ref: gt_extend_sesp mode loop, max_combine_mode default 2)
+            for mode in range(params.max_combine_mode + 1):
+                ul, vl, sl = (u_l, v_l, sd_l) if mode != 2 else (0, 0, 0)
+                ur, vr, sr = (u_r, v_r, sd_r) if mode != 1 else (0, 0, 0)
+                dblen = k + ul + ur
+                querylen = k + vl + vr
+                alignedlen = dblen + querylen
+                if params.extension == "greedy":
+                    dist = sl + sr
+                    total_score = alignedlen - 3 * dist
+                else:
+                    total_score = k * params.scores.mat + sl + sr
+                    dist = _score2distance(total_score, alignedlen)
+                a_start = dbstart_rel - ul
+                b_start = querystart_rel - vl
+                if mode == 0:
+                    prev_b_end = b_start + querylen - 1
+                    if params.use_apos == 2 or (params.use_apos == 1):
+                        pass  # rectangle added below on accept / always
+                    rect = (a_start, a_start + dblen - 1,
+                            b_start, b_start + querylen - 1)
+                # filters (ref: querymatch.c:722 check_final_generic)
+                err = 200.0 * dist / alignedlen
+                if err > params.errorpercentage:
+                    continue
+                if alignedlen < 2 * params.userdefinedleastlength:
+                    continue
+                accepted = SeedExtendMatch(
+                    dblen, aseq, a_start, direction, querylen, bseq,
+                    b_start, total_score, dist, 100.0 - err)
+                break
+            if params.use_apos == 2 or \
+                    (params.use_apos == 1 and accepted is not None):
+                rectangles.append(rect)
+            if accepted is not None:
+                matches.append(accepted)
     return matches
+
+
+def _seed_in_rectangles(rectangles, apos, bpos, seedlen) -> bool:
+    """Does the seed rectangle overlap any previous match rectangle?
+    (ref: gt_diagbandseed_has_overlap_with_previous_match)"""
+    sa0, sa1 = apos + 1 - seedlen, apos
+    sb0, sb1 = bpos + 1 - seedlen, bpos
+    for (a0, a1, b0, b1) in rectangles:
+        if sa0 <= a1 and a0 <= sa1 and sb0 <= b1 and b0 <= sb1:
+            return True
+    return False

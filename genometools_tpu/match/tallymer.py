@@ -211,3 +211,16 @@ def mkindex_bruteforce(encseq: Encseq, mersize: int) -> MerIndex:
         else (np.zeros(0, np.int64), np.zeros(0, bool))
     vals, cnts = np.unique(code[valid], return_counts=True)
     return MerIndex(mersize, vals.astype(np.int64), cnts.astype(np.int64))
+
+
+def occratio(esa: EnhancedSuffixArray, minmersize: int, maxmersize: int):
+    """unique/nonunique mer-count distributions over a mersize range
+    (ref: src/match/tyr-occratio.c, `gt tallymer occratio`).
+    Returns {mersize: (unique, nonunique, total)}."""
+    out = {}
+    for k in range(minmersize, maxmersize + 1):
+        mi = mkindex(esa, k)
+        unique = int((mi.counts == 1).sum())
+        nonunique = int((mi.counts > 1).sum())
+        out[k] = (unique, nonunique, mi.num_mers)
+    return out

@@ -147,3 +147,14 @@ class TestTallymer:
             lo, hi = bounds[c], bounds[c + 1]
             if lo < hi:
                 assert ((mi.mer_codes[lo:hi] >> (2 * 6)) == c).all()
+
+
+class TestOccratio:
+    def test_unique_nonunique(self):
+        e = Encseq.from_string("aaaaacgcg")
+        esa = build_esa(e)
+        from genometools_tpu.match.tallymer import occratio
+        d = occratio(esa, 2, 3)
+        uniq2, nonuniq2, total2 = d[2]
+        assert (uniq2, nonuniq2) == (2, 2)  # ac,gc unique; aa,cg repeated
+        assert total2 == 4

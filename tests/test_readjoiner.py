@@ -99,3 +99,20 @@ class TestAssembly:
         seq, depth, desc = contigs[0]
         assert depth == 3
         assert seq == src
+
+
+class TestGraphFormats:
+    def test_gfa_and_asqg(self, testdata):
+        from genometools_tpu.assembly.readjoiner import (find_spms, write_asqg,
+                                                         write_gfa)
+        rs = ReadSet.from_files([str(testdata / "readjoiner" / "pw.fas")])
+        spms = find_spms(rs, 3)
+        gfa1 = write_gfa(rs, spms, 1)
+        assert gfa1.startswith("H\tVN:Z:1.0")
+        assert gfa1.count("\nS\t") == 5
+        assert gfa1.count("\nL\t") == spms.length.size
+        gfa2 = write_gfa(rs, spms, 2)
+        assert "VN:Z:2.0" in gfa2
+        asqg = write_asqg(rs, spms)
+        assert asqg.count("VT\t") == 5
+        assert asqg.count("ED\t") == spms.length.size
