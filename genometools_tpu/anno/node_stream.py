@@ -170,3 +170,74 @@ def stat_stream(stream, stats: FeatureStats) -> Iterator[GenomeNode]:
         if isinstance(node, FeatureNode):
             stats.add(node)
         yield node
+
+
+def chseqids_stream(stream, mapping: dict[str, str]):
+    """ref: gt chseqids — substitute sequence ids per a mapping file."""
+    for node in stream:
+        if isinstance(node, (FeatureNode, RegionNode)) and \
+                node.seqid in mapping:
+            if isinstance(node, FeatureNode):
+                for n in node.traverse():
+                    n.seqid = mapping[n.seqid] if n.seqid in mapping \
+                        else n.seqid
+            else:
+                node.seqid = mapping[node.seqid]
+        yield node
+
+
+def dupfeat_stream(stream, dest_type: str, source_type: str):
+    """ref: gt dupfeat — duplicate features of source_type as dest_type."""
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            for n in list(node.traverse()):
+                for c in list(n.children):
+                    if c.type == source_type:
+                        dup = FeatureNode(c.seqid, dest_type,
+                                          c.range.start, c.range.end,
+                                          c.strand, c.source, c.score,
+                                          c.phase)
+                        dup.serial = c.serial
+                        n.add_child(dup)
+        yield node
+
+
+def mergefeat_stream(stream):
+    """ref: gt mergefeat — merge adjacent features of the same type under
+    one parent into a single spanning feature."""
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            for n in node.traverse():
+                by_type: dict[str, list] = {}
+                for c in n.children:
+                    by_type.setdefault(c.type, []).append(c)
+                merged_children = []
+                for t, group in by_type.items():
+                    if len(group) > 1:
+                        group.sort(key=lambda f: f.range.start)
+                        rep = group[0]
+                        for g in group[1:]:
+                            rep.range = rep.range.join(g.range)
+                        merged_children.append(rep)
+                    else:
+                        merged_children.extend(group)
+                if len(merged_children) != len(n.children):
+                    n.children = sorted(merged_children,
+                                        key=lambda f: f.range.start)
+        yield node
+
+
+def id_to_md5_stream(stream, seqs: dict[str, str]):
+    """ref: gt id_to_md5 — translate seqids to md5 fingerprints."""
+    import hashlib
+    mapping = {sid: "md5:" + hashlib.md5(s.upper().encode()).hexdigest()
+               for sid, s in seqs.items()}
+    yield from chseqids_stream(stream, mapping)
+
+
+def md5_to_id_stream(stream, seqs: dict[str, str]):
+    """ref: gt md5_to_id — reverse translation."""
+    import hashlib
+    mapping = {"md5:" + hashlib.md5(s.upper().encode()).hexdigest(): sid
+               for sid, s in seqs.items()}
+    yield from chseqids_stream(stream, mapping)

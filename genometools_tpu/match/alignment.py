@@ -286,3 +286,50 @@ def global_alignment_linear_space(u: np.ndarray, v: np.ndarray,
             ui += op == "D"
             vi += op == "I"
     return AlignmentResult(score, _compress(ops), 0, len(u), 0, len(v))
+
+
+class ScoreMatrix:
+    """Protein/DNA score matrix (ref: src/core/score_matrix.c; parses the
+    BLOSUM62-style format in testdata/BLOSUM62)."""
+
+    def __init__(self, chars: str, matrix: np.ndarray):
+        self.chars = chars
+        self.matrix = matrix
+        self._index = {c: i for i, c in enumerate(chars)}
+
+    @classmethod
+    def parse(cls, text: str) -> "ScoreMatrix":
+        rows = []
+        chars = None
+        order = []
+        for line in text.splitlines():
+            if not line.strip() or line.startswith("#"):
+                continue
+            parts = line.split()
+            if chars is None:
+                chars = "".join(parts)
+                continue
+            order.append(parts[0])
+            rows.append([int(x) for x in parts[1:1 + len(chars)]])
+        m = np.array(rows, np.int64)
+        return cls("".join(order), m)
+
+    def score(self, a: str, b: str) -> int:
+        return int(self.matrix[self._index[a.upper()],
+                               self._index[b.upper()]])
+
+
+def global_alignment_scored(u: str, v: str, matrix: "ScoreMatrix",
+                            gapscore: int = -8) -> int:
+    """NW with a score matrix (protein alignment path of
+    gt linspace_align -protein)."""
+    ulen, vlen = len(u), len(v)
+    S = np.zeros((ulen + 1, vlen + 1), np.int64)
+    S[:, 0] = np.arange(ulen + 1) * gapscore
+    S[0, :] = np.arange(vlen + 1) * gapscore
+    for i in range(1, ulen + 1):
+        for j in range(1, vlen + 1):
+            S[i, j] = max(S[i - 1, j - 1] + matrix.score(u[i - 1], v[j - 1]),
+                          S[i - 1, j] + gapscore,
+                          S[i, j - 1] + gapscore)
+    return int(S[ulen, vlen])

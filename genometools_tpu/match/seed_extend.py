@@ -419,3 +419,70 @@ def _seed_in_rectangles(rectangles, apos, bpos, seedlen) -> bool:
         if sa0 <= a1 and a0 <= sa1 and sb0 <= b1 and b0 <= sb1:
             return True
     return False
+
+
+def maximal_exact_matches(aenc: Encseq, benc: Encseq | None,
+                          seedlength: int, minlength: int,
+                          forward: bool = True, reverse: bool = True):
+    """-maxmat mode: merge colinear seeds on one diagonal into maximal
+    exact matches >= minlength (ref: gt_diagbandseed_segment2maxmatches,
+    diagbandseed.c:3953). Returns SeedExtendMatch records with
+    distance 0 / identity 100."""
+    selfcomp = benc is None
+    benc = benc or aenc
+    alist = enumerate_kmers(aenc, seedlength, revcomp=False)
+    out = []
+    strands = (["F"] if forward else []) + (["P"] if reverse else [])
+    for direction in strands:
+        blist = enumerate_kmers(benc, seedlength, revcomp=(direction == "P"))
+        pa_seq, pb_seq, pb_pos, pa_pos = build_seed_pairs(
+            alist, blist, selfcomp, None, inseqseeds=True,
+            mindist=seedlength)
+        # group by (aseq, bseq, diagonal); seeds on one diagonal with
+        # contiguous endpos runs merge into one exact match
+        diag = pa_pos - pb_pos
+        order = np.lexsort((pa_pos, diag, pb_seq, pa_seq))
+        pa_seq, pb_seq = pa_seq[order], pb_seq[order]
+        pa_pos, pb_pos, diag = pa_pos[order], pb_pos[order], diag[order]
+        n = pa_seq.size
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and pa_seq[j + 1] == pa_seq[i] and \
+                    pb_seq[j + 1] == pb_seq[i] and \
+                    diag[j + 1] == diag[i] and \
+                    pa_pos[j + 1] <= pa_pos[j] + seedlength:
+                j += 1
+            length = int(pa_pos[j] - pa_pos[i]) + seedlength
+            if length >= minlength:
+                a_start = int(pa_pos[i]) + 1 - seedlength
+                b_start = int(pb_pos[i]) + 1 - seedlength
+                # verify + maximal-extend exact run boundaries
+                useq = _seq_codes(aenc, int(pa_seq[i]), False)
+                vseq = _seq_codes(benc, int(pb_seq[i]),
+                                  direction == "P")
+                while a_start > 0 and b_start > 0 and \
+                        useq[a_start - 1] == vseq[b_start - 1] and \
+                        useq[a_start - 1] < 4:
+                    a_start -= 1
+                    b_start -= 1
+                    length += 1
+                while a_start + length < len(useq) and \
+                        b_start + length < len(vseq) and \
+                        useq[a_start + length] == vseq[b_start + length] \
+                        and useq[a_start + length] < 4:
+                    length += 1
+                out.append(SeedExtendMatch(
+                    length, int(pa_seq[i]), a_start, direction, length,
+                    int(pb_seq[i]), b_start, 2 * length, 0, 100.0))
+            i = j + 1
+    # dedup (several seed runs can extend to one MEM)
+    seen = set()
+    uniq = []
+    for m in out:
+        key = (m.dbseqnum, m.dbstart, m.queryseqnum, m.querystart,
+               m.dblen, m.direction)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(m)
+    return uniq

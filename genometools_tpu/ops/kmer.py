@@ -125,3 +125,28 @@ def pack_mers_2bit(mer_codes: np.ndarray, k: int) -> np.ndarray:
         out[:, b] = np.asarray(vals & 0xFF, np.uint8)
         vals = vals >> 8
     return out
+
+
+def spaced_kmer_codes_np(codes: np.ndarray, mask: int, num_chars: int = 4):
+    """Spaced-seed codes: `mask` is a bitmask over the seed span
+    (MSB = first window position); only 1-bit positions contribute to the
+    code (ref: src/match/dbs_spaced_seeds.c, diagbandseed spaced-seed
+    extraction). Returns (codes int64[npos], valid bool[npos]) where
+    validity requires the FULL span free of specials (like the
+    reference's window scan)."""
+    span = mask.bit_length()
+    weight_positions = [span - 1 - b for b in range(span - 1, -1, -1)
+                        if (mask >> b) & 1]
+    n = codes.size
+    npos = n - span + 1
+    if npos <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    sym = np.where(codes >= SPECIAL_MIN, 0, codes).astype(np.int64)
+    special = codes >= SPECIAL_MIN
+    out = np.zeros(npos, np.int64)
+    bad = np.zeros(npos, bool)
+    for j in range(span):
+        bad |= special[j:j + npos]
+    for j in weight_positions:
+        out = out * num_chars + sym[j:j + npos]
+    return out, ~bad

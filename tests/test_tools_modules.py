@@ -231,3 +231,88 @@ class TestGenomediff:
         kr = genomediff([g1, g2, g3])
         assert kr[0, 1] < 0.1            # identical -> near zero
         assert kr[0, 2] > 3 * kr[0, 1]   # unrelated -> clearly larger
+
+
+class TestScoreMatrix:
+    def test_blosum62(self, testdata):
+        from genometools_tpu.match.alignment import ScoreMatrix, \
+            global_alignment_scored
+        sm = ScoreMatrix.parse((testdata / "BLOSUM62").read_text())
+        assert sm.score("A", "A") == 4
+        assert sm.score("W", "W") == 11
+        assert sm.score("A", "W") == -3
+        assert global_alignment_scored("ARN", "ARN", sm) == 4 + 5 + 6
+
+
+class TestSpacedSeeds:
+    def test_mask_extraction(self):
+        from genometools_tpu.ops.kmer import spaced_kmer_codes_np
+        codes = _codes("acgtacgt")
+        # mask 0b1101: span 4, weight 3 -> positions 0,1,3
+        out, valid = spaced_kmer_codes_np(codes, 0b1101)
+        assert out.size == 5
+        # window acgt -> a,c,t = 0*16 + 1*4 + 3 = 7
+        assert out[0] == 7
+        assert valid.all()
+
+    def test_specials_invalidate_full_span(self):
+        from genometools_tpu.ops.kmer import spaced_kmer_codes_np
+        codes = _codes("acntacgt")
+        out, valid = spaced_kmer_codes_np(codes, 0b1101)
+        assert not valid[0]  # n inside span even at a don't-care position
+
+
+class TestMEM:
+    def test_duplicate_mem(self, testdata):
+        from genometools_tpu.match.seed_extend import maximal_exact_matches
+        e = Encseq.from_files([str(testdata / "Duplicate.fna")])
+        mems = maximal_exact_matches(e, None, 14, 100, reverse=False)
+        big = [m for m in mems if m.dblen >= 800]
+        assert len(big) == 1
+        m = big[0]
+        assert (m.dbseqnum, m.queryseqnum) == (0, 1)
+        assert m.distance == 0 and m.identity == 100.0
+        # exactness
+        a = e.codes[e.seq_startpos(0) + m.dbstart:
+                    e.seq_startpos(0) + m.dbstart + m.dblen]
+        b = e.codes[e.seq_startpos(1) + m.querystart:
+                    e.seq_startpos(1) + m.querystart + m.querylen]
+        assert (a == b).all()
+
+
+class TestNewStreams:
+    def test_chseqids_and_md5(self):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        from genometools_tpu.anno.node_stream import (chseqids_stream,
+                                                      id_to_md5_stream,
+                                                      md5_to_id_stream,
+                                                      mergefeat_stream)
+        nodes = parse_gff3("##gff-version 3\n"
+                           "c\t.\tgene\t1\t10\t.\t+\t.\tID=g\n")
+        out = list(chseqids_stream(nodes, {"c": "chr1"}))
+        from genometools_tpu.anno.genome_node import FeatureNode
+        f = [n for n in out if isinstance(n, FeatureNode)][0]
+        assert f.seqid == "chr1"
+        nodes = parse_gff3("##gff-version 3\n"
+                           "c\t.\tgene\t1\t4\t.\t+\t.\tID=g\n")
+        seqs = {"c": "acgt"}
+        out = list(id_to_md5_stream(iter(nodes), seqs))
+        f = [n for n in out if isinstance(n, FeatureNode)][0]
+        assert f.seqid.startswith("md5:")
+        back = list(md5_to_id_stream(iter(out), seqs))
+        f2 = [n for n in back if isinstance(n, FeatureNode)][0]
+        assert f2.seqid == "c"
+
+    def test_mergefeat(self):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        from genometools_tpu.anno.node_stream import mergefeat_stream
+        nodes = parse_gff3(
+            "##gff-version 3\n"
+            "c\t.\tgene\t1\t100\t.\t+\t.\tID=g\n"
+            "c\t.\texon\t1\t10\t.\t+\t.\tParent=g\n"
+            "c\t.\texon\t20\t30\t.\t+\t.\tParent=g\n")
+        out = list(mergefeat_stream(nodes))
+        from genometools_tpu.anno.genome_node import FeatureNode
+        g = [n for n in out if isinstance(n, FeatureNode)][0]
+        assert len(g.children) == 1
+        assert (g.children[0].range.start, g.children[0].range.end) == (1, 30)
