@@ -173,3 +173,32 @@ class TestSketch:
         # exons overlap -> must occupy more than one line in the track
         exon_track = [t for t in d.tracks if t.ftype == "exon"][0]
         assert len(exon_track.lines) >= 2
+
+
+class TestCondenseq:
+    def test_roundtrip_and_compression(self):
+        from genometools_tpu.core.seqio import SeqSet
+        from genometools_tpu.utils.condenseq import compress
+        rng = np.random.default_rng(0)
+        base = "".join(rng.choice(list("acgt"), 400))
+        variants = []
+        for i in range(5):
+            v = list(base)
+            for _ in range(8):
+                p = int(rng.integers(0, len(v)))
+                v[p] = rng.choice(list("acgt"))
+            variants.append("".join(v))
+        unrelated = "".join(rng.choice(list("acgt"), 300))
+        seqs = [base] + variants + [unrelated]
+        ss = SeqSet(seqs=[np.frombuffer(s.encode(), np.uint8) for s in seqs],
+                    descs=[f"s{i}" for i in range(len(seqs))])
+        store = compress(ss, kmersize=16)
+        # round trip
+        from genometools_tpu.core.alphabet import dna_alphabet
+        alpha = dna_alphabet()
+        for i, s in enumerate(seqs):
+            got = alpha.decode(store.extract(i))
+            assert got == s
+        # compression: variants linked, so far fewer unique bases
+        assert len(store.uniques) == 2
+        assert store.compressed_size() < ss.total_length * 0.6
