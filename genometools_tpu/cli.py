@@ -622,13 +622,117 @@ def _add_seqtools(sub):
 
 
 # ---------------------------------------------------------------------------
+# sketch / chain2dim / linspace_align / wtree
+# ---------------------------------------------------------------------------
+
+def cmd_sketch(args):
+    from .anno.gff3 import parse_gff3
+    from .anno.sketch import sketch
+    nodes = []
+    for pth in args.files:
+        nodes.extend(parse_gff3(open(pth).read()))
+    svg = sketch(nodes, seqid=args.seqid, width=args.width)
+    with open(args.out, "w") as f:
+        f.write(svg)
+    return 0
+
+
+def _add_sketch(sub):
+    p = sub.add_parser("sketch", help="draw annotation diagrams (SVG)")
+    p.add_argument("out")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-seqid", default=None)
+    p.add_argument("-width", type=int, default=800)
+    p.set_defaults(func=cmd_sketch)
+
+
+def cmd_chain2dim(args):
+    from .match.chain2dim import Fragment, chain_fragments
+    frags = []
+    for line in open(args.m):
+        parts = line.split()
+        if len(parts) >= 4 and not line.startswith("#"):
+            s1, e1, s2, e2 = (int(x) for x in parts[:4])
+            w = int(parts[4]) if len(parts) > 4 else (e1 - s1 + 1)
+            frags.append(Fragment(s1, e1, s2, e2, w))
+    score, chain = chain_fragments(frags, local=args.local,
+                                   gapcost_factor=args.wf)
+    print(f"# chain score {score}")
+    for i in chain:
+        f = frags[i]
+        print(f"{f.start1} {f.end1} {f.start2} {f.end2}")
+    return 0
+
+
+def _add_chain2dim(sub):
+    p = sub.add_parser("chain2dim", help="chain colinear match fragments")
+    p.add_argument("-m", required=True, help="match file")
+    p.add_argument("-local", action="store_true")
+    p.add_argument("-wf", type=float, default=0.0, help="gap cost factor")
+    p.set_defaults(func=cmd_chain2dim)
+
+
+def cmd_linspace_align(args):
+    from .core.alphabet import dna_alphabet
+    from .match.alignment import (global_alignment,
+                                  global_alignment_affine,
+                                  global_alignment_linear_space,
+                                  local_alignment)
+    a = dna_alphabet()
+    u = a.encode(args.ss[0].encode())
+    v = a.encode(args.ss[1].encode())
+    if args.local:
+        r = local_alignment(u, v)
+    elif args.affine:
+        r = global_alignment_affine(u, v)
+    else:
+        r = global_alignment_linear_space(u, v)
+    print(f"# score {r.score}")
+    print(r.cigar(distinguish=True, u=u, v=v))
+    return 0
+
+
+def _add_linspace_align(sub):
+    p = sub.add_parser("linspace_align", help="pairwise alignment")
+    p.add_argument("-ss", nargs=2, required=True, metavar=("SEQ1", "SEQ2"))
+    p.add_argument("-local", action="store_true")
+    p.add_argument("-affine", action="store_true")
+    p.set_defaults(func=cmd_linspace_align)
+
+
+def cmd_wtree(args):
+    from .core.encseq import Encseq
+    from .utils.structures import WaveletTree
+    enc = Encseq.load(args.indexname)
+    wt = WaveletTree(enc.codes.astype(np.int64), 256)
+    if args.rank is not None:
+        sym, pos = args.rank
+        print(wt.rank(int(sym), int(pos)))
+    elif args.select is not None:
+        sym, k = args.select
+        print(wt.select(int(sym), int(k)))
+    else:
+        print(f"sequence length: {enc.total_length}")
+    return 0
+
+
+def _add_wtree(sub):
+    p = sub.add_parser("wtree", help="wavelet-tree rank/select over encseq")
+    p.add_argument("indexname")
+    p.add_argument("-rank", nargs=2, default=None, metavar=("SYM", "POS"))
+    p.add_argument("-select", nargs=2, default=None, metavar=("SYM", "K"))
+    p.set_defaults(func=cmd_wtree)
+
+
+# ---------------------------------------------------------------------------
 # main dispatch
 # ---------------------------------------------------------------------------
 
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
              _add_readjoiner, _add_ltrharvest, _add_packedindex,
-             _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools]
+             _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
+             _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree]
 
 
 def main(argv=None):
