@@ -276,3 +276,42 @@ def load_esa(indexname: str, encseq: Encseq | None = None,
         encseq=encseq, readmode=int(prj.get("readmode", FWD)),
         suftab=suftab, lcptab=lcptab,
         prefixlength=int(prj.get("prefixlength", 0)))
+
+
+def merge_esas(encseqs: list[Encseq], with_lcp: bool = True
+               ) -> EnhancedSuffixArray:
+    """Merge several indexed sequence sets into one ESA
+    (ref: gt dev mergeesa, src/match/esa-merge.c / emimergeesa.h).
+
+    TPU-first take: the reference streams and merges presorted suffix
+    readers because a CPU rebuild is expensive; here the combined index
+    is rebuilt with the device sort (millions of suffixes/s), which is
+    both simpler and faster than a sequential k-way merge. The result is
+    exactly the ESA of the concatenated sequence sets.
+    """
+    from ..core.chardef import SEPARATOR
+    import numpy as _np
+    parts = []
+    ssp = []
+    descs = []
+    off = 0
+    for i, e in enumerate(encseqs):
+        if i > 0:
+            ssp.append(off)
+            off += 1
+        parts.append(e.codes)
+        # inner separators shift by current offset
+        ssp.extend((e.ssp + off).tolist())
+        off += e.codes.size
+        descs.extend(e.descs)
+    codes = _np.empty(off, _np.uint8)
+    pos = 0
+    for i, pcodes in enumerate(parts):
+        if i > 0:
+            codes[pos] = SEPARATOR
+            pos += 1
+        codes[pos:pos + pcodes.size] = pcodes
+        pos += pcodes.size
+    merged = Encseq(codes, _np.asarray(sorted(ssp), _np.int64), descs,
+                    encseqs[0].alphabet)
+    return build_esa(merged, with_lcp=with_lcp)

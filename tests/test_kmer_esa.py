@@ -112,3 +112,20 @@ class TestESA:
             for r in range(hi, int(b.leftborder[c + 1])):
                 p = int(esa.suftab[r])
                 assert p >= code.size or not valid[p]
+
+
+class TestMergeESA:
+    def test_merge_two(self, testdata):
+        from genometools_tpu.index.esa import merge_esas
+        e1 = Encseq.from_files([str(testdata / "Duplicate.fna")])
+        e2 = Encseq.from_string("acgtacgtnacc|ttagc")
+        merged = merge_esas([e1, e2])
+        enc = merged.encseq
+        assert enc.num_sequences == e1.num_sequences + e2.num_sequences
+        assert enc.total_length == e1.total_length + e2.total_length + 1
+        # the merged suftab is a valid ESA of the combined set
+        keys = enc.suffix_keys()
+        import numpy as np
+        from genometools_tpu.index.suffix import kasai_lcp
+        assert np.sort(merged.suftab).tolist() == list(range(keys.size))
+        assert (kasai_lcp(keys, merged.suftab) == merged.lcptab).all()
