@@ -431,3 +431,66 @@ def write_asqg(readset: ReadSet, spms: SpmList) -> str:
         lines.append(f"ED\t{sr} {pr} {la - l} {la - 1} {la} 0 {l - 1} "
                      f"{lb} {rc} -1")
     return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# k-mer spectrum error correction
+# (ref: gt readjoiner correct / gt dev seqcorrect, src/match/rdj-errfind.c)
+# ---------------------------------------------------------------------------
+
+def correct_reads(readset: ReadSet, k: int = 15, min_count: int = 3,
+                  max_corrections: int = 3) -> tuple[ReadSet, int]:
+    """Correct sequencing errors using the k-mer spectrum: a position
+    covered only by rare k-mers is tried with each substitution; the base
+    making its covering k-mers frequent wins. Returns (corrected set,
+    number of corrected positions)."""
+    # count k-mers over both strands
+    from collections import Counter
+    counts: Counter = Counter()
+    for r in range(readset.num_reads):
+        for seq in (readset.reads[r], readset.rc(r)):
+            w = _window_codes(seq, k)
+            counts.update(w.tolist())
+
+    def kmer_ok(code: int) -> bool:
+        return counts[code] >= min_count
+
+    corrected = 0
+    out_reads = []
+    for r in range(readset.num_reads):
+        seq = readset.reads[r].copy()
+        if seq.size < k:
+            out_reads.append(seq)
+            continue
+        fixes = 0
+        w = _window_codes(seq, k)
+        rare = np.array([not kmer_ok(int(c)) for c in w])
+        pos = 0
+        while pos < seq.size and fixes < max_corrections:
+            # position covered exclusively by rare kmers?
+            lo = max(0, pos - k + 1)
+            hi = min(w.size, pos + 1)
+            if hi <= lo or not rare[lo:hi].all():
+                pos += 1
+                continue
+            orig = seq[pos]
+            best = None
+            for cand in range(4):
+                if cand == orig:
+                    continue
+                seq[pos] = cand
+                wl = _window_codes(seq[max(0, pos - k + 1):pos + k], k)
+                if all(kmer_ok(int(c)) for c in wl):
+                    best = cand
+                    break
+            if best is not None:
+                seq[pos] = best
+                fixes += 1
+                corrected += 1
+                w = _window_codes(seq, k)
+                rare = np.array([not kmer_ok(int(c)) for c in w])
+            else:
+                seq[pos] = orig
+            pos += 1
+        out_reads.append(seq)
+    return ReadSet(out_reads), corrected

@@ -116,3 +116,34 @@ class TestGraphFormats:
         asqg = write_asqg(rs, spms)
         assert asqg.count("VT\t") == 5
         assert asqg.count("ED\t") == spms.length.size
+
+
+class TestErrorCorrection:
+    def test_planted_errors_fixed(self):
+        from genometools_tpu.assembly.readjoiner import correct_reads
+        rng = np.random.default_rng(4)
+        genome = rng.integers(0, 4, 600).astype(np.uint8)
+        reads = []
+        for _ in range(60):
+            s = int(rng.integers(0, 500))
+            reads.append(genome[s:s + 100].copy())
+        # plant one error in three reads
+        for i in (3, 17, 40):
+            p = 50
+            reads[i][p] = (reads[i][p] + 1) % 4
+        rs = ReadSet(list(reads))
+        fixed, ncorr = correct_reads(rs, k=15, min_count=3)
+        assert ncorr >= 2
+        # corrected reads must match the genome again
+        ok = 0
+        for i in (3, 17, 40):
+            s = None
+            # find original source offset by first 20 error-free bases
+            for cand in range(0, 501):
+                if (genome[cand:cand + 30] == fixed.reads[i][:30]).all():
+                    s = cand
+                    break
+            if s is not None and \
+                    (genome[s:s + 100] == fixed.reads[i]).all():
+                ok += 1
+        assert ok >= 2
