@@ -622,6 +622,133 @@ def _add_seqtools(sub):
 
 
 # ---------------------------------------------------------------------------
+# annotation conversion + filtering tools
+# ---------------------------------------------------------------------------
+
+def cmd_convert_anno(args):
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.parsers import gff3_to_gtf, parse_bed, parse_gtf
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    if args.tool == "gtf_to_gff3":
+        nodes = parse_gtf(text)
+        sys.stdout.write(GFF3Writer(retainids=True).render(nodes))
+    elif args.tool == "bed_to_gff3":
+        nodes = parse_bed(text)
+        sys.stdout.write(GFF3Writer(retainids=True).render(nodes))
+    elif args.tool == "gff3_to_gtf":
+        nodes = parse_gff3(text)
+        sys.stdout.write(gff3_to_gtf(nodes))
+    return 0
+
+
+def _add_convert_anno(sub):
+    for name in ("gtf_to_gff3", "bed_to_gff3", "gff3_to_gtf"):
+        p = sub.add_parser(name, help=f"{name.replace('_', ' ')}")
+        p.add_argument("file", nargs="?", default="-")
+        p.set_defaults(func=cmd_convert_anno, tool=name)
+
+
+def cmd_select(args):
+    from .anno.genome_node import Range
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.node_stream import select_stream
+    nodes = []
+    for pth in args.files:
+        nodes.extend(parse_gff3(open(pth).read()))
+    contain = Range(args.contain[0], args.contain[1]) if args.contain         else None
+    out = list(select_stream(
+        nodes, seqid=args.seqid, typefilter=args.hastype,
+        max_gene_length=args.maxgenelength, contain=contain))
+    sys.stdout.write(GFF3Writer().render(out))
+    return 0
+
+
+def _add_select(sub):
+    p = sub.add_parser("select", help="filter GFF3 features")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-seqid", default=None)
+    p.add_argument("-hastype", default=None)
+    p.add_argument("-maxgenelength", type=int, default=None)
+    p.add_argument("-contain", nargs=2, type=int, default=None)
+    p.set_defaults(func=cmd_select)
+
+
+def cmd_merge(args):
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.node_stream import merge_stream
+    streams = [parse_gff3(open(pth).read()) for pth in args.files]
+    sys.stdout.write(GFF3Writer().render(list(merge_stream(streams))))
+    return 0
+
+
+def _add_merge(sub):
+    p = sub.add_parser("merge", help="merge sorted GFF3 files")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_merge)
+
+
+def cmd_uniq(args):
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.node_stream import sort_stream, uniq_stream
+    nodes = []
+    for pth in args.files:
+        nodes.extend(parse_gff3(open(pth).read()))
+    out = list(uniq_stream(sort_stream(nodes)))
+    sys.stdout.write(GFF3Writer().render(out))
+    return 0
+
+
+def _add_uniq(sub):
+    p = sub.add_parser("uniq", help="remove repeated feature trees")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_uniq)
+
+
+def cmd_interfeat(args):
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.node_stream import inter_feature_stream
+    nodes = []
+    for pth in args.files:
+        nodes.extend(parse_gff3(open(pth).read()))
+    out = list(inter_feature_stream(nodes, args.outside, args.inter))
+    sys.stdout.write(GFF3Writer().render(out))
+    return 0
+
+
+def _add_interfeat(sub):
+    p = sub.add_parser("interfeat", help="add inter features")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-outside", default="exon")
+    p.add_argument("-inter", default="intron")
+    p.set_defaults(func=cmd_interfeat)
+
+
+def cmd_extractfeat(args):
+    from .anno.feature_index import extract_features
+    from .anno.gff3 import parse_gff3
+    from .core.seqio import read_seqfiles, write_fasta
+    nodes = parse_gff3(open(args.gff3).read())
+    ss = read_seqfiles(args.seqfile)
+    seqs = {d.split()[0]: s.tobytes().decode("latin-1")
+            for d, s in zip(ss.descs, ss.seqs)}
+    out = extract_features(nodes, seqs, args.type, join=args.join,
+                           translate=args.translate)
+    write_fasta(sys.stdout, [x.tobytes().decode("latin-1")
+                             for x in out.seqs], out.descs)
+    return 0
+
+
+def _add_extractfeat(sub):
+    p = sub.add_parser("extractfeat", help="extract feature sequences")
+    p.add_argument("gff3")
+    p.add_argument("-seqfile", nargs="+", required=True)
+    p.add_argument("-type", default="exon")
+    p.add_argument("-join", action="store_true")
+    p.add_argument("-translate", action="store_true")
+    p.set_defaults(func=cmd_extractfeat)
+
+
+# ---------------------------------------------------------------------------
 # sketch / chain2dim / linspace_align / wtree
 # ---------------------------------------------------------------------------
 
@@ -732,7 +859,9 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
              _add_readjoiner, _add_ltrharvest, _add_packedindex,
              _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
-             _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree]
+             _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
+             _add_convert_anno, _add_select, _add_merge, _add_uniq,
+             _add_interfeat, _add_extractfeat]
 
 
 def main(argv=None):
