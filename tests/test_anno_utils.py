@@ -202,3 +202,54 @@ class TestCondenseq:
         # compression: variants linked, so far fewer unique bases
         assert len(store.uniques) == 2
         assert store.compressed_size() < ss.total_length * 0.6
+
+
+class TestAnnoDB:
+    def test_sqlite_roundtrip(self, tmp_path):
+        from genometools_tpu.anno.anno_db import AnnoDB
+        nodes = parse_gff3(
+            "##gff-version 3\n"
+            "##sequence-region   c 1 1000\n"
+            "c\t.\tgene\t100\t500\t.\t+\t.\tID=g1;Name=foo\n"
+            "c\t.\tmRNA\t100\t500\t.\t+\t.\tID=m1;Parent=g1\n"
+            "c\t.\texon\t100\t200\t.\t+\t.\tParent=m1\n"
+            "d\t.\tgene\t1\t50\t.\t-\t.\tID=g2\n")
+        db = AnnoDB(str(tmp_path / "f.db"))
+        db.add_gff3(nodes)
+        assert db.seqids() == ["c", "d"]
+        feats = db.features_for_range("c", 150, 600)
+        assert len(feats) == 1
+        g = feats[0]
+        assert g.get_attribute("Name") == "foo"
+        assert g.children[0].type == "mRNA"
+        assert g.children[0].children[0].type == "exon"
+        assert db.features_for_range("c", 600, 700) == []
+
+
+class TestTypeChecker:
+    def test_sofa_hierarchy(self):
+        from genometools_tpu.anno.anno_db import TypeChecker
+        text = open("/root/reference/gtdata/obo_files/sofa.obo").read()
+        tc = TypeChecker.from_obo(text)
+        assert tc.is_valid("gene")
+        assert tc.is_valid("exon")
+        assert not tc.is_valid("not_a_type")
+        # in SOFA, mRNA is_a transcript (transitively)
+        assert tc.is_a("mRNA", "transcript")
+        assert not tc.is_a("transcript", "mRNA")
+        bad = tc.check_nodes(parse_gff3(
+            "##gff-version 3\nc\t.\tblah\t1\t2\t.\t+\t.\t.\n"))
+        assert bad == ["blah"]
+
+
+class TestSam:
+    def test_parse_reference_sam(self):
+        from genometools_tpu.anno.anno_db import parse_sam
+        text = open("/root/reference/testdata/rcr_testreads_on_seq.sam").read()
+        alns = list(parse_sam(text))
+        assert len(alns) == 10
+        a = alns[0]
+        assert a.pos >= 0 and a.cigar
+        assert a.reference_length > 0
+        ops = a.cigar_ops()
+        assert all(op in "MIDNSHP=X" for _, op in ops)
