@@ -144,3 +144,61 @@ def matching_statistics(esa: EnhancedSuffixArray, query: Encseq):
             continue
         out[qpos] = searcher.longest_prefix_match(qcodes[qpos:])
     return out
+
+
+def approximate_search(esa: EnhancedSuffixArray, pattern: np.ndarray,
+                       max_edits: int, best_match_only: bool = False):
+    """Approximate tag matching over the index
+    (ref: `gt tagerator`, src/match/tagerator.c + idx-limdfs.c: a
+    depth-limited DFA walk over the index trie; here a DFS over
+    suffix-array intervals carrying a banded edit-distance row).
+
+    Returns rows (dbpos, length, distance): substring occurrences of the
+    whole pattern within edit distance <= max_edits. Each (interval,
+    depth) node expands per character by narrowing the suftab interval;
+    the DP row prunes branches whose minimum exceeds max_edits.
+    """
+    searcher = SuffixArraySearcher(esa)
+    m = len(pattern)
+    if m == 0:
+        return []
+    results = {}
+    init = np.arange(m + 1, dtype=np.int64)
+    maxdepth = m + max_edits
+
+    def dfs(lo, hi, depth, row):
+        if lo >= hi or depth > maxdepth:
+            return
+        if row[m] <= max_edits:
+            dist = int(row[m])
+            for pos in searcher.sa[lo:hi]:
+                key = (int(pos), depth)
+                if key not in results or results[key] > dist:
+                    results[key] = dist
+        if row.min() > max_edits:
+            return
+        for sym in range(4):
+            l2, h2 = searcher._narrow(lo, hi, depth, sym)
+            if l2 >= h2:
+                continue
+            new = np.empty(m + 1, np.int64)
+            new[0] = depth + 1
+            for j in range(1, m + 1):
+                cost = 0 if pattern[j - 1] == sym else 1
+                new[j] = min(row[j - 1] + cost, row[j] + 1, new[j - 1] + 1)
+            dfs(l2, h2, depth + 1, new)
+
+    dfs(0, len(searcher.sa), 0, init)
+    # keep, per start position, the best (shortest-distance) occurrence
+    out = []
+    best_per_pos = {}
+    for (pos, depth), dist in results.items():
+        cur = best_per_pos.get(pos)
+        if cur is None or dist < cur[1]:
+            best_per_pos[pos] = (depth, dist)
+    for pos, (depth, dist) in sorted(best_per_pos.items()):
+        out.append((pos, depth, dist))
+    if best_match_only and out:
+        dmin = min(d for _, _, d in out)
+        out = [r for r in out if r[2] == dmin]
+    return out

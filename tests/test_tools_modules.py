@@ -316,3 +316,37 @@ class TestNewStreams:
         g = [n for n in out if isinstance(n, FeatureNode)][0]
         assert len(g.children) == 1
         assert (g.children[0].range.start, g.children[0].range.end) == (1, 30)
+
+
+class TestTagerator:
+    def test_exact_and_one_error(self):
+        from genometools_tpu.match.querysearch import approximate_search
+        db = _enc("acgtacgtaaacgg")
+        esa = build_esa(db)
+        # exact
+        hits = approximate_search(esa, _codes("acgt"), 0)
+        assert [(p, d) for p, _, d in hits] == [(0, 0), (4, 0)]
+        # one substitution: "acct" matches acgt (d=1) at 0 and 4
+        hits = approximate_search(esa, _codes("acct"), 1)
+        starts = {p for p, _, d in hits}
+        assert {0, 4} <= starts
+
+    def test_matches_bruteforce(self):
+        from genometools_tpu.match.alignment import edit_distance
+        from genometools_tpu.match.querysearch import approximate_search
+        rng = np.random.default_rng(6)
+        s = "".join(rng.choice(list("acgt"), 150))
+        db = _enc(s)
+        esa = build_esa(db)
+        pat = _codes(s[40:50])
+        pat[3] = (pat[3] + 1) % 4
+        hits = approximate_search(esa, pat, 1)
+        starts = {p for p, _, d in hits}
+        # brute force: positions where some substring within distance 1
+        bf = set()
+        for i in range(len(s)):
+            for L in (len(pat) - 1, len(pat), len(pat) + 1):
+                sub = db.codes[i:i + L]
+                if len(sub) == L and edit_distance(sub, pat) <= 1:
+                    bf.add(i)
+        assert starts == bf
