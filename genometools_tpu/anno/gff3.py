@@ -309,7 +309,10 @@ class GFF3Writer:
             stack.extend(reversed(attach_children.get(id(n), [])))
         emitted_id = False
         for n in order:
-            pids = [self._alloc_id(p) for p in n.parents]
+            # Parent ids render in the parents' document order
+            # (ref: gt_gff3_addintrons_overlapping_exons golden)
+            pids = [self._alloc_id(p)
+                    for p in sorted(n.parents, key=lambda q: q.serial)]
             if pids or n.children or n.is_multi:
                 emitted_id = True
             self.lines.append(self._feature_line(n, pids))

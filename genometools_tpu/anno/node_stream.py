@@ -92,22 +92,36 @@ def select_stream(stream, seqid: str | None = None,
         yield node
 
 
+def _place_inter_features(parent, outside_type: str, inter_type: str):
+    """Shared placement walk: children in document order; an overlapping
+    boundary is skipped WITHOUT advancing the previous feature (matches
+    the reference's warning path, validated against
+    gt_gff3_addintrons_overlapping_exons_with_introns.gff3)."""
+    outs = sorted([c for c in parent.children if c.type == outside_type],
+                  key=lambda c: c.serial)
+    prev = None
+    for c in outs:
+        if prev is None:
+            prev = c
+            continue
+        if c.range.start <= prev.range.end:
+            continue  # overlapping boundary: no inter feature, keep prev
+        if c.range.start > prev.range.end + 1:
+            mid = FeatureNode(parent.seqid, inter_type, prev.range.end + 1,
+                              c.range.start - 1, c.strand, c.source)
+            parent.add_child(mid)
+        prev = c
+
+
 def add_introns_stream(stream) -> Iterator[GenomeNode]:
     """ref: add_introns_stream.c / gt gff3 -addintrons: insert intron
     features between consecutive exons of each parent."""
     for node in stream:
         if isinstance(node, FeatureNode):
             for n in node.traverse():
-                exons = sorted([c for c in n.children if c.type == "exon"],
-                               key=lambda c: c.range.start)
-                if len(exons) >= 2 and not any(
-                        c.type == "intron" for c in n.children):
-                    for a, b in zip(exons, exons[1:]):
-                        if a.range.end + 1 <= b.range.start - 1:
-                            intron = FeatureNode(
-                                n.seqid, "intron", a.range.end + 1,
-                                b.range.start - 1, a.strand, a.source)
-                            n.add_child(intron)
+                if any(c.type == "intron" for c in n.children):
+                    continue
+                _place_inter_features(n, "exon", "intron")
         yield node
 
 
@@ -118,15 +132,7 @@ def inter_feature_stream(stream, outside_type: str, inter_type: str
     for node in stream:
         if isinstance(node, FeatureNode):
             for n in node.traverse():
-                outs = sorted([c for c in n.children
-                               if c.type == outside_type],
-                              key=lambda c: c.range.start)
-                for a, b in zip(outs, outs[1:]):
-                    if a.range.end + 1 <= b.range.start - 1:
-                        mid = FeatureNode(n.seqid, inter_type,
-                                          a.range.end + 1, b.range.start - 1,
-                                          a.strand, a.source)
-                        n.add_child(mid)
+                _place_inter_features(n, outside_type, inter_type)
         yield node
 
 

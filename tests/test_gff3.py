@@ -122,3 +122,23 @@ class TestStreams:
         stats = FeatureStats()
         list(stat_stream(self._gene(), stats))
         assert stats.counts == {"gene": 1, "mRNA": 1, "exon": 2}
+
+
+class TestAddIntrons:
+    def test_addintrons_golden(self, testdata):
+        from genometools_tpu.anno.node_stream import add_introns_stream
+        nodes = list(add_introns_stream(
+            parse_gff3((testdata / "addintrons.gff3").read_text())))
+        got = GFF3Writer().render(nodes)
+        assert got == (testdata / "addintrons.out").read_text()
+
+    def test_overlapping_exons_golden(self, testdata):
+        from genometools_tpu.anno.node_stream import add_introns_stream
+        nodes = list(add_introns_stream(parse_gff3(
+            (testdata /
+             "gt_gff3_addintrons_overlapping_exons.gff3").read_text())))
+        got = GFF3Writer().render(nodes)
+        want = (testdata /
+                "gt_gff3_addintrons_overlapping_exons_with_introns.gff3"
+                ).read_text()
+        assert got == want
