@@ -198,11 +198,16 @@ def parse_gff3(text: str, checkids: bool = False,
             nodes.append(node)
 
     flush_fasta()
+    return add_missing_regions(nodes, set(regions))
 
-    # synthesize ##sequence-region directives for seqids that lack one,
-    # placed before the first feature of that seqid
-    # (ref: gff3 in-stream region creation, gt_gff3_prob_10.out)
-    have = set(regions)
+
+def add_missing_regions(nodes: list[GenomeNode],
+                        have: set | None = None) -> list[GenomeNode]:
+    """Synthesize ##sequence-region directives for seqids that lack one,
+    placed before the first feature of that seqid
+    (ref: gff3 in-stream region creation, gt_gff3_prob_10.out)."""
+    if have is None:
+        have = {n.seqid for n in nodes if isinstance(n, RegionNode)}
     span: dict[str, Range] = {}
     for n in nodes:
         if isinstance(n, FeatureNode) and n.seqid not in have:

@@ -5,7 +5,7 @@ import pytest
 
 from genometools_tpu.anno.feature_index import FeatureIndex, extract_features
 from genometools_tpu.anno.genome_node import FeatureNode
-from genometools_tpu.anno.gff3 import gff3_to_string, parse_gff3
+from genometools_tpu.anno.gff3 import GFF3Writer, gff3_to_string, parse_gff3
 from genometools_tpu.anno.parsers import gff3_to_gtf, parse_bed, parse_gtf
 from genometools_tpu.utils.hmm import HMM, coin_hmm_loaded, dice_hmm_loaded
 from genometools_tpu.utils.structures import (BloomFilter,
@@ -24,7 +24,8 @@ BED = """chr1\t99\t400\tfeat1\t900\t+\t149\t400\t0\t2\t101,101\t0,200
 
 class TestParsers:
     def test_gtf(self):
-        genes = parse_gtf(GTF)
+        nodes = parse_gtf(GTF)
+        genes = [n for n in nodes if isinstance(n, FeatureNode)]
         assert len(genes) == 1
         g = genes[0]
         assert g.type == "gene" and g.range.start == 100 and \
@@ -34,22 +35,22 @@ class TestParsers:
         assert sorted(c.type for c in t.children) == ["CDS", "exon", "exon"]
 
     def test_gtf_roundtrip(self):
-        genes = parse_gtf(GTF)
+        genes = [n for n in parse_gtf(GTF) if isinstance(n, FeatureNode)]
         text = gff3_to_gtf(genes)
-        genes2 = parse_gtf(text)
+        genes2 = [n for n in parse_gtf(text) if isinstance(n, FeatureNode)]
         assert len(genes2) == 1
         assert len(genes2[0].children[0].children) == 3
 
     def test_bed(self):
-        feats = parse_bed(BED)
+        feats = [n for n in parse_bed(BED) if isinstance(n, FeatureNode)]
         assert len(feats) == 1
         f = feats[0]
         assert f.range.start == 100 and f.range.end == 400
-        exons = [c for c in f.children if c.type == "exon"]
-        assert len(exons) == 2
-        assert exons[0].range.start == 100
-        cds = [c for c in f.children if c.type == "CDS"]
-        assert cds[0].range.start == 150
+        blocks = [c for c in f.children if c.type == "BED_block"]
+        assert len(blocks) == 2
+        assert blocks[0].range.start == 100
+        thick = [c for c in f.children if c.type == "BED_thick_feature"]
+        assert thick[0].range.start == 150
 
 
 class TestFeatureIndex:
@@ -253,3 +254,41 @@ class TestSam:
         assert a.reference_length > 0
         ops = a.cigar_ops()
         assert all(op in "MIDNSHP=X" for _, op in ops)
+
+
+class TestConversionGoldens:
+    def test_bed_goldens(self, testdata):
+        """gt bed_to_gff3 vs the testdata/bed_files corpus. Content must
+        match on every file; byte-exactness holds except for multi-seqid
+        region ordering (C-hashmap order in the reference)."""
+        import os
+        bd = testdata / "bed_files"
+        exact = srt = n = 0
+        for f in sorted(os.listdir(bd)):
+            if not f.endswith(".bed"):
+                continue
+            n += 1
+            got = GFF3Writer().render(parse_bed((bd / f).read_text()))
+            want = (bd / f.replace(".bed", ".gff3")).read_text()
+            exact += got == want
+            srt += sorted(got.splitlines()) == sorted(want.splitlines())
+        assert n == 12 and srt == 12 and exact >= 7
+
+    def test_gtf_golden_normalized(self, testdata):
+        """gt gtf_to_gff3 golden; gene/mRNA numbering follows the C
+        hashmap in the reference, so numbers are normalized away."""
+        import re
+        got = GFF3Writer().render(parse_gtf(
+            (testdata / "gt_gtf_to_gff3_test.gtf").read_text()))
+        want = (testdata / "gt_gtf_to_gff3_test.gff3").read_text()
+
+        def norm(text):
+            return sorted(re.sub(r"\b(gene|mRNA)\d+\b", r"\1#", l)
+                          for l in text.splitlines())
+
+        assert norm(got) == norm(want)
+
+    def test_gtf_stop_codon_no_flank_errors(self, testdata):
+        with pytest.raises(ValueError, match="with no flanking CDS"):
+            parse_gtf((testdata /
+                       "gt_gtf_to_gff3_test_fail_no_flank.gtf").read_text())
