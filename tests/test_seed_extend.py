@@ -195,3 +195,34 @@ class TestXdropBatch:
         i, j, s = xdrop_extend_batch([u, u], [u.copy(), w], 6)
         assert (i[0], j[0]) == (80, 80)
         assert s[1] <= 4
+
+
+class TestAt1MBScale:
+    def test_seedpair_list_matches_golden(self, testdata):
+        """gt seed_extend -verify -debug-seedpair -memlimit 10MB -ii at1MB
+        -only-seeds -no-reverse -seedlength 14 => maxfreq 3, 50496 seeds
+        (testsuite gt_seed_extend_include.rb at1MB memlimit test)."""
+        e = Encseq.from_files([str(testdata / "at1MB")])
+        al = enumerate_kmers(e, 14, revcomp=False)
+        aseq, bseq, bpos, apos = build_seed_pairs(
+            al, al, True, 3, inseqseeds=True, mindist=14)
+        got = [f"# SeedPair ({a},{b},{ap},{bp})"
+               for a, b, bp, ap in zip(aseq, bseq, bpos, apos)]
+        want = [l.strip() for l in gzip.open(
+            str(testdata / "seedextend2.out.gz"), "rt")]
+        assert got == want  # 50496 pairs, exact order
+
+    def test_kmer_and_seed_counts(self, testdata):
+        """-v log counts from the reference testsuite: 622939 10-mers;
+        maxfreq 5 => 305756 forward-strand seeds."""
+        e = Encseq.from_files([str(testdata / "at1MB")])
+        al = enumerate_kmers(e, 10, revcomp=False)
+        assert al[0].size == 622939
+        aseq, bseq, bpos, apos = build_seed_pairs(
+            al, al, True, 5, inseqseeds=True, mindist=10)
+        assert aseq.size == 305756
+        bl = enumerate_kmers(e, 10, revcomp=True)
+        # reverse strand uses seedpairdistance.start = 0
+        aseq2, *_ = build_seed_pairs(al, bl, True, 5, inseqseeds=True,
+                                     mindist=0)
+        assert aseq2.size == 235705
