@@ -350,3 +350,21 @@ class TestTagerator:
                 if len(sub) == L and edit_distance(sub, pat) <= 1:
                     bf.add(i)
         assert starts == bf
+
+
+class TestLinspaceShow:
+    def test_global_goldens(self, testdata):
+        """gt dev linspace_align -ff ... -global -l 0 1 1 goldens (the
+        reference diffs case-insensitively)."""
+        from genometools_tpu.core.seqio import read_seqfile
+        from genometools_tpu.match.align_show import linspace_align_files
+        s1 = read_seqfile(str(testdata / "Ecoli-section1.fna"))
+        s2 = read_seqfile(str(testdata / "Ecoli-section2.fna"))
+        us = [x.tobytes().decode().lower() for x in s1.seqs]
+        vs = [x.tobytes().decode().lower() for x in s2.seqs]
+        g1 = linspace_align_files(us, vs, "global", (0, 1, 1))
+        w1 = (testdata / "gt_linspace_align_global_test_1.out").read_text()
+        assert g1.lower() == w1.lower()
+        g2 = linspace_align_files(vs, us, "global", (0, 1, 1))
+        w2 = (testdata / "gt_linspace_align_global_test_2.out").read_text()
+        assert g2.lower() == w2.lower()
