@@ -74,10 +74,14 @@ def xdrop_extend_batch_impl(U, V, ulen, vlen, belowscore, W: int, D: int):
     def EVAL(ij, d):
         return ij - 3 * d
 
-    def lcp_at(row_i, n_idx=None):
-        """gather R[n, k, min(i, W)] with i==W -> 0."""
-        i_safe = jnp.clip(row_i, 0, W - 1)
-        vals = jnp.take_along_axis(R, i_safe[:, :, None], axis=2)[:, :, 0]
+    w_iota = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+
+    def lcp_at(row_i):
+        """R[n, k, i] via one-hot multiply-reduce — per-lane gathers are
+        slow on TPU; an elementwise select + reduction over W rides the
+        VPU instead."""
+        onehot = (row_i[:, :, None] == w_iota)
+        vals = jnp.sum(jnp.where(onehot, R, 0), axis=2)
         return jnp.where((row_i >= 0) & (row_i < W), vals, 0)
 
     # phase 0
@@ -122,8 +126,9 @@ def xdrop_extend_batch_impl(U, V, ulen, vlen, belowscore, W: int, D: int):
         j_new = i_new - kk
         # X-drop prune
         prevd = d - dback
-        tref = jnp.take_along_axis(
-            bigt, jnp.full((N, 1), jnp.clip(prevd, 0, D + 1)), axis=1)[:, 0]
+        tref = jnp.sum(jnp.where(
+            jnp.arange(D + 2)[None, :] == jnp.clip(prevd, 0, D + 1),
+            bigt, 0), axis=1)
         pruned = (prevd > 0) & has & \
             (EVAL(i_new + j_new, d) < tref[:, None] - belowscore)
         i_new = jnp.where(pruned, NEGINF, i_new)
