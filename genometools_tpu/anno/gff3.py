@@ -35,9 +35,11 @@ def _unescape(s: str) -> str:
 
 
 def _escape_attr(s: str) -> str:
+    # the reference escapes control chars, %, ; and = but leaves commas
+    # (ref: Target lists in U89959_csas.gff3)
     out = []
     for ch in s:
-        if ch in "=;,&\t\n%" or ord(ch) < 0x20:
+        if ch in "=;&\t\n%" or ord(ch) < 0x20:
             out.append("%%%02X" % ord(ch))
         else:
             out.append(ch)

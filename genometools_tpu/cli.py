@@ -673,6 +673,22 @@ def _add_select(sub):
     p.set_defaults(func=cmd_select)
 
 
+def cmd_csa(args):
+    from .anno.csa import csa
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    nodes = csa(parse_gff3(text), join_length=args.join_length)
+    sys.stdout.write(GFF3Writer().render(nodes))
+    return 0
+
+
+def _add_csa(sub):
+    p = sub.add_parser("csa", help="consensus spliced alignments")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-join-length", dest="join_length", type=int, default=300)
+    p.set_defaults(func=cmd_csa)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -861,7 +877,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
-             _add_interfeat, _add_extractfeat]
+             _add_interfeat, _add_extractfeat, _add_csa]
 
 
 def main(argv=None):

@@ -142,3 +142,30 @@ class TestAddIntrons:
                 "gt_gff3_addintrons_overlapping_exons_with_introns.gff3"
                 ).read_text()
         assert got == want
+
+
+class TestCSA:
+    @pytest.mark.parametrize("i", range(1, 7))
+    def test_prob_goldens(self, testdata, i):
+        from genometools_tpu.anno.csa import csa
+        nodes = parse_gff3((testdata / f"gt_csa_prob_{i}.in").read_text())
+        got = GFF3Writer().render(csa(nodes))
+        assert got == (testdata / f"gt_csa_prob_{i}.out").read_text()
+
+    def test_u89959_golden(self, testdata):
+        from genometools_tpu.anno.csa import csa
+        nodes = parse_gff3((testdata / "U89959_sas.gff3").read_text())
+        got = GFF3Writer().render(csa(nodes))
+        assert got == (testdata / "U89959_csas.gff3").read_text()
+
+    def test_unsorted_errors(self):
+        from genometools_tpu.anno.csa import csa
+        nodes = parse_gff3(
+            "##gff-version 3\n"
+            "c\t.\tgene\t100\t200\t.\t+\t.\tID=g1\n"
+            "c\t.\texon\t100\t200\t.\t+\t.\tParent=g1\n"
+            "###\n"
+            "c\t.\tgene\t1\t50\t.\t+\t.\tID=g2\n"
+            "c\t.\texon\t1\t50\t.\t+\t.\tParent=g2\n")
+        with pytest.raises(ValueError, match="is not sorted"):
+            csa(nodes)
