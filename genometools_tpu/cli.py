@@ -689,6 +689,36 @@ def _add_csa(sub):
     p.set_defaults(func=cmd_csa)
 
 
+def cmd_eval(args):
+    """gt eval (ref: src/tools/gt_eval.c)."""
+    from .anno.eval import evaluate
+    from .anno.gff3 import parse_gff3
+    reality = parse_gff3(open(args.reality).read()
+                         if args.reality != "-" else sys.stdin.read())
+    prediction = parse_gff3(open(args.prediction).read()
+                            if args.prediction != "-" else sys.stdin.read())
+    try:
+        sys.stdout.write(evaluate(
+            reality, prediction, nuceval=args.nuc == "yes",
+            evalLTR=args.ltr, LTRdelta=args.ltrdelta,
+            reality_name=args.reality, prediction_name=args.prediction))
+    except ValueError as e:
+        print(f"gt eval: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _add_eval(sub):
+    p = sub.add_parser("eval", help="evaluate gene predictions against "
+                       "reference annotation")
+    p.add_argument("reality")
+    p.add_argument("prediction")
+    p.add_argument("-nuc", choices=["yes", "no"], default="yes")
+    p.add_argument("-ltr", action="store_true")
+    p.add_argument("-ltrdelta", type=int, default=20)
+    p.set_defaults(func=cmd_eval)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -877,7 +907,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
-             _add_interfeat, _add_extractfeat, _add_csa]
+             _add_interfeat, _add_extractfeat, _add_csa, _add_eval]
 
 
 def main(argv=None):
