@@ -719,6 +719,41 @@ def _add_eval(sub):
     p.set_defaults(func=cmd_eval)
 
 
+def cmd_cds(args):
+    """gt cds (ref: src/tools/gt_cds.c)."""
+    from .anno.cds import RegionMapping, add_cds
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    try:
+        mapping = RegionMapping.from_file(args.seqfile,
+                                          matchdesc=args.matchdesc,
+                                          usedesc=args.usedesc)
+        nodes = add_cds(parse_gff3(text), mapping,
+                        minorflen=args.minorflen,
+                        start_codon=args.startcodon == "yes",
+                        final_stop_codon=args.finalstopcodon == "yes",
+                        filename=args.file)
+    except ValueError as e:
+        print(f"gt cds: error: {e}", file=sys.stderr)
+        return 1
+    sys.stdout.write(GFF3Writer().render(nodes))
+    return 0
+
+
+def _add_cds(sub):
+    p = sub.add_parser("cds", help="add CDS features to exon features")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-seqfile", required=True)
+    p.add_argument("-matchdesc", action="store_true")
+    p.add_argument("-usedesc", action="store_true")
+    p.add_argument("-minorflen", type=int, default=64)
+    p.add_argument("-startcodon", nargs="?", const="yes",
+                   choices=["yes", "no"], default="no")
+    p.add_argument("-finalstopcodon", nargs="?", const="yes",
+                   choices=["yes", "no"], default="no")
+    p.set_defaults(func=cmd_cds)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -907,7 +942,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
-             _add_interfeat, _add_extractfeat, _add_csa, _add_eval]
+             _add_interfeat, _add_extractfeat, _add_csa, _add_eval,
+             _add_cds]
 
 
 def main(argv=None):
