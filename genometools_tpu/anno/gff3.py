@@ -74,6 +74,11 @@ def parse_gff3(text: str, checkids: bool = False,
     parents) appear in the returned list (their subtrees hang off
     .children) — the reference's in-stream delivers the same shape.
     """
+    # the reference's line reader discards a final line that is not
+    # newline-terminated (ref: core/str.c:268 gt_str_read_next_line
+    # returns EOF without delivering the partial buffer)
+    if text and not text.endswith(("\n", "\r")):
+        text = text[:text.rfind("\n") + 1]
     nodes: list[GenomeNode] = []
     id_map: dict[str, FeatureNode] = {}
     regions: dict[str, RegionNode] = {}
@@ -170,6 +175,7 @@ def parse_gff3(text: str, checkids: bool = False,
                            _unescape(source), score, phase)
         serial += 1
         node.serial = serial
+        node.line_number = line_no
         node.attributes = {k: _unescape(v) for k, v in attrs.items()}
         # declared sequence-regions must contain their features
         # (ref: gff3_parser.c "is not contained in sequence region" check)
@@ -200,7 +206,120 @@ def parse_gff3(text: str, checkids: bool = False,
             nodes.append(node)
 
     flush_fasta()
+    check_cds_phases(nodes, tidy=not strict)
     return add_missing_regions(nodes, set(regions))
+
+
+def check_cds_phases(nodes: list[GenomeNode], tidy: bool = False,
+                     filename: str = "input") -> None:
+    """Validate (or, with tidy, fix) CDS phases per parent feature
+    (ref: src/extended/cds_check_visitor.c check_cds_phases; wired into
+    every GFF3 in-stream via cds_check_stream, gff3_in_stream.c).
+
+    Non-multi CDS children of one parent form one chain; multi-features
+    (shared ID) are grouped by representative.  Reverse-strand chains
+    are checked in transcript order.  A CDS reachable from multiple
+    parents that needs different phases is split per parent in tidy
+    mode (ref: split_cds_feature) and an error otherwise.
+    """
+    import warnings
+
+    def check_group(group: list[FeatureNode], is_multi: bool,
+                    seen: set[int], to_split: dict) -> None:
+        if group and group[0].strand == "-":
+            group = group[::-1]
+        correct = 0
+        first = True
+        total = 0
+        for i, fn in enumerate(group):
+            ph = fn.phase
+            ln = getattr(fn, "line_number", 0)
+            if (i == 0 and ph == ".") or (i and ph != str(correct)):
+                if id(fn) in seen:
+                    # CDS with multiple parents requiring different
+                    # phases: split it per parent in tidy mode
+                    if tidy and not is_multi and not fn.children:
+                        warnings.warn(
+                            f'CDS feature on line {ln} in file '
+                            f'"{filename}" has multiple parents which '
+                            f"require different phases; split feature")
+                        to_split[id(fn)] = fn
+                    else:
+                        raise GFF3Error(
+                            f'CDS feature on line {ln} in file '
+                            f'"{filename}" has multiple parents which '
+                            f"require different phases")
+                elif tidy:
+                    warnings.warn(
+                        f'CDS feature on line {ln} in file "{filename}" '
+                        f"has the wrong phase {ph} -> correcting it to "
+                        f"{correct}")
+                    fn.phase = str(correct)
+                else:
+                    raise GFF3Error(
+                        f'CDS feature on line {ln} in file "{filename}" '
+                        f"has the wrong phase {ph} (should be {correct})")
+            length = fn.range.length
+            if first:
+                cur_phase = int(fn.phase) if fn.phase in "012" else 0
+                if length >= cur_phase:
+                    # 5' partial genes: skip the phase bases
+                    first = False
+                    total = length - cur_phase
+                    correct = (3 - total % 3) % 3
+                else:
+                    # corner case: first CDS shorter than its phase
+                    correct = 1
+            else:
+                total += length
+                correct = (3 - total % 3) % 3
+            seen.add(id(fn))
+
+    def run_pass(top: FeatureNode, to_split: dict) -> None:
+        seen: set[int] = set()
+        for parent in top.traverse():
+            kids = sorted(
+                (c for c in parent.children if c.type == "CDS"),
+                key=lambda c: (c.range.start, c.range.end, c.serial))
+            if not kids:
+                continue
+            plain = [c for c in kids if not c.is_multi]
+            if plain:
+                check_group(plain, False, seen, to_split)
+            multi: dict[int, list[FeatureNode]] = {}
+            for c in kids:
+                if c.is_multi:
+                    rep = c.multi_representative or c
+                    multi.setdefault(id(rep), []).append(c)
+            for group in multi.values():
+                check_group(group, True, seen, to_split)
+
+    def split(top: FeatureNode, fn: FeatureNode) -> None:
+        """Give every parent its own copy; the first (tree-order) parent
+        keeps the original (ref: cds_check_visitor.c split_cds_feature).
+        """
+        parents = [p for p in top.traverse() if fn in p.children]
+        for p in parents[1:]:
+            c = FeatureNode(fn.seqid, fn.type, fn.range.start,
+                            fn.range.end, fn.strand, fn.source, fn.score,
+                            fn.phase)
+            c.attributes = dict(fn.attributes)
+            c.serial = fn.serial
+            c.line_number = getattr(fn, "line_number", 0)
+            p.children[p.children.index(fn)] = c
+            c.parents = [p]
+            fn.parents.remove(p)
+
+    for top in nodes:
+        if not isinstance(top, FeatureNode):
+            continue
+        while True:
+            to_split: dict = {}
+            run_pass(top, to_split)
+            if not to_split:
+                break
+            for fn in to_split.values():
+                split(top, fn)
 
 
 def add_missing_regions(nodes: list[GenomeNode],
@@ -268,7 +387,8 @@ class GFF3Writer:
 
     def _attr_string(self, node: FeatureNode, parent_ids: list[str]) -> str:
         parts = []
-        needs_id = bool(node.children) or node.is_multi
+        needs_id = bool(node.children) or node.is_multi or \
+            (self.retainids and node.get_attribute("ID") is not None)
         if needs_id and node.multi_representative is None:
             parts.append("ID=" + _escape_attr(self._alloc_id(node)))
         elif node.multi_representative is not None:

@@ -169,3 +169,57 @@ class TestCSA:
             "c\t.\texon\t1\t50\t.\t+\t.\tParent=g2\n")
         with pytest.raises(ValueError, match="is not sorted"):
             csa(nodes)
+
+
+class TestCDSPhaseCheck:
+    """ref: cds_check_visitor.c via the gff3 in-stream
+    (testsuite/gt_gff3_include.rb cds_check section)."""
+
+    @pytest.mark.parametrize("i", range(1, 13))
+    def test_succ(self, testdata, i):
+        parse_gff3((testdata / f"cds_check_succ_{i}.gff3").read_text())
+
+    @pytest.mark.parametrize("i,msg", [
+        (1, r"has the wrong phase 1 \(should be 0\)"),
+        (2, r"has the wrong phase 2 \(should be 1\)"),
+        (3, r"has the wrong phase 0 \(should be 2\)"),
+        (4, r"has the wrong phase 0 \(should be 1\)"),
+    ])
+    def test_fail(self, testdata, i, msg):
+        with pytest.raises(GFF3Error, match=msg):
+            parse_gff3((testdata / f"cds_check_fail_{i}.gff3").read_text())
+
+    @pytest.mark.parametrize("inf,outf", [
+        ("cds_check_fail_1.gff3", "cds_check_succ_1.gff3"),
+        ("cds_check_fail_2.gff3", "cds_check_succ_5.gff3"),
+        ("cds_check_fail_3.gff3", "cds_check_succ_9.gff3"),
+        ("cds_check_fail_4.gff3", "cds_check_succ_12.gff3"),
+        ("cds_feature_with_multiple_parents.gff3",
+         "cds_feature_with_multiple_parents_tidied.gff3"),
+        ("cds_with_multiple_parents_1.gff3",
+         "cds_with_multiple_parents_1_tidied.gff3"),
+        ("cds_with_multiple_parents_2.gff3",
+         "cds_with_multiple_parents_2_tidied.gff3"),
+        ("gt_gff3_phases2.gff3", "gt_gff3_phases1.out"),
+    ])
+    def test_tidy(self, testdata, inf, outf):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            nodes = parse_gff3((testdata / inf).read_text(), strict=False)
+        got = GFF3Writer().render(nodes)
+        assert got == (testdata / outf).read_text()
+
+    def test_tidy_retainids(self, testdata):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            nodes = parse_gff3(
+                (testdata / "gt_gff3_phases3.gff3").read_text(),
+                strict=False)
+        got = GFF3Writer(retainids=True).render(nodes)
+        assert got == (testdata / "gt_gff3_phases3.out").read_text()
+
+    @pytest.mark.parametrize("i", [1, 4, 5, 6, 7])
+    def test_short_exon_corner_cases_pass(self, testdata, i):
+        parse_gff3((testdata / f"gt_gff3_phases{i}.gff3").read_text())
