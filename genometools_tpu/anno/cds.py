@@ -87,6 +87,20 @@ class RegionMapping:
                    [s.tobytes().decode("latin-1") for s in ss.seqs],
                    matchdesc=matchdesc, usedesc=usedesc)
 
+    @classmethod
+    def from_encseq(cls, indexname: str, matchdesc: bool = False,
+                    usedesc: bool = False) -> "RegionMapping":
+        """ref: region_mapping.c gt_region_mapping_new_encseq."""
+        from ..core.encseq import Encseq
+        e = Encseq.load(indexname)
+        seqs = []
+        for i in range(e.num_sequences):
+            start = int(e.seq_startpos(i))
+            seqs.append(e.extract_decoded(start,
+                                          start + int(e.seq_length(i)) - 1))
+        return cls(list(e.descs), seqs, matchdesc=matchdesc,
+                   usedesc=usedesc)
+
     def _grep_desc(self, seqid: str) -> int:
         if seqid in self._grep_cache:
             return self._grep_cache[seqid]

@@ -754,6 +754,86 @@ def _add_cds(sub):
     p.set_defaults(func=cmd_cds)
 
 
+def _region_mapping(args):
+    from .anno.cds import RegionMapping
+    if getattr(args, "encseq", None):
+        return RegionMapping.from_encseq(args.encseq,
+                                         matchdesc=args.matchdesc,
+                                         usedesc=args.usedesc)
+    return RegionMapping.from_file(args.seqfile, matchdesc=args.matchdesc,
+                                   usedesc=args.usedesc)
+
+
+def cmd_splicesiteinfo(args):
+    """gt splicesiteinfo (ref: src/tools/gt_splicesiteinfo.c)."""
+    from .anno.gff3 import parse_gff3
+    from .anno.splicesite import splice_site_info
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    try:
+        report = splice_site_info(parse_gff3(text), _region_mapping(args),
+                                  addintrons=args.addintrons)
+    except ValueError as e:
+        print(f"gt splicesiteinfo: error: {e}", file=sys.stderr)
+        return 1
+    if report is None:
+        print("warning: input file(s) contained no intron, use option "
+              "-addintrons to add introns automatically", file=sys.stderr)
+    else:
+        sys.stdout.write(report)
+    return 0
+
+
+def _add_splicesiteinfo(sub):
+    p = sub.add_parser("splicesiteinfo",
+                       help="show splice site info for introns")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-seqfile")
+    p.add_argument("-encseq")
+    p.add_argument("-matchdesc", action="store_true")
+    p.add_argument("-usedesc", action="store_true")
+    p.add_argument("-addintrons", action="store_true")
+    p.set_defaults(func=cmd_splicesiteinfo)
+
+
+def cmd_orffinder(args):
+    """gt orffinder (ref: src/tools/gt_orffinder.c)."""
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.orffinder import find_orfs
+    if args.min < 30:
+        print("gt orffinder: error: argument to option \"-min\" must be "
+              "an integer >= 30", file=sys.stderr)
+        return 1
+    if args.min > args.max:
+        print("gt orffinder: error: Value for -min must be larger than "
+              "-max", file=sys.stderr)
+        return 1
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    try:
+        nodes = find_orfs(parse_gff3(text), _region_mapping(args),
+                          types=set(args.types) if args.types else None,
+                          min_len=args.min, max_len=args.max,
+                          all_orfs=args.allorfs)
+    except ValueError as e:
+        print(f"gt orffinder: error: {e}", file=sys.stderr)
+        return 1
+    sys.stdout.write(GFF3Writer().render(nodes))
+    return 0
+
+
+def _add_orffinder(sub):
+    p = sub.add_parser("orffinder", help="find ORFs in annotated features")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-types", nargs="+", default=None)
+    p.add_argument("-allorfs", action="store_true")
+    p.add_argument("-min", type=int, default=30)
+    p.add_argument("-max", type=int, default=10000)
+    p.add_argument("-seqfile")
+    p.add_argument("-encseq")
+    p.add_argument("-matchdesc", action="store_true")
+    p.add_argument("-usedesc", action="store_true")
+    p.set_defaults(func=cmd_orffinder)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -943,7 +1023,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
              _add_interfeat, _add_extractfeat, _add_csa, _add_eval,
-             _add_cds]
+             _add_cds, _add_splicesiteinfo, _add_orffinder]
 
 
 def main(argv=None):

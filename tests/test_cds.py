@@ -115,3 +115,66 @@ class TestOrfUnit:
 
     def test_frame_offset(self):
         assert determine_orfs("MG*", 2, True, True) == [(2, 10)]
+
+
+class TestSpliceSiteInfo:
+    """ref: testsuite/gt_splicesiteinfo_include.rb."""
+
+    @pytest.mark.parametrize("i,addintrons", [(1, False), (2, False),
+                                              (4, False), (5, True)])
+    def test_goldens(self, testdata, i, addintrons):
+        from genometools_tpu.anno.splicesite import splice_site_info
+        nodes = parse_gff3(
+            (testdata / f"gt_splicesiteinfo_test_{i}.gff3").read_text())
+        rm = RegionMapping.from_file(
+            str(testdata / f"gt_splicesiteinfo_test_{i}.fas"),
+            matchdesc=True)
+        got = splice_site_info(nodes, rm, addintrons=addintrons)
+        assert got == \
+            (testdata / f"gt_splicesiteinfo_test_{i}.out").read_text()
+
+    def test_unknown_orientation_warns(self, testdata):
+        import warnings
+        from genometools_tpu.anno.splicesite import splice_site_info
+        nodes = parse_gff3(
+            (testdata / "gt_splicesiteinfo_test_3.gff3").read_text())
+        rm = RegionMapping.from_file(
+            str(testdata / "gt_splicesiteinfo_test_1.fas"), matchdesc=True)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            splice_site_info(nodes, rm)
+        assert any("unknown orientation" in str(x.message) for x in w)
+
+    def test_no_introns_returns_none(self, testdata):
+        from genometools_tpu.anno.splicesite import splice_site_info
+        nodes = parse_gff3((testdata / "gt_cds_test_1.in").read_text())
+        rm = RegionMapping.from_file(str(testdata / "gt_cds_test_1.fas"),
+                                     matchdesc=True)
+        assert splice_site_info(nodes, rm) is None
+
+
+class TestOrfFinder:
+    """ref: testsuite/gt_orffinder_include.rb + orf_iterator.c."""
+
+    def test_orf_iterator(self):
+        from genometools_tpu.anno.orffinder import orf_iterator
+        # atg gga taa -> ORF [0, 5] frame 0 (stop codon excluded)
+        assert list(orf_iterator("atgggataa")) == [(0, 5, 0)]
+        # no stop codon -> no ORF
+        assert list(orf_iterator("atggga")) == []
+
+    def test_u89959_reading_frames(self, testdata):
+        from genometools_tpu.anno.orffinder import find_orfs
+        from genometools_tpu.anno.gff3 import GFF3Writer
+        nodes = parse_gff3((testdata / "U89959_cds.gff3").read_text())
+        rm = RegionMapping.from_file(str(testdata / "U89959_genomic.fas"),
+                                     matchdesc=True)
+        out = GFF3Writer().render(find_orfs(nodes, rm, types={"gene"}))
+        assert "reading_frame" in out
+        # every ORF lies inside its parent and is >= 30nt
+        for line in out.splitlines():
+            cols = line.split("\t")
+            if len(cols) == 9 and cols[2] == "reading_frame":
+                assert cols[1] == "GenomeTools"
+                assert int(cols[4]) - int(cols[3]) + 1 >= 30
+                assert "frame=" in cols[8]
