@@ -834,6 +834,56 @@ def _add_orffinder(sub):
     p.set_defaults(func=cmd_orffinder)
 
 
+def cmd_seqorder(args):
+    """gt seqorder (ref: src/tools/gt_seqorder.c)."""
+    from .core.encseq import Encseq
+    from .utils.seqorder import render_fasta, seqorder_permutation
+    modes = [m for m in ("sort", "revsort", "sorthdr", "sorthdrnum",
+                         "sortlength", "invert", "shuffle")
+             if getattr(args, m)]
+    if len(modes) != 1:
+        print("gt seqorder: error: exactly one of -invert|-sort|-revsort|"
+              "-shuffle|-sorthdr|-sorthdrnum|-sortlength is mandatory",
+              file=sys.stderr)
+        return 1
+    try:
+        encseq = Encseq.load(args.index)
+    except (FileNotFoundError, OSError):
+        from .core.seqio import read_seqfile
+        encseq = Encseq.from_seqset(read_seqfile(args.index))
+    sys.stdout.write(render_fasta(encseq,
+                                  seqorder_permutation(encseq, modes[0])))
+    return 0
+
+
+def _add_seqorder(sub):
+    p = sub.add_parser("seqorder", help="output sequences of an encseq "
+                       "in a given order")
+    p.add_argument("index")
+    for m in ("sort", "revsort", "sorthdr", "sorthdrnum", "sortlength",
+              "invert", "shuffle"):
+        p.add_argument(f"-{m}", action="store_true")
+    p.set_defaults(func=cmd_seqorder)
+
+
+def cmd_regioncov(args):
+    """gt dev regioncov (ref: src/tools/gt_regioncov.c)."""
+    from .anno.gff3 import parse_gff3
+    from .anno.regioncov import region_coverage
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    sys.stdout.write(region_coverage(parse_gff3(text),
+                                     args.maxfeaturedist))
+    return 0
+
+
+def _add_regioncov(sub):
+    p = sub.add_parser("regioncov", help="show region parts covered by "
+                       "features")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-maxfeaturedist", type=int, default=0)
+    p.set_defaults(func=cmd_regioncov)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1023,7 +1073,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
              _add_interfeat, _add_extractfeat, _add_csa, _add_eval,
-             _add_cds, _add_splicesiteinfo, _add_orffinder]
+             _add_cds, _add_splicesiteinfo, _add_orffinder,
+             _add_seqorder, _add_regioncov]
 
 
 def main(argv=None):

@@ -368,3 +368,56 @@ class TestLinspaceShow:
         g2 = linspace_align_files(vs, us, "global", (0, 1, 1))
         w2 = (testdata / "gt_linspace_align_global_test_2.out").read_text()
         assert g2.lower() == w2.lower()
+
+
+class TestSeqorder:
+    """ref: testsuite/gt_seqorder_include.rb."""
+
+    def _encseq(self, testdata):
+        from genometools_tpu.core.encseq import Encseq
+        from genometools_tpu.core.seqio import read_seqfile
+        return Encseq.from_seqset(
+            read_seqfile(str(testdata / "gt_seqorder_test.fas")))
+
+    @pytest.mark.parametrize("mode,golden", [
+        ("sort", "gt_seqorder_test_sort.fas"),
+        ("revsort", "gt_seqorder_test_revsort.fas"),
+        ("sorthdr", "gt_seqorder_test_sorthdr.fas"),
+        ("sorthdrnum", "gt_seqorder_test.fas"),
+    ])
+    def test_goldens(self, testdata, mode, golden):
+        from genometools_tpu.utils.seqorder import (render_fasta,
+                                                    seqorder_permutation)
+        e = self._encseq(testdata)
+        got = render_fasta(e, seqorder_permutation(e, mode))
+        assert got == (testdata / golden).read_text()
+
+    def test_sortlength_descending(self, testdata):
+        from genometools_tpu.utils.seqorder import seqorder_permutation
+        e = self._encseq(testdata)
+        lens = [int(e.seq_length(i))
+                for i in seqorder_permutation(e, "sortlength")]
+        assert lens == sorted(lens, reverse=True)
+
+    def test_invert_roundtrip(self, testdata):
+        from genometools_tpu.utils.seqorder import seqorder_permutation
+        e = self._encseq(testdata)
+        inv = seqorder_permutation(e, "invert")
+        assert [inv[i] for i in inv[::-1]] == inv[::-1][::-1]
+        assert inv == list(range(e.num_sequences))[::-1]
+
+
+class TestRegioncov:
+    """ref: testsuite/gt_regioncov_include.rb."""
+
+    @pytest.mark.parametrize("dist,golden", [
+        (0, "gt_regioncov_test_1.out"),
+        (220000, "gt_regioncov_test_2.out"),
+    ])
+    def test_goldens(self, testdata, dist, golden):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        from genometools_tpu.anno.regioncov import region_coverage
+        nodes = parse_gff3(
+            (testdata / "encode_known_genes_Mar07.gff3").read_text())
+        got = region_coverage(nodes, dist)
+        assert got == (testdata / golden).read_text()
