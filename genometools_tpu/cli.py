@@ -884,6 +884,104 @@ def _add_regioncov(sub):
     p.set_defaults(func=cmd_regioncov)
 
 
+def cmd_magicmatch(args):
+    """gt dev magicmatch (ref: src/tools/gt_magicmatch.c): md5
+    fingerprint + description per sequence."""
+    from .core.seqio import read_seqfiles
+    from .utils import seqtools
+    ss = read_seqfiles(args.f)
+    for fp, desc in zip(seqtools.fingerprints(ss), ss.descs):
+        print(f"{fp}\t{desc}")
+    return 0
+
+
+def _add_magicmatch(sub):
+    p = sub.add_parser("magicmatch", help="match sequences by md5 "
+                       "fingerprint")
+    p.add_argument("-t", action="store_true")
+    p.add_argument("-f", nargs="+", required=True)
+    p.set_defaults(func=cmd_magicmatch)
+
+
+def cmd_seqtransform(args):
+    """gt seqtransform (ref: src/tools/gt_seqtransform.c)."""
+    from .core.seqio import read_seqfiles
+    ss = read_seqfiles(args.files)
+    protein_chars = set(b"EFILPQZefilpqz*")
+    for desc, seq in zip(ss.descs, ss.seqs):
+        s = seq.tobytes().decode("latin-1")
+        if args.addstopaminos and s and not s.endswith("*") and \
+                (set(seq.tobytes()) & protein_chars):
+            s += "*"
+        print(">" + desc)
+        if args.width:
+            for i in range(0, len(s), args.width):
+                print(s[i:i + args.width])
+        else:
+            print(s)
+    return 0
+
+
+def _add_seqtransform(sub):
+    p = sub.add_parser("seqtransform", help="transform sequence files")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-addstopaminos", action="store_true")
+    p.add_argument("-width", type=int, default=0)
+    p.set_defaults(func=cmd_seqtransform)
+
+
+def cmd_fastq_sample(args):
+    """gt fastq_sample (ref: src/tools/gt_fastq_sample.c): randomly
+    sample fastq entries until the requested total length is reached."""
+    import random
+    from .core.seqio import read_seqfile
+    if args.length <= 0:
+        print("gt fastq_sample: error: length must be a positive integer",
+              file=sys.stderr)
+        return 1
+    seqs, descs, quals = [], [], []
+    for path in args.files:
+        ss = read_seqfile(path)
+        seqs += [s.tobytes().decode("latin-1") for s in ss.seqs]
+        descs += ss.descs
+        quals += ([q.tobytes().decode("latin-1") for q in ss.quals]
+                  if ss.quals is not None else [""] * len(ss.seqs))
+    if not seqs:
+        print("gt fastq_sample: error: file does not contain any "
+              "sequence data", file=sys.stderr)
+        return 1
+    total = sum(len(s) for s in seqs)
+    if total < args.length:
+        print(f"gt fastq_sample: error: requested length {args.length} "
+              f"exceeds length of sequences ({total})", file=sys.stderr)
+        return 1
+    rng = random.Random()
+    n = len(seqs)
+    chosen = set()
+    len_count = 0
+    pos = rng.randrange(n) if n > 1 else 0
+    while len_count < args.length:
+        if rng.randrange(total) < args.length and pos not in chosen:
+            chosen.add(pos)
+            len_count += len(seqs[pos])
+        pos = (pos + 1) % n
+    print(f"total length {len_count} from {len(chosen)} entries")
+    for i in sorted(chosen):
+        print(f"@{descs[i]}")
+        print(seqs[i])
+        print("+")
+        print(quals[i])
+    return 0
+
+
+def _add_fastq_sample(sub):
+    p = sub.add_parser("fastq_sample", help="randomly sample fastq "
+                       "entries up to a total length")
+    p.add_argument("-length", type=int, required=True)
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_fastq_sample)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1074,7 +1172,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
              _add_interfeat, _add_extractfeat, _add_csa, _add_eval,
              _add_cds, _add_splicesiteinfo, _add_orffinder,
-             _add_seqorder, _add_regioncov]
+             _add_seqorder, _add_regioncov, _add_magicmatch,
+             _add_seqtransform, _add_fastq_sample]
 
 
 def main(argv=None):

@@ -79,3 +79,41 @@ class TestCLI:
         assert len(out.splitlines()) == 2
         rc, out = run_cli(["sequniq", str(testdata / "Duplicate.fna")])
         assert out.count(">") == 2  # the two seqs differ in length
+
+
+class TestMagicmatchSeqtransform:
+    """ref: gt_magicmatch_include.rb, gt_seqtransform_include.rb,
+    gt_fastq_sample_include.rb."""
+
+    @pytest.mark.parametrize("name,src", [
+        ("U89959_ests", "U89959_ests.fas"),
+        ("Random", "Random.fna"),
+        ("RandomN", "RandomN.fna"),
+        ("sw100K1", "sw100K1.fsa"),
+    ])
+    def test_magicmatch_goldens(self, testdata, name, src):
+        rc, out = run_cli(["magicmatch", "-t", "-f", str(testdata / src)])
+        assert rc == 0
+        assert out == (testdata / f"{name}.magicmatch").read_text()
+
+    def test_seqtransform_invariant(self, testdata):
+        path = str(testdata / "nGASP" / "protein_100.fas")
+        rc, out = run_cli(["seqtransform", path])
+        assert rc == 0 and out == open(path).read()
+
+    def test_seqtransform_addstop(self, testdata):
+        rc, out = run_cli(["seqtransform", "-addstopaminos",
+                           str(testdata / "nGASP" / "protein_100.fas")])
+        want = (testdata / "nGASP" / "protein_100_with_stop.fas").read_text()
+        assert rc == 0 and out == want
+
+    def test_fastq_sample(self, testdata):
+        rc, out = run_cli(["fastq_sample", "-length", "40",
+                           str(testdata / "test1.fastq")])
+        assert rc == 0
+        assert "total length 66 from 2 entries" in out
+
+    def test_fastq_sample_overlength(self, testdata):
+        rc, _ = run_cli(["fastq_sample", "-length", "200",
+                         str(testdata / "test1.fastq")])
+        assert rc == 1
