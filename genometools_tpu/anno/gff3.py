@@ -93,8 +93,23 @@ def parse_gff3(text: str, checkids: bool = False,
             nodes.append(SequenceNode(fasta_desc, "".join(fasta_seq)))
         fasta_desc, fasta_seq = None, []
 
+    orphans: list[tuple[FeatureNode, str, int]] = []
+
+    def resolve_orphans():
+        # Parent may be defined later within the same '###' block; the
+        # reference resolves such orphans when the block closes
+        # (ref: gff3_parser.c process_orphans / orphanage)
+        for node, pid, line_no in orphans:
+            parent = id_map.get(pid)
+            if parent is None:
+                raise GFF3Error(
+                    f'line {line_no}: Parent "{pid}" was not defined')
+            parent.add_child(node)
+        orphans.clear()
+
     def close_region(hard: bool):
         # '###': forget IDs seen so far (features are complete)
+        resolve_orphans()
         if hard:
             id_map.clear()
 
@@ -193,19 +208,19 @@ def parse_gff3(text: str, checkids: bool = False,
             node.multi_representative = rep
         elif fid:
             id_map[fid] = node
-        # Parent must be defined earlier in the document (GFF3 spec; the
-        # reference errors out the same way, ref: gff3_parser.c)
         if parents:
             for pid in parents.split(","):
                 parent = id_map.get(pid)
                 if parent is None:
-                    raise GFF3Error(
-                        f'line {line_no}: Parent "{pid}" was not defined')
-                parent.add_child(node)
+                    # forward reference: defer to the end of the block
+                    orphans.append((node, pid, line_no))
+                else:
+                    parent.add_child(node)
         else:
             nodes.append(node)
 
     flush_fasta()
+    resolve_orphans()
     check_cds_phases(nodes, tidy=not strict)
     return add_missing_regions(nodes, set(regions))
 

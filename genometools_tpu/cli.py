@@ -982,6 +982,181 @@ def _add_fastq_sample(sub):
     p.set_defaults(func=cmd_fastq_sample)
 
 
+def cmd_seqids(args):
+    """gt seqids (ref: src/tools/gt_seqids.c): sorted unique seqids."""
+    from .anno.genome_node import FeatureNode, RegionNode
+    from .anno.gff3 import parse_gff3
+    try:
+        text = open(args.file).read() if args.file != "-" \
+            else sys.stdin.read()
+    except FileNotFoundError as e:
+        print(f"gt seqids: error: {e.strerror}: {args.file}",
+              file=sys.stderr)
+        return 1
+    ids = set()
+    for n in parse_gff3(text):
+        if isinstance(n, (RegionNode, FeatureNode)):
+            ids.add(n.seqid)
+    for s in sorted(ids):
+        print(s)
+    return 0
+
+
+def _add_seqids(sub):
+    p = sub.add_parser("seqids", help="print sorted unique seqids of a "
+                       "GFF3 file")
+    p.add_argument("file", nargs="?", default="-")
+    p.set_defaults(func=cmd_seqids)
+
+
+def cmd_loccheck(args):
+    """gt loccheck (ref: src/tools/gt_loccheck.c,
+    extended/check_boundaries_visitor.c): warn about child ranges not
+    contained in their parents."""
+    from .anno.genome_node import FeatureNode
+    from .anno.gff3 import parse_gff3
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    for top in parse_gff3(text):
+        if not isinstance(top, FeatureNode):
+            continue
+        for parent in top.traverse():
+            for child in parent.children:
+                if child.range.start < parent.range.start or \
+                        child.range.end > parent.range.end:
+                    print(f"warning: {child.type} child range "
+                          f"{child.range.start}-{child.range.end} "
+                          f"(line {getattr(child, 'line_number', 0)}) not "
+                          f"contained in {parent.type} parent range "
+                          f"{parent.range.start}-{parent.range.end} "
+                          f"(line {getattr(parent, 'line_number', 0)})",
+                          file=sys.stderr)
+    return 0
+
+
+def _add_loccheck(sub):
+    p = sub.add_parser("loccheck", help="check parent-child range "
+                       "containment")
+    p.add_argument("file", nargs="?", default="-")
+    p.set_defaults(func=cmd_loccheck)
+
+
+def cmd_gff3validator(args):
+    """gt gff3validator (ref: src/tools/gt_gff3validator.c)."""
+    from .anno.anno_db import TypeChecker
+    from .anno.gff3 import GFF3Error, parse_gff3
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    try:
+        nodes = parse_gff3(text)
+    except GFF3Error as e:
+        print(f"gt gff3validator: error: {e}", file=sys.stderr)
+        return 1
+    if args.typecheck:
+        import os
+        path = args.typecheck
+        if not os.path.exists(path):
+            for d in os.environ.get("GT_DATA_PATH", "").split(":"):
+                cand = os.path.join(d, "obo_files", path + ".obo")
+                if d and os.path.exists(cand):
+                    path = cand
+                    break
+        try:
+            checker = TypeChecker.from_obo(open(path).read())
+        except OSError as e:
+            print(f"gt gff3validator: error: cannot open {path}: {e}",
+                  file=sys.stderr)
+            return 1
+        bad = checker.check_nodes(nodes)
+        if bad:
+            print(f"gt gff3validator: error: type \"{bad[0]}\" is not a "
+                  f"valid feature type", file=sys.stderr)
+            return 1
+    print("input is valid GFF3")
+    return 0
+
+
+def _add_gff3validator(sub):
+    p = sub.add_parser("gff3validator", help="validate GFF3 files")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-typecheck", default=None)
+    p.set_defaults(func=cmd_gff3validator)
+
+
+def cmd_inlineseq_split(args):
+    """gt inlineseq_split (ref: src/tools/gt_inlineseq_split.c): write
+    the annotation and the embedded FASTA to separate files."""
+    from .anno.genome_node import SequenceNode
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    try:
+        text = open(args.file).read() if args.file != "-" \
+            else sys.stdin.read()
+    except FileNotFoundError as e:
+        print(f"gt inlineseq_split: error: {e}", file=sys.stderr)
+        return 1
+    nodes = parse_gff3(text)
+    seqs = [n for n in nodes if isinstance(n, SequenceNode)]
+    rest = [n for n in nodes if not isinstance(n, SequenceNode)]
+    try:
+        if args.seqfile:
+            with open(args.seqfile, "w") as f:
+                for s in seqs:
+                    f.write(">" + s.description + "\n")
+                    for i in range(0, len(s.sequence), 80):
+                        f.write(s.sequence[i:i + 80] + "\n")
+        out = GFF3Writer().render(rest)
+        if args.gff3file:
+            with open(args.gff3file, "w") as f:
+                f.write(out)
+        else:
+            sys.stdout.write(out)
+    except OSError as e:
+        print(f"gt inlineseq_split: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _add_inlineseq_split(sub):
+    p = sub.add_parser("inlineseq_split", help="split GFF3 with inline "
+                       "sequence into annotation + FASTA")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-seqfile", default=None)
+    p.add_argument("-gff3file", default=None)
+    p.set_defaults(func=cmd_inlineseq_split)
+
+
+def cmd_inlineseq_add(args):
+    """gt inlineseq_add (ref: src/tools/gt_inlineseq_add.c): append the
+    seqids' sequences as an inline ##FASTA section."""
+    from .anno.genome_node import FeatureNode, RegionNode, SequenceNode
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    nodes = parse_gff3(text)
+    mapping = _region_mapping(args)
+    seqids = []
+    for n in nodes:
+        if isinstance(n, (RegionNode, FeatureNode)) and \
+                n.seqid not in seqids:
+            seqids.append(n.seqid)
+    try:
+        for sid in seqids:
+            idx = mapping._grep_desc(sid)
+            nodes.append(SequenceNode(sid, mapping.seqs[idx]))
+    except ValueError as e:
+        print(f"gt inlineseq_add: error: {e}", file=sys.stderr)
+        return 1
+    sys.stdout.write(GFF3Writer(fasta_width=10 ** 9).render(nodes))
+    return 0
+
+
+def _add_inlineseq_add(sub):
+    p = sub.add_parser("inlineseq_add", help="add inline sequence to "
+                       "GFF3 from a sequence file")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-seqfile", required=True)
+    p.add_argument("-matchdesc", action="store_true")
+    p.add_argument("-usedesc", action="store_true")
+    p.set_defaults(func=cmd_inlineseq_add)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1173,7 +1348,9 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_interfeat, _add_extractfeat, _add_csa, _add_eval,
              _add_cds, _add_splicesiteinfo, _add_orffinder,
              _add_seqorder, _add_regioncov, _add_magicmatch,
-             _add_seqtransform, _add_fastq_sample]
+             _add_seqtransform, _add_fastq_sample, _add_seqids,
+             _add_loccheck, _add_gff3validator, _add_inlineseq_split,
+             _add_inlineseq_add]
 
 
 def main(argv=None):

@@ -117,3 +117,82 @@ class TestMagicmatchSeqtransform:
         rc, _ = run_cli(["fastq_sample", "-length", "200",
                          str(testdata / "test1.fastq")])
         assert rc == 1
+
+
+class TestGff3SmallTools:
+    """ref: gt_seqids/loccheck/gff3validator/inlineseq include files."""
+
+    def test_seqids_golden(self, testdata):
+        rc, out = run_cli(["seqids",
+                           str(testdata / "encode_known_genes_Mar07.gff3")])
+        assert rc == 0
+        assert out == \
+            (testdata / "encode_known_genes_Mar07.seqids").read_text()
+
+    def test_seqids_empty(self, testdata):
+        rc, out = run_cli(["seqids", str(testdata / "gt_view_prob_1.gff3")])
+        assert rc == 0 and out == ""
+
+    def test_loccheck(self, testdata, capsys):
+        import contextlib
+        import io
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            rc = main(["loccheck",
+                       str(testdata / "gt_loccheck_containment_fail.gff3")])
+        assert rc == 0
+        assert "mRNA child range 1123458-1124606" in err.getvalue()
+
+    def test_loccheck_ok(self, testdata):
+        import contextlib
+        import io
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            rc = main(["loccheck",
+                       str(testdata / "standard_gene_as_dag.gff3")])
+        assert rc == 0 and err.getvalue() == ""
+
+    def test_gff3validator(self, testdata):
+        rc, out = run_cli(["gff3validator",
+                           str(testdata / "standard_gene_as_tree.gff3")])
+        assert rc == 0 and "input is valid GFF3" in out
+
+    def test_gff3validator_typecheck(self, testdata):
+        obo = "/root/reference/gtdata/obo_files/sofa.obo"
+        rc, out = run_cli(["gff3validator", "-typecheck", obo,
+                           str(testdata / "standard_gene_as_tree.gff3")])
+        assert rc == 0 and "input is valid GFF3" in out
+
+    def test_inlineseq_split(self, testdata, tmp_path):
+        fas = str(tmp_path / "t.fas")
+        gff = str(tmp_path / "t.gff3")
+        rc, _ = run_cli(["inlineseq_split", "-seqfile", fas,
+                         "-gff3file", gff,
+                         str(testdata / "standard_fasta_example.gff3")])
+        assert rc == 0
+        assert open(fas).read() == \
+            (testdata / "standard_fasta_example.fas").read_text()
+        assert open(gff).read() == \
+            (testdata /
+             "standard_fasta_example_only_annotation.gff3").read_text()
+
+    def test_inlineseq_roundtrip(self, testdata, tmp_path):
+        fas = str(tmp_path / "t.fas")
+        gff = str(tmp_path / "t.gff3")
+        run_cli(["inlineseq_split", "-seqfile", fas, "-gff3file", gff,
+                 str(testdata / "standard_fasta_example.gff3")])
+        rc, out = run_cli(["inlineseq_add", "-seqfile", fas,
+                           "-matchdesc", gff])
+        assert rc == 0
+        assert out == \
+            (testdata / "standard_fasta_example_rejoined.gff3").read_text()
+
+    def test_forward_parent_reference(self):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        nodes = parse_gff3(
+            "##gff-version 3\n"
+            "c\t.\tCDS\t1\t50\t.\t+\t0\tParent=m1\n"
+            "c\t.\tmRNA\t1\t100\t.\t+\t.\tID=m1\n")
+        from genometools_tpu.anno.genome_node import FeatureNode
+        feats = [n for n in nodes if isinstance(n, FeatureNode)]
+        assert len(feats) == 1 and feats[0].children[0].type == "CDS"
