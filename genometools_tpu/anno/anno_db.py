@@ -225,6 +225,15 @@ class SamAlignment:
         return sum(c for c, op in self.cigar_ops() if op in "MDN=X")
 
 
+def parse_bam(path: str):
+    """Iterate SamAlignment records from a BAM file (BGZF gzip; see
+    assembly/hop.py alignments_from_bam for the record layout)."""
+    from ..assembly.hop import alignments_from_bam
+    for qname, flag, rname, pos, mapq, cigar, seq, _qual in \
+            alignments_from_bam(path):
+        yield SamAlignment(qname, flag, rname, pos, mapq, cigar, seq)
+
+
 def parse_sam(text: str):
     """Iterate SamAlignment records from SAM text
     (ref: samfile_iterator.c)."""

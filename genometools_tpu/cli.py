@@ -1157,6 +1157,81 @@ def _add_inlineseq_add(sub):
     p.set_defaults(func=cmd_inlineseq_add)
 
 
+def cmd_hop(args):
+    """gt hop (ref: src/tools/gt_hop.c)."""
+    import os
+    from .assembly.hop import (HopParams, alignments_from_bam,
+                               alignments_from_sam, hop_correct,
+                               hop_output)
+    from .core.seqio import read_seqfile
+    if args.aggressive:
+        params = HopParams.aggressive()
+    elif args.moderate:
+        params = HopParams.moderate()
+    elif args.conservative:
+        params = HopParams.conservative()
+    elif args.expert:
+        params = HopParams(hmin=args.hmin, read_hmin=args.read_hmin,
+                           qmax=args.qmax, altmax=args.altmax,
+                           refmin=args.cogmin, mapqmin=args.mapqmin,
+                           covmin=args.covmin, clenmax=args.clenmax,
+                           allow_partial=args.allow_partial,
+                           allow_multiple=args.allow_multiple)
+    else:
+        print("gt hop: error: Select correction mode: -aggressive, "
+              "-moderate, -conservative or -expert", file=sys.stderr)
+        return 1
+    try:
+        from .core.encseq import Encseq
+        enc = Encseq.load(args.c)
+        refs = []
+        for i in range(enc.num_sequences):
+            start = int(enc.seq_startpos(i))
+            refs.append((enc.descs[i], enc.extract_decoded(
+                start, start + int(enc.seq_length(i)) - 1).lower()))
+    except (FileNotFoundError, OSError):
+        ss = read_seqfile(args.c)
+        refs = [(d, s.tobytes().decode("latin-1").lower())
+                for d, s in zip(ss.descs, ss.seqs)]
+    if args.sam or args.map.endswith(".sam"):
+        alns = alignments_from_sam(open(args.map).read())
+    else:
+        alns = alignments_from_bam(args.map)
+    result = hop_correct(refs, alns, params)
+    for path in args.reads:
+        ss = read_seqfile(path)
+        out = hop_output(result, ss.descs, None)
+        with open("hop_" + os.path.basename(path), "w") as f:
+            f.write(out)
+    return 0
+
+
+def _add_hop(sub):
+    p = sub.add_parser("hop", help="homopolymer error correction")
+    p.add_argument("-c", required=True, help="cognate sequence "
+                   "(encseq index or fasta)")
+    p.add_argument("-map", required=True, help="SAM/BAM mapping")
+    p.add_argument("-sam", action="store_true")
+    p.add_argument("-reads", nargs="+", required=True)
+    p.add_argument("-aggressive", action="store_true")
+    p.add_argument("-moderate", action="store_true")
+    p.add_argument("-conservative", action="store_true")
+    p.add_argument("-expert", action="store_true")
+    p.add_argument("-hmin", type=int, default=3)
+    p.add_argument("-read-hmin", dest="read_hmin", type=int, default=2)
+    p.add_argument("-qmax", type=int, default=120)
+    p.add_argument("-altmax", type=float, default=0.8)
+    p.add_argument("-cogmin", type=float, default=0.1)
+    p.add_argument("-mapqmin", type=int, default=21)
+    p.add_argument("-covmin", type=int, default=1)
+    p.add_argument("-clenmax", type=int, default=None)
+    p.add_argument("-allow-partial", dest="allow_partial",
+                   action="store_true")
+    p.add_argument("-allow-multiple", dest="allow_multiple",
+                   action="store_true")
+    p.set_defaults(func=cmd_hop)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1350,7 +1425,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqorder, _add_regioncov, _add_magicmatch,
              _add_seqtransform, _add_fastq_sample, _add_seqids,
              _add_loccheck, _add_gff3validator, _add_inlineseq_split,
-             _add_inlineseq_add]
+             _add_inlineseq_add, _add_hop]
 
 
 def main(argv=None):
