@@ -1232,6 +1232,36 @@ def _add_hop(sub):
     p.set_defaults(func=cmd_hop)
 
 
+def cmd_matchtool(args):
+    """gt matchtool (ref: src/tools/gt_matchtool.c)."""
+    from .core.seqio import _read_bytes
+    from .match.matchtool import parse_blast_matches, parse_open_matches
+    text = _read_bytes(args.matchfile).decode("latin-1")
+    try:
+        if args.type == "OPENMATCH":
+            sys.stdout.write(parse_open_matches(text))
+        elif args.type == "BLASTOUT":
+            sys.stdout.write(parse_blast_matches(text))
+        else:
+            print(f"gt matchtool: error: type {args.type} requires an "
+                  f"external matcher (not supported)", file=sys.stderr)
+            return 1
+    except ValueError as e:
+        print(f"gt matchtool: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _add_matchtool(sub):
+    p = sub.add_parser("matchtool", help="parse match files "
+                       "(OPENMATCH/BLASTOUT)")
+    p.add_argument("-matchfile", required=True)
+    p.add_argument("-type", default="OPENMATCH",
+                   choices=["OPENMATCH", "BLASTOUT", "BLASTALLP",
+                            "BLASTALLN", "BLASTP", "BLASTN", "SW"])
+    p.set_defaults(func=cmd_matchtool)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1425,7 +1455,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqorder, _add_regioncov, _add_magicmatch,
              _add_seqtransform, _add_fastq_sample, _add_seqids,
              _add_loccheck, _add_gff3validator, _add_inlineseq_split,
-             _add_inlineseq_add, _add_hop]
+             _add_inlineseq_add, _add_hop, _add_matchtool]
 
 
 def main(argv=None):

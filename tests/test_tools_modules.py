@@ -421,3 +421,42 @@ class TestRegioncov:
             (testdata / "encode_known_genes_Mar07.gff3").read_text())
         got = region_coverage(nodes, dist)
         assert got == (testdata / golden).read_text()
+
+
+class TestMatchtool:
+    """ref: testsuite/gt_matchtool_include.rb."""
+
+    @pytest.mark.parametrize("fn,outn,blast", [
+        ("matchtool_open.match", "matchtool_open.out", False),
+        ("matchtool_open.match.gz", "matchtool_open.out", False),
+        ("matchtool_open.match.bz2", "matchtool_open.out", False),
+        ("matchtool_open_empty.match", "matchtool_open_empty.out", False),
+        ("matchtool_blast.match", "matchtool_blast.out", True),
+        ("matchtool_blast.match.gz", "matchtool_blast.out", True),
+        ("matchtool_blast_empty.match", "matchtool_blast_empty.out", True),
+    ])
+    def test_goldens(self, testdata, fn, outn, blast):
+        from genometools_tpu.core.seqio import _read_bytes
+        from genometools_tpu.match.matchtool import (parse_blast_matches,
+                                                     parse_open_matches)
+        f = parse_blast_matches if blast else parse_open_matches
+        got = f(_read_bytes(str(testdata / fn)).decode("latin-1"))
+        assert got == (testdata / outn).read_text()
+
+    @pytest.mark.parametrize("fn,blast,msg", [
+        ("matchtool_open_corrupt.match", False, "invalid format"),
+        ("matchtool_open_neg.match", False, "non-negative"),
+        ("matchtool_open_too_few.match", False, "invalid format"),
+        ("matchtool_open_too_many.match", False, "invalid format"),
+        ("matchtool_blast_corrupt.match", True, "invalid format"),
+        ("matchtool_blast_neg.match", True, "non-negative"),
+        ("matchtool_blast_too_few.match", True, "invalid format"),
+        ("matchtool_blast_too_many.match", True, "invalid format"),
+    ])
+    def test_errors(self, testdata, fn, blast, msg):
+        from genometools_tpu.core.seqio import _read_bytes
+        from genometools_tpu.match.matchtool import (parse_blast_matches,
+                                                     parse_open_matches)
+        f = parse_blast_matches if blast else parse_open_matches
+        with pytest.raises(ValueError, match=msg):
+            f(_read_bytes(str(testdata / fn)).decode("latin-1"))
