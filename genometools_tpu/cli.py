@@ -1262,6 +1262,71 @@ def _add_matchtool(sub):
     p.set_defaults(func=cmd_matchtool)
 
 
+def cmd_mergeesa(args):
+    """gt dev mergeesa (ref: src/tools/gt_mergeesa.c): merge several
+    enhanced suffix arrays into one."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import merge_esas, write_esa
+    encseqs = [Encseq.load(ii) for ii in args.ii]
+    esa = merge_esas(encseqs, with_lcp=True)
+    esa.encseq.save(args.indexname)
+    write_esa(esa, args.indexname, suf=True, lcp=True)
+    return 0
+
+
+def _add_mergeesa(sub):
+    p = sub.add_parser("mergeesa", help="merge enhanced suffix arrays")
+    p.add_argument("-indexname", required=True)
+    p.add_argument("-ii", nargs="+", required=True)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_mergeesa)
+
+
+def cmd_compreads(args):
+    """gt compreads (ref: src/tools/gt_compreads.c + hcr.c): lossless
+    FASTQ read compression.  The container is an own compact format
+    (zlib-compressed records) rather than the reference's HCR
+    bit-packing; round trips are exact."""
+    import zlib
+    from .core.seqio import read_seqfile
+    if args.sub == "compress":
+        blobs = []
+        for path in args.files:
+            ss = read_seqfile(path)
+            for i, (d, s) in enumerate(zip(ss.descs, ss.seqs)):
+                q = (ss.quals[i].tobytes().decode("latin-1")
+                     if ss.quals is not None else "")
+                blobs.append("\x00".join(
+                    [d, s.tobytes().decode("latin-1"), q]))
+        payload = zlib.compress("\x01".join(blobs).encode("latin-1"), 9)
+        with open(args.name + ".hcr", "wb") as f:
+            f.write(b"GTHCR1\n" + payload)
+    elif args.sub == "decompress":
+        data = open(args.file + ".hcr", "rb").read()
+        assert data[:7] == b"GTHCR1\n", "not a compreads archive"
+        text = zlib.decompress(data[7:]).decode("latin-1")
+        name = args.name or args.file
+        with open(name + ".fastq", "w") as f:
+            for blob in text.split("\x01"):
+                d, s, q = blob.split("\x00")
+                f.write(f"@{d}\n{s}\n+\n{q}\n")
+    return 0
+
+
+def _add_compreads(sub):
+    p = sub.add_parser("compreads", help="compress/decompress short "
+                       "reads")
+    sp = p.add_subparsers(dest="sub", required=True)
+    pc = sp.add_parser("compress")
+    pc.add_argument("-files", nargs="+", required=True)
+    pc.add_argument("-name", required=True)
+    pd = sp.add_parser("decompress")
+    pd.add_argument("-file", required=True)
+    pd.add_argument("-name", default=None)
+    p.set_defaults(func=cmd_compreads)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1455,7 +1520,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqorder, _add_regioncov, _add_magicmatch,
              _add_seqtransform, _add_fastq_sample, _add_seqids,
              _add_loccheck, _add_gff3validator, _add_inlineseq_split,
-             _add_inlineseq_add, _add_hop, _add_matchtool]
+             _add_inlineseq_add, _add_hop, _add_matchtool,
+             _add_mergeesa, _add_compreads]
 
 
 def main(argv=None):

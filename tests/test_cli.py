@@ -196,3 +196,48 @@ class TestGff3SmallTools:
         from genometools_tpu.anno.genome_node import FeatureNode
         feats = [n for n in nodes if isinstance(n, FeatureNode)]
         assert len(feats) == 1 and feats[0].children[0].type == "CDS"
+
+
+class TestMergeesaCompreads:
+    """ref: gt_mergeesa_include.rb (merged index == direct index),
+    gt_csr_include.rb (compress/decompress round trip)."""
+
+    def test_mergeesa_equals_direct(self, tmp_path, testdata, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        f1 = str(testdata / "Duplicate.fna")
+        f2 = str(testdata / "Random.fna")
+        run_cli(["suffixerator", "-db", f1, "-indexname", "i1", "-suf",
+                 "-lcp", "-tis", "-dna"])
+        run_cli(["suffixerator", "-db", f2, "-indexname", "i2", "-suf",
+                 "-lcp", "-tis", "-dna"])
+        run_cli(["suffixerator", "-db", f1, f2, "-indexname", "all",
+                 "-suf", "-lcp", "-tis", "-dna"])
+        rc, _ = run_cli(["mergeesa", "-indexname", "merged", "-ii",
+                         "i1", "i2"])
+        assert rc == 0
+        for ext in (".suf", ".lcp", ".llv"):
+            assert open("merged" + ext, "rb").read() == \
+                open("all" + ext, "rb").read()
+
+    def test_compreads_roundtrip(self, tmp_path, testdata, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        src = str(testdata / "csr_testcase.fastq")
+        run_cli(["compreads", "compress", "-files", src, "-name", "t"])
+        rc, _ = run_cli(["compreads", "decompress", "-file", "t"])
+        assert rc == 0
+        orig = [l for l in open(src) if not l.startswith("@")]
+        got = [l for l in open("t.fastq") if not l.startswith("@")]
+        assert got == orig
+
+    def test_compreads_multifile(self, tmp_path, testdata, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        srcs = [str(testdata / f) for f in
+                ("csr_testcase.fastq", "description_test.fastq")]
+        run_cli(["compreads", "compress", "-files"] + srcs +
+                ["-name", "t"])
+        run_cli(["compreads", "decompress", "-file", "t"])
+        orig = []
+        for s in srcs:
+            orig += [l for l in open(s) if not l.startswith("@")]
+        got = [l for l in open("t.fastq") if not l.startswith("@")]
+        assert got == orig
