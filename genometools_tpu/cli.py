@@ -1327,6 +1327,34 @@ def _add_compreads(sub):
     p.set_defaults(func=cmd_compreads)
 
 
+def cmd_sambam(args):
+    """gt dev sambam (ref: src/tools/gt_sambam.c): extract alignment
+    fields from SAM/BAM."""
+    from .assembly.hop import alignments_from_bam, alignments_from_sam
+    from .core.seqio import _read_bytes
+    if args.sam:
+        text = _read_bytes(args.file).decode("latin-1")
+        if args.idxfile is None and not text.startswith("@"):
+            print("gt sambam: error: SAM file has no header and no "
+                  "-idxfile given", file=sys.stderr)
+            return 1
+        alns = alignments_from_sam(text)
+    else:
+        alns = alignments_from_bam(args.file)
+    for qname, flag, _rname, _pos, _mapq, cigar, seq, qual in alns:
+        rname = _rname
+        print(f"{qname}\t{flag}\t{rname}\t{cigar}\t{seq.lower()}\t{qual}")
+    return 0
+
+
+def _add_sambam(sub):
+    p = sub.add_parser("sambam", help="extract alignments from SAM/BAM")
+    p.add_argument("file")
+    p.add_argument("-sam", action="store_true")
+    p.add_argument("-idxfile", default=None)
+    p.set_defaults(func=cmd_sambam)
+
+
 def cmd_merge(args):
     from .anno.gff3 import GFF3Writer, parse_gff3
     from .anno.node_stream import merge_stream
@@ -1521,7 +1549,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqtransform, _add_fastq_sample, _add_seqids,
              _add_loccheck, _add_gff3validator, _add_inlineseq_split,
              _add_inlineseq_add, _add_hop, _add_matchtool,
-             _add_mergeesa, _add_compreads]
+             _add_mergeesa, _add_compreads, _add_sambam]
 
 
 def main(argv=None):

@@ -241,3 +241,19 @@ class TestMergeesaCompreads:
             orig += [l for l in open(s) if not l.startswith("@")]
         got = [l for l in open("t.fastq") if not l.startswith("@")]
         assert got == orig
+
+
+class TestSambam:
+    """ref: gt_sambam_include.rb."""
+
+    def test_sam_extract(self, testdata):
+        rc, out = run_cli(["sambam", "-sam", "-idxfile",
+                           str(testdata / "example_1.fa.fai"),
+                           str(testdata / "example_1.sam.gz")])
+        assert rc == 0
+        assert out == (testdata / "example_1.sam.extract").read_text()
+
+    def test_bam_extract(self, testdata):
+        rc, out = run_cli(["sambam", str(testdata / "example_1.bam")])
+        assert rc == 0
+        assert out == (testdata / "example_1.sam.extract").read_text()
