@@ -328,8 +328,34 @@ def cmd_seed_extend(args):
         history=args.history,
         perc_mat_history=args.percmathistory,
         maxalignedlendifference=args.maxalilendiff)
+    outfmt = args.outfmt or []
+    width = 60
+    seed_in_algn = "seed_in_algn" in outfmt
+    show_alignment = any(o == "alignment" or o.startswith("alignment=")
+                         for o in outfmt)
+    for o in outfmt:
+        if o.startswith("alignment="):
+            width = int(o.split("=")[1])
+    if show_alignment:
+        from .match.seed_extend import _seq_codes
+        from .match.seedext_display import (format_alignment,
+                                            seeded_alignment)
+        from .ops.greedy import PolishingInfo
+        pol = PolishingInfo.new(float(p.errorpercentage), p.history)
+        pmh, mad = p.greedy_params()
     for m in seed_extend(aenc, benc, p):
         print(m.line())
+        if show_alignment and m.direction == "F":
+            useq = _seq_codes(aenc, m.dbseqnum, False)
+            vseq = _seq_codes(benc or aenc, m.queryseqnum, False)
+            ops, uo, ul, vo, vl, useedoff = seeded_alignment(
+                useq, vseq, m.dbstart, m.dblen, m.querystart,
+                m.querylen, m.db_seedpos, m.query_seedpos, m.seedlen,
+                pol, pmh, mad)
+            sys.stdout.write(format_alignment(
+                ops, useq[uo:uo + ul], vseq[vo:vo + vl], uo, vo,
+                width=width, useedoffset=useedoff, seedlen=m.seedlen,
+                seed_in_algn=seed_in_algn))
     return 0
 
 
@@ -347,6 +373,7 @@ def _add_seed_extend(sub):
     p.add_argument("-history", type=int, default=64)
     p.add_argument("-percmathistory", type=int, default=None)
     p.add_argument("-maxalilendiff", type=int, default=None)
+    p.add_argument("-outfmt", nargs="+", default=None)
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_seed_extend)
 

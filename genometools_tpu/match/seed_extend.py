@@ -184,6 +184,9 @@ class SeedExtendMatch:
     score: int
     distance: int
     identity: float
+    db_seedpos: int = 0
+    query_seedpos: int = 0
+    seedlen: int = 0
 
     def line(self) -> str:
         return (f"{self.dblen} {self.dbseqnum} {self.dbstart} "
@@ -320,6 +323,12 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
     seg_ends = np.append(seg_starts[1:], n)
 
     logw = params.logdiagbandwidth
+    greedy_ctx_global = None
+    if params.extension == "greedy":
+        pmh, mad = params.greedy_params()
+        pol = PolishingInfo.new(float(params.errorpercentage),
+                                params.history)
+        greedy_ctx_global = (pol, pmh, mad, params.history)
     for s0, s1 in zip(seg_starts, seg_ends):
         aseq, bseq = int(pa_seq[s0]), int(pb_seq[s0])
         apos = pa_pos[s0:s1].astype(np.int64)
@@ -347,12 +356,7 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
         useq = _seq_codes(aenc, aseq, False)
         vseq = _seq_codes(benc, bseq, direction == "P")
         same_seq = selfcomp and aseq == bseq
-        greedy_ctx = None
-        if params.extension == "greedy":
-            pmh, mad = params.greedy_params()
-            pol = PolishingInfo.new(float(params.errorpercentage),
-                                    params.history)
-            greedy_ctx = (pol, pmh, mad, params.history)
+        greedy_ctx = greedy_ctx_global
         haspreviousmatch = False
         prev_b_end = -1
         rectangles: list[tuple] = []  # (a_start, a_end, b_start, b_end)
@@ -404,7 +408,8 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                     continue
                 accepted = SeedExtendMatch(
                     dblen, aseq, a_start, direction, querylen, bseq,
-                    b_start, total_score, dist, 100.0 - err)
+                    b_start, total_score, dist, 100.0 - err,
+                    dbstart_rel, querystart_rel, k)
                 break
             if params.use_apos == 2 or \
                     (params.use_apos == 1 and accepted is not None):

@@ -30,6 +30,9 @@ from dataclasses import dataclass
 import numpy as np
 
 
+_POL_CACHE: dict = {}
+
+
 @dataclass
 class PolishingInfo:
     """ref: GtFtPolishing_info (ft-polish.h:15, construction ft-polish.c)."""
@@ -45,6 +48,10 @@ class PolishingInfo:
     @classmethod
     def new(cls, errorpercentage: float, history_size: int = 64,
             matchscore_bias: float = 1.0) -> "PolishingInfo":
+        key = (errorpercentage, history_size, matchscore_bias)
+        hit = _POL_CACHE.get(key)
+        if hit is not None:
+            return hit
         cut_depth = 15 if history_size == 0 else min(history_size // 2, 15)
         entries = 1 << cut_depth
         match_score = int(20.0 * errorpercentage * matchscore_bias)
@@ -65,8 +72,10 @@ class PolishingInfo:
                 score += match_score if bit else -difference_score
             diff_from_max[prefix] = score - maxscore
             score_sum[prefix] = score
-        return cls(cut_depth, 2 * cut_depth, entries - 1, match_score,
-                   difference_score, diff_from_max, score_sum)
+        obj = cls(cut_depth, 2 * cut_depth, entries - 1, match_score,
+                  difference_score, diff_from_max, score_sum)
+        _POL_CACHE[key] = obj
+        return obj
 
     def history_is_polished(self, history: int) -> bool:
         lo = history & self.mask
@@ -99,13 +108,19 @@ class _Front:
 _U64 = (1 << 64) - 1
 
 
+FT_EOP_MISMATCH = 1
+FT_EOP_INSERTION = 2
+FT_EOP_DELETION = 4
+
+
 def greedy_extend(u: np.ndarray, v: np.ndarray, *,
                   max_history: int = 64,
                   perc_mat_history: int = 55,
                   maxalignedlendifference: int = 30,
                   seedlength: int = 0,
                   pol_info: PolishingInfo | None = None,
-                  trim: bool = True) -> tuple[int, PolishedPoint]:
+                  trim: bool = True,
+                  trace: dict | None = None) -> tuple[int, PolishedPoint]:
     """One-direction greedy extension of prefixes of u vs v.
 
     Returns (distance, best_polished_point). distance = ulen+vlen+1 when
@@ -150,7 +165,12 @@ def greedy_extend(u: np.ndarray, v: np.ndarray, *,
     f0.hsize = min(max_history, seedlength)
     front = {0: f0}
     lo = hi = 0
+    row0 = f0.row
     add_matches(f0, 0)
+    if trace is not None:
+        # per-cell backreference bits + match run for the traceback
+        # (ref: ft-front-generation.c backref_table)
+        trace[(0, 0)] = (0, f0.row - row0)
     distance = 0
 
     while True:
@@ -158,10 +178,11 @@ def greedy_extend(u: np.ndarray, v: np.ndarray, *,
             new = {}
             for k in range(lo - 1, hi + 2):
                 cand = None
-                mm = 0
+                bits = 0
                 # INSERTION from prev k-1 (row unchanged)
                 if (k - 1) in front:
                     cand = front[k - 1].copy()
+                    bits = FT_EOP_INSERTION
                 # MISMATCH from prev k (row+1)
                 if k in front:
                     c = front[k]
@@ -169,18 +190,27 @@ def greedy_extend(u: np.ndarray, v: np.ndarray, *,
                         cand = c.copy()
                         cand.row += 1
                         cand.mm += 1
+                        bits = FT_EOP_MISMATCH
                     elif cand.row == c.row + 1:
                         cand.mm = max(cand.mm, c.mm + 1)
+                        bits |= FT_EOP_MISMATCH
                 # DELETION from prev k+1 (row+1)
                 if (k + 1) in front:
                     c = front[k + 1]
                     if cand is None or cand.row < c.row + 1:
                         cand = c.copy()
                         cand.row += 1
+                        bits = FT_EOP_DELETION
+                    elif cand.row == c.row + 1:
+                        cand.mm = max(cand.mm, c.mm)
+                        bits |= FT_EOP_DELETION
                 if cand is None:
                     continue
                 shift_diff(cand)
+                row_before = cand.row
                 add_matches(cand, k)
+                if trace is not None:
+                    trace[(distance, k)] = (bits, cand.row - row_before)
                 new[k] = cand
             front = new
             lo -= 1

@@ -226,3 +226,40 @@ class TestAt1MBScale:
         aseq2, *_ = build_seed_pairs(al, bl, True, 5, inseqseeds=True,
                                      mindist=0)
         assert aseq2.size == 235705
+
+
+class TestAlignmentDisplay:
+    """-outfmt alignment golden: BLAST-style blocks with seed marking
+    (ref: testsuite/gt_seed_extend_include.rb:170,
+    see-ext-at1MB-500-alignment-seed_in_algn.matches)."""
+
+    def test_at1mb_alignment_golden(self, testdata):
+        from genometools_tpu.match.seed_extend import _seq_codes
+        from genometools_tpu.match.seedext_display import (
+            format_alignment, seeded_alignment)
+        from genometools_tpu.ops.greedy import PolishingInfo
+        e = Encseq.from_files([str(testdata / "at1MB")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=700,
+                             extension="greedy", history=60)
+        ms = seed_extend(e, None, p)
+        pol = PolishingInfo.new(float(p.errorpercentage), p.history)
+        pmh, mad = p.greedy_params()
+        out = []
+        for m in ms:
+            out.append(m.line())
+            useq = _seq_codes(e, m.dbseqnum, False)
+            vseq = _seq_codes(e, m.queryseqnum, False)
+            ops, uo, ul, vo, vl, useedoff = seeded_alignment(
+                useq, vseq, m.dbstart, m.dblen, m.querystart, m.querylen,
+                m.db_seedpos, m.query_seedpos, m.seedlen, pol, pmh, mad)
+            out.append(format_alignment(
+                ops, useq[uo:uo + ul], vseq[vo:vo + vl], uo, vo,
+                width=60, useedoffset=useedoff, seedlen=m.seedlen,
+                seed_in_algn=True).rstrip("\n") + "\n")
+        got = ("\n".join(out) + "\n").splitlines()
+        want = [l for l in
+                (testdata /
+                 "see-ext-at1MB-500-alignment-seed_in_algn.matches"
+                 ).read_text().splitlines() if not l.startswith("#")]
+        assert got == want
