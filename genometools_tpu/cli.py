@@ -522,12 +522,21 @@ def cmd_genomediff(args):
     _force_platform(args)
     from .core.encseq import Encseq
     from .match.genomediff import genomediff
+    import os
     genomes = [Encseq.from_files([f]) for f in args.files]
-    kr = genomediff(genomes)
+    sums, kr = genomediff(genomes)
+    names = [os.path.basename(f).split(".")[0] for f in args.files]
+    width = max(len(n) for n in names) + 1
+    # shulen-sum matrix then Kr matrix (ref: genomediff output,
+    # testdata/genomediff/*-kr.out)
     print(len(genomes))
-    for i, f in enumerate(args.files):
-        print("\t".join([f] + [f"{kr[i, j]:.6f}"
-                               for j in range(len(genomes))]))
+    for i, name in enumerate(names):
+        print(f"{name:<{width}}" + " ".join(
+            str(int(sums[i, j])) for j in range(len(genomes))) + " ")
+    print(len(genomes))
+    for i, name in enumerate(names):
+        print(f"{name:<{width}}" + " ".join(
+            f"{kr[i, j]:.6f}" for j in range(len(genomes))) + " ")
     return 0
 
 

@@ -223,14 +223,34 @@ class TestGenomediff:
     def test_identical_genomes_small_kr(self):
         from genometools_tpu.match.genomediff import genomediff
         rng = np.random.default_rng(5)
-        s = "".join(rng.choice(list("acgt"), 2000))
+        s = "".join(rng.choice(list("acgt"), 600))
         g1 = Encseq.from_string(s)
         g2 = Encseq.from_string(s)
-        m = "".join(rng.choice(list("acgt"), 2000))
+        m = "".join(rng.choice(list("acgt"), 600))
         g3 = Encseq.from_string(m)
-        kr = genomediff([g1, g2, g3])
+        _, kr = genomediff([g1, g2, g3])
         assert kr[0, 1] < 0.1            # identical -> near zero
         assert kr[0, 2] > 3 * kr[0, 1]   # unrelated -> clearly larger
+
+    @pytest.mark.parametrize("code", ["000050_001_0.1_002",
+                                      "000100_001_0.1_002"])
+    def test_kr_goldens(self, testdata, code):
+        """ref: testdata/genomediff/*-kr.out (exact shulen sums +
+        divergence solver to 1e-6)."""
+        import glob
+        from genometools_tpu.match.genomediff import genomediff
+        td = testdata / "genomediff"
+        files = sorted(glob.glob(str(td / f"{code}_S*.fas")))
+        genomes = [Encseq.from_files([f]) for f in files]
+        sums, kr = genomediff(genomes)
+        lines = (td / f"{code}-kr.out").read_text().splitlines()
+        n = int(lines[0])
+        wsums = np.array([list(map(int, l.split()[1:]))
+                          for l in lines[1:1 + n]])
+        wkr = np.array([list(map(float, l.split()[1:]))
+                        for l in lines[2 + n:2 + 2 * n]])
+        assert (sums == wsums).all()
+        assert np.allclose(kr, wkr, atol=5e-7)
 
 
 class TestScoreMatrix:
