@@ -343,8 +343,31 @@ def cmd_seed_extend(args):
         from .ops.greedy import PolishingInfo
         pol = PolishingInfo.new(float(p.errorpercentage), p.history)
         pmh, mad = p.greedy_params()
+    col_fmts = [o for o in outfmt if o in
+                ("cigar", "cigarX", "evalue", "bitscore", "s.seqlen",
+                 "q.seqlen", "subjectid", "queryid", "seed.len",
+                 "seed.s", "seed.q")]
+    ka = None
+    if "evalue" in col_fmts or "bitscore" in col_fmts:
+        from .match.karlin_altschul import KarlinAltschulStat
+        ka = KarlinAltschulStat.new_gapped(aenc.total_length,
+                                           aenc.num_sequences)
+    if col_fmts:
+        from .match.seedext_display import match_extra_columns
     for m in seed_extend(aenc, benc, p):
-        print(m.line())
+        if col_fmts:
+            extra = match_extra_columns(m, aenc, benc or aenc, p,
+                                        col_fmts, ka)
+            parts = m.line().split()
+            if "subjectid" in col_fmts:
+                parts[1] = extra[col_fmts.index("subjectid")]
+            if "queryid" in col_fmts:
+                parts[5] = extra[col_fmts.index("queryid")]
+            rest = [x for o, x in zip(col_fmts, extra)
+                    if o not in ("subjectid", "queryid")]
+            print(" ".join(parts + rest))
+        else:
+            print(m.line())
         if show_alignment and m.direction == "F":
             useq = _seq_codes(aenc, m.dbseqnum, False)
             vseq = _seq_codes(benc or aenc, m.queryseqnum, False)

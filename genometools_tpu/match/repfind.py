@@ -150,7 +150,7 @@ def repfind_extend(encseq: Encseq, minlength: int,
                                greedy_ctx)
         if ext is None:
             continue
-        u_l, v_l, sd_l, u_r, v_r, sd_r, _mm = ext
+        u_l, v_l, sd_l, u_r, v_r, sd_r, _mml, _mmr = ext
         dblen = int(ln) + u_l + u_r
         querylen = int(ln) + v_l + v_r
         alignedlen = dblen + querylen

@@ -187,6 +187,8 @@ class SeedExtendMatch:
     db_seedpos: int = 0
     query_seedpos: int = 0
     seedlen: int = 0
+    mismatches: int = 0
+    querystart_rc: int = 0  # on the P strand: start in revcomp coords
 
     def line(self) -> str:
         return (f"{self.dblen} {self.dbseqnum} {self.dbstart} "
@@ -259,7 +261,7 @@ def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
         v = vseq[querystart_rel + seedlength:]
         u_right, v_right, right_sd, right_mm = extend(u, v)
     return (u_left, v_left, left_sd, u_right, v_right, right_sd,
-            left_mm + right_mm)
+            left_mm, right_mm)
 
 
 def seed_extend(aenc: Encseq, benc: Encseq | None = None,
@@ -375,14 +377,16 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                                    params.scores, greedy_ctx)
             if ext is None:
                 continue
-            u_l, v_l, sd_l, u_r, v_r, sd_r, _mm = ext
+            u_l, v_l, sd_l, u_r, v_r, sd_r, mm_l, mm_r = ext
             haspreviousmatch = True
             accepted = None
             # combine modes BOTH / ONLY_LEFT / ONLY_RIGHT tried in order
             # (ref: gt_extend_sesp mode loop, max_combine_mode default 2)
             for mode in range(params.max_combine_mode + 1):
-                ul, vl, sl = (u_l, v_l, sd_l) if mode != 2 else (0, 0, 0)
-                ur, vr, sr = (u_r, v_r, sd_r) if mode != 1 else (0, 0, 0)
+                ul, vl, sl, ml = (u_l, v_l, sd_l, mm_l) if mode != 2 \
+                    else (0, 0, 0, 0)
+                ur, vr, sr, mr = (u_r, v_r, sd_r, mm_r) if mode != 1 \
+                    else (0, 0, 0, 0)
                 dblen = k + ul + ur
                 querylen = k + vl + vr
                 alignedlen = dblen + querylen
@@ -406,10 +410,14 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                     continue
                 if alignedlen < 2 * params.userdefinedleastlength:
                     continue
+                # q. start is reported on the forward strand
+                # (ref: querymatch.c:561 querystart_fwdstrand)
+                b_start_fwd = b_start if direction == "F" \
+                    else len(vseq) - b_start - querylen
                 accepted = SeedExtendMatch(
                     dblen, aseq, a_start, direction, querylen, bseq,
-                    b_start, total_score, dist, 100.0 - err,
-                    dbstart_rel, querystart_rel, k)
+                    b_start_fwd, total_score, dist, 100.0 - err,
+                    dbstart_rel, querystart_rel, k, ml + mr, b_start)
                 break
             if params.use_apos == 2 or \
                     (params.use_apos == 1 and accepted is not None):

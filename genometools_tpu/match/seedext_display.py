@@ -254,3 +254,68 @@ def format_alignment(ops, useq: np.ndarray, vseq: np.ndarray,
         u_start_pos = ue + 1
         v_start_pos = ve + 1
     return "\n".join(out) + "\n" if out else ""
+
+
+def ops_to_cigar(ops, distinguish: bool = False) -> str:
+    """Render display-order ops as a CIGAR string
+    (ref: ft-eoplist.c gt_eoplist_show_cigar /
+    gt_eoplist_pretty_print); distinguish=True emits '='/'X'
+    (cigarX), otherwise matches and mismatches merge into 'M'."""
+    runs = []
+    for op, n in ops:
+        if not distinguish and op in ("M", "X"):
+            sym = "M"
+        elif op == "M":
+            sym = "="
+        else:
+            sym = op
+        if runs and runs[-1][0] == sym:
+            runs[-1][1] += n
+        else:
+            runs.append([sym, n])
+    return "".join(f"{n}{sym}" for sym, n in runs)
+
+
+def match_extra_columns(m, aenc, benc, params, outfmt, ka=None):
+    """Extra output column values for one seed_extend match
+    (ref: querymatch.c gt_querymatch_pretty_print column loop)."""
+    from .karlin_altschul import evalue_for_match
+    from .seed_extend import _seq_codes
+    cols = []
+    need_cigar = any(o in ("cigar", "cigarX") for o in outfmt)
+    ops = None
+    if need_cigar:
+        pol = PolishingInfo.new(float(params.errorpercentage),
+                                params.history)
+        pmh, mad = params.greedy_params()
+        useq = _seq_codes(aenc, m.dbseqnum, False)
+        vseq = _seq_codes(benc, m.queryseqnum, m.direction == "P")
+        qstart = m.querystart if m.direction == "F" else m.querystart_rc
+        ops, _, _, _, _, _ = seeded_alignment(
+            useq, vseq, m.dbstart, m.dblen, qstart, m.querylen,
+            m.db_seedpos, m.query_seedpos, m.seedlen, pol, pmh, mad)
+    for o in outfmt:
+        if o == "cigar":
+            cols.append(ops_to_cigar(ops, False))
+        elif o == "cigarX":
+            cols.append(ops_to_cigar(ops, True))
+        elif o == "evalue" or o == "bitscore":
+            ev, bs = evalue_for_match(
+                ka, int(benc.seq_length(m.queryseqnum)),
+                m.dblen + m.querylen, m.distance, m.mismatches)
+            cols.append(f"{ev:1.0e}" if o == "evalue" else f"{bs:.1f}")
+        elif o == "s.seqlen":
+            cols.append(str(int(aenc.seq_length(m.dbseqnum))))
+        elif o == "q.seqlen":
+            cols.append(str(int(benc.seq_length(m.queryseqnum))))
+        elif o == "subjectid":
+            cols.append(aenc.descs[m.dbseqnum].split()[0])
+        elif o == "queryid":
+            cols.append(benc.descs[m.queryseqnum].split()[0])
+        elif o == "seed.len":
+            cols.append(str(m.seedlen))
+        elif o == "seed.s":
+            cols.append(str(m.db_seedpos))
+        elif o == "seed.q":
+            cols.append(str(m.query_seedpos))
+    return cols

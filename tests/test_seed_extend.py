@@ -263,3 +263,61 @@ class TestAlignmentDisplay:
                  "see-ext-at1MB-500-alignment-seed_in_algn.matches"
                  ).read_text().splitlines() if not l.startswith("#")]
         assert got == want
+
+
+class TestOutfmtColumns:
+    """-outfmt cigar/cigarX/evalue/bitscore/seqlen/ids goldens at
+    -l 400 (ref: see-ext-at1MB-400-*.matches)."""
+
+    @pytest.fixture(scope="class")
+    def at1mb_400(self, testdata):
+        e = Encseq.from_files([str(testdata / "at1MB")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=400,
+                             extension="greedy", history=60)
+        return e, p, seed_extend(e, None, p)
+
+    def _want(self, testdata, name):
+        return [l for l in (testdata / name).read_text().splitlines()
+                if not l.startswith("#")]
+
+    def test_evalue_bitscore_seqlen(self, testdata, at1mb_400):
+        from genometools_tpu.match.karlin_altschul import \
+            KarlinAltschulStat
+        from genometools_tpu.match.seedext_display import \
+            match_extra_columns
+        e, p, ms = at1mb_400
+        ka = KarlinAltschulStat.new_gapped(e.total_length,
+                                           e.num_sequences)
+        got_ev = [m.line() + " " + " ".join(match_extra_columns(
+            m, e, e, p, ["evalue", "bitscore"], ka)) for m in ms]
+        assert got_ev == self._want(
+            testdata, "see-ext-at1MB-400-evalue-bitscore.matches")
+        got_sl = [m.line() + " " + " ".join(match_extra_columns(
+            m, e, e, p, ["s.seqlen", "q.seqlen"])) for m in ms]
+        assert got_sl == self._want(
+            testdata, "see-ext-at1MB-400-seqlength.matches")
+        got_id = []
+        for m in ms:
+            parts = m.line().split()
+            sid, qid = match_extra_columns(m, e, e, p,
+                                           ["subjectid", "queryid"])
+            parts[1] = sid
+            parts[5] = qid
+            got_id.append(" ".join(parts))
+        assert got_id == self._want(
+            testdata, "see-ext-at1MB-400-seqdesc.matches")
+
+    def test_cigar_prefix(self, testdata, at1mb_400):
+        from genometools_tpu.match.seedext_display import \
+            match_extra_columns
+        e, p, ms = at1mb_400
+        want = self._want(testdata, "see-ext-at1MB-400-cigar.matches")
+        wantX = self._want(testdata, "see-ext-at1MB-400-cigarX.matches")
+        for i, m in enumerate(ms[:40]):
+            got = m.line() + " " + " ".join(
+                match_extra_columns(m, e, e, p, ["cigar"]))
+            assert got == want[i], i
+            gotX = m.line() + " " + " ".join(
+                match_extra_columns(m, e, e, p, ["cigarX"]))
+            assert gotX == wantX[i], i
