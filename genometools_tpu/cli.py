@@ -343,10 +343,15 @@ def cmd_seed_extend(args):
         from .ops.greedy import PolishingInfo
         pol = PolishingInfo.new(float(p.errorpercentage), p.history)
         pmh, mad = p.greedy_params()
-    col_fmts = [o for o in outfmt if o in
-                ("cigar", "cigarX", "evalue", "bitscore", "s.seqlen",
-                 "q.seqlen", "subjectid", "queryid", "seed.len",
-                 "seed.s", "seed.q")]
+    col_fmts = []
+    for o in outfmt:
+        if o == "seed":
+            col_fmts += ["seed.len", "seed.s", "seed.q"]
+        elif o in ("cigar", "cigarX", "evalue", "bitscore", "s.seqlen",
+                   "q.seqlen", "subjectid", "queryid", "seed.len",
+                   "seed.s", "seed.q"):
+            col_fmts.append(o)
+    show_failed = "failed_seed" in outfmt
     ka = None
     if "evalue" in col_fmts or "bitscore" in col_fmts:
         from .match.karlin_altschul import KarlinAltschulStat
@@ -354,7 +359,18 @@ def cmd_seed_extend(args):
                                            aenc.num_sequences)
     if col_fmts:
         from .match.seedext_display import match_extra_columns
-    for m in seed_extend(aenc, benc, p):
+    events = [] if show_failed else None
+    result = seed_extend(aenc, benc, p, events=events)
+    if show_failed:
+        stream = events
+    else:
+        stream = [("match", m) for m in result]
+    for ev in stream:
+        if ev[0] == "failed":
+            _, k, aseq, apos, d, bseq, bpos = ev
+            print(f"# failed_seed: {k} {aseq} {apos} {d} {bseq} {bpos}")
+            continue
+        m = ev[1]
         if col_fmts:
             extra = match_extra_columns(m, aenc, benc or aenc, p,
                                         col_fmts, ka)

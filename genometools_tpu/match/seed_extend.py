@@ -265,7 +265,11 @@ def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
 
 
 def seed_extend(aenc: Encseq, benc: Encseq | None = None,
-                params: SeedExtendParams | None = None) -> list[SeedExtendMatch]:
+                params: SeedExtendParams | None = None,
+                events: list | None = None) -> list[SeedExtendMatch]:
+    """events, when a list is passed, receives ('match', m) and
+    ('failed', seedlen, aseq, apos, dir, bseq, bpos) records in seed
+    processing order (for -outfmt failed_seed)."""
     params = params or SeedExtendParams()
     selfcomp = benc is None
     benc = benc or aenc
@@ -296,7 +300,7 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
             inseqseeds=True, mindist=k if direction == "F" else 0)
         matches.extend(_process_seed_pairs(
             aenc, benc, direction, pa_seq, pb_seq, pb_pos, pa_pos, k,
-            mincov, belowscore, params, selfcomp, amaxlen))
+            mincov, belowscore, params, selfcomp, amaxlen, events))
     return matches
 
 
@@ -312,7 +316,7 @@ def _seq_codes(enc: Encseq, s: int, revcomp: bool) -> np.ndarray:
 
 def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                         pa_pos, k, mincov, belowscore, params, selfcomp,
-                        amaxlen):
+                        amaxlen, events=None):
     matches = []
     n = pa_seq.size
     if n == 0:
@@ -376,6 +380,9 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                                    querystart_rel, k, belowscore,
                                    params.scores, greedy_ctx)
             if ext is None:
+                if events is not None:
+                    events.append(("failed", k, aseq, dbstart_rel,
+                                   direction, bseq, querystart_rel))
                 continue
             u_l, v_l, sd_l, u_r, v_r, sd_r, mm_l, mm_r = ext
             haspreviousmatch = True
@@ -424,6 +431,13 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                 rectangles.append(rect)
             if accepted is not None:
                 matches.append(accepted)
+                if events is not None:
+                    events.append(("match", accepted))
+            elif events is not None:
+                # seed extended but no accepted match
+                # (ref: querymatch.c:696 gt_querymatch_show_failed_seed)
+                events.append(("failed", k, aseq, dbstart_rel,
+                               direction, bseq, querystart_rel))
     return matches
 
 

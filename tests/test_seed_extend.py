@@ -321,3 +321,81 @@ class TestOutfmtColumns:
             gotX = m.line() + " " + " ".join(
                 match_extra_columns(m, e, e, p, ["cigarX"]))
             assert gotX == wantX[i], i
+
+
+class TestFailedSeed:
+    """-outfmt seed failed_seed goldens (ref: gt_seed_extend_include.rb
+    lines 180-183)."""
+
+    def _golden(self, testdata, name):
+        return [l for l in (testdata / name).read_text().splitlines()
+                if not l.startswith("#") or l.startswith("# failed_seed:")]
+
+    def test_self_failed_seed(self, testdata):
+        e = Encseq.from_files([str(testdata / "at1MB")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=600, seedlength=20,
+                             extension="greedy", history=60)
+        events = []
+        seed_extend(e, None, p, events=events)
+        got = []
+        for ev in events:
+            if ev[0] == "failed":
+                _, k, aseq, apos, d, bseq, bpos = ev
+                got.append(f"# failed_seed: {k} {aseq} {apos} {d} "
+                           f"{bseq} {bpos}")
+            else:
+                m = ev[1]
+                got.append(m.line() + f" {m.seedlen} {m.db_seedpos} "
+                           f"{m.query_seedpos}")
+        assert got == self._golden(
+            testdata, "see-ext-at1MB-500-failed_seed.matches")
+
+    def test_query_failed_seed_evalue(self, testdata):
+        from genometools_tpu.match.karlin_altschul import \
+            KarlinAltschulStat
+        from genometools_tpu.match.seedext_display import \
+            match_extra_columns
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        u8 = Encseq.from_files([str(testdata / "U89959_genomic.fas")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=100, seedlength=20,
+                             extension="greedy", history=60)
+        events = []
+        seed_extend(at, u8, p, events=events)
+        ka = KarlinAltschulStat.new_gapped(at.total_length,
+                                           at.num_sequences)
+        got = []
+        for ev in events:
+            if ev[0] == "failed":
+                _, k, aseq, apos, d, bseq, bpos = ev
+                got.append(f"# failed_seed: {k} {aseq} {apos} {d} "
+                           f"{bseq} {bpos}")
+            else:
+                m = ev[1]
+                evalue = match_extra_columns(m, at, u8, p, ["evalue"],
+                                             ka)[0]
+                got.append(m.line() + f" {m.seedlen} {m.db_seedpos} "
+                           f"{m.query_seedpos} {evalue}")
+        assert got == self._golden(
+            testdata, "see-ext-at1MB-u8-failed_seed-evalue.matches")
+
+
+class TestCrossIndexContent:
+    """at1MB vs U89959 cross-index: 1713 matches content-exact
+    (see-ext-at1MB-u8.matches was generated with an unreferenced
+    configuration whose output order differs; content compared as
+    multisets)."""
+
+    def test_u8_match_set(self, testdata):
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        u8 = Encseq.from_files([str(testdata / "U89959_genomic.fas")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=22,
+                             extension="greedy", history=60)
+        got = sorted(m.line() for m in seed_extend(at, u8, p))
+        want = sorted(
+            l for l in (testdata /
+                        "see-ext-at1MB-u8.matches").read_text().splitlines()
+            if not l.startswith("#"))
+        assert got == want
