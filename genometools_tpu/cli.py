@@ -359,6 +359,15 @@ def cmd_seed_extend(args):
                                            aenc.num_sequences)
     if col_fmts:
         from .match.seedext_display import match_extra_columns
+    if args.maxmat:
+        from .match.seed_extend import maximal_exact_matches
+        k = args.seedlength or min(32, args.l)
+        for m in maximal_exact_matches(aenc, benc if args.qii else None,
+                                       k, args.l):
+            print(f"{m.dblen:8d}{m.dbseqnum:10d}{m.dbstart + 1:10d}  "
+                  f"{m.direction}{m.queryseqnum:10d}"
+                  f"{m.querystart + 1:10d}")
+        return 0
     events = [] if show_failed else None
     result = seed_extend(aenc, benc, p, events=events)
     if show_failed:
@@ -413,6 +422,7 @@ def _add_seed_extend(sub):
     p.add_argument("-percmathistory", type=int, default=None)
     p.add_argument("-maxalilendiff", type=int, default=None)
     p.add_argument("-outfmt", nargs="+", default=None)
+    p.add_argument("-maxmat", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_seed_extend)
 

@@ -471,8 +471,10 @@ def maximal_exact_matches(aenc: Encseq, benc: Encseq | None,
             mindist=seedlength)
         # group by (aseq, bseq, diagonal); seeds on one diagonal with
         # contiguous endpos runs merge into one exact match
+        # the reference enumerates diagonals as bpos - apos ascending
+        # (ref: diagbandseed.c segment2maxmatches order)
         diag = pa_pos - pb_pos
-        order = np.lexsort((pa_pos, diag, pb_seq, pa_seq))
+        order = np.lexsort((pa_pos, -diag, pb_seq, pa_seq))
         pa_seq, pb_seq = pa_seq[order], pb_seq[order]
         pa_pos, pb_pos, diag = pa_pos[order], pb_pos[order], diag[order]
         n = pa_seq.size

@@ -399,3 +399,37 @@ class TestCrossIndexContent:
                         "see-ext-at1MB-u8.matches").read_text().splitlines()
             if not l.startswith("#"))
         assert got == want
+
+
+class TestMaxmatGoldens:
+    """-maxmat fixed-width output (ref: see-ext-at1MB-maxmat250 and
+    at1MB-u8-maxmat30 goldens; 1-based starts, diag-descending order
+    within segments)."""
+
+    def _render(self, mems):
+        return [f"{m.dblen:8d}{m.dbseqnum:10d}{m.dbstart + 1:10d}  "
+                f"{m.direction}{m.queryseqnum:10d}{m.querystart + 1:10d}"
+                for m in mems]
+
+    def test_self_maxmat250(self, testdata):
+        from genometools_tpu.match.seed_extend import \
+            maximal_exact_matches
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        got = self._render(maximal_exact_matches(at, None, 32, 250))
+        want = [l for l in (testdata /
+                            "see-ext-at1MB-maxmat250.matches"
+                            ).read_text().splitlines()
+                if not l.startswith("#")]
+        assert got == want
+
+    def test_query_maxmat30(self, testdata):
+        from genometools_tpu.match.seed_extend import \
+            maximal_exact_matches
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        u8 = Encseq.from_files([str(testdata / "U89959_genomic.fas")])
+        got = self._render(maximal_exact_matches(at, u8, 30, 30))
+        want = [l for l in (testdata /
+                            "see-ext-at1MB-u8-maxmat30.matches"
+                            ).read_text().splitlines()
+                if not l.startswith("#")]
+        assert got == want
