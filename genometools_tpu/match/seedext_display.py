@@ -319,3 +319,29 @@ def match_extra_columns(m, aenc, benc, params, outfmt, ka=None):
         elif o == "seed.q":
             cols.append(str(m.query_seedpos))
     return cols
+
+
+def ops_to_trace(ops, delta: int = 50, dtrace: bool = False) -> str:
+    """Trace segments: every delta consumed u-chars emit the number of
+    consumed v-chars (trace) or delta minus it (dtrace)
+    (ref: ft-eoplist.c:461 gt_eoplist_reader_next_segment,
+    querymatch-align.c trace printing)."""
+    vals = []
+    au = av = 0
+    for op, n in ops:
+        for _ in range(n):
+            if op == "D":
+                au += 1
+            elif op == "I":
+                av += 1
+            else:
+                au += 1
+                av += 1
+            if au == delta:
+                vals.append(delta - av if dtrace else av)
+                au = av = 0
+    if au > 0 or av > 0:
+        # the reference subtracts the full delta even for the tail
+        # (ref: querymatch-align.c:640 trace_delta - aligned_v)
+        vals.append(delta - av if dtrace else av)
+    return ",".join(str(v) for v in vals)

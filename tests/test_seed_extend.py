@@ -433,3 +433,58 @@ class TestMaxmatGoldens:
                             ).read_text().splitlines()
                 if not l.startswith("#")]
         assert got == want
+
+
+class TestTraceOutfmt:
+    """-outfmt trace=50 / dtrace=50 goldens."""
+
+    def test_trace_goldens(self, testdata):
+        from genometools_tpu.match.seed_extend import _seq_codes
+        from genometools_tpu.match.seedext_display import (ops_to_trace,
+                                                           seeded_alignment)
+        from genometools_tpu.ops.greedy import PolishingInfo
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=400,
+                             extension="greedy", history=60)
+        ms = seed_extend(at, None, p)
+        pol = PolishingInfo.new(float(p.errorpercentage), p.history)
+        pmh, mad = p.greedy_params()
+
+        def allops(m):
+            useq = _seq_codes(at, m.dbseqnum, False)
+            vseq = _seq_codes(at, m.queryseqnum, m.direction == "P")
+            qs = m.querystart if m.direction == "F" else m.querystart_rc
+            ops, *_ = seeded_alignment(
+                useq, vseq, m.dbstart, m.dblen, qs, m.querylen,
+                m.db_seedpos, m.query_seedpos, m.seedlen, pol, pmh, mad)
+            return ops
+
+        opslist = [allops(m) for m in ms]
+        for dtrace, golden in [(False, "see-ext-at1MB-400-trace.matches"),
+                               (True, "see-ext-at1MB-400-dtrace.matches")]:
+            want = [l for l in
+                    (testdata / golden).read_text().splitlines()
+                    if not l.startswith("#")]
+            got = [m.line() + " " + ops_to_trace(o, 50, dtrace)
+                   for m, o in zip(ms, opslist)]
+            assert got == want, golden
+
+
+class TestTabsepCustom:
+    """-mincoverage 200 -outfmt tabsep custom golden."""
+
+    def test_tabsep(self, testdata):
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=200, mincoverage=200,
+                             extension="greedy", history=60)
+        ms = seed_extend(at, None, p)
+        got = ["\t".join([str(m.dbseqnum), str(m.dbstart), str(m.dblen),
+                          m.direction, str(m.queryseqnum),
+                          str(m.querystart), str(m.querylen),
+                          str(m.distance)]) for m in ms]
+        want = [l for l in
+                (testdata / "see-ext-at1MB-mincoverage200-tabsep.matches"
+                 ).read_text().splitlines() if not l.startswith("#")]
+        assert got == want
