@@ -488,3 +488,49 @@ class TestTabsepCustom:
                 (testdata / "see-ext-at1MB-mincoverage200-tabsep.matches"
                  ).read_text().splitlines() if not l.startswith("#")]
         assert got == want
+
+
+class TestBlastOutfmt:
+    """-outfmt blast piped through matchtool
+    (ref: gt_seed_extend_include.rb:94, matchtool_see-ext.match)."""
+
+    def test_blast_matchtool_golden(self, testdata):
+        from genometools_tpu.match.karlin_altschul import (
+            KarlinAltschulStat, evalue_for_match)
+        from genometools_tpu.match.matchtool import parse_blast_matches
+        at = Encseq.from_files([str(testdata / "at1MB")])
+        p = SeedExtendParams(sensitivity=97, minidentity=80,
+                             userdefinedleastlength=350, mincoverage=350,
+                             seedlength=12, logdiagbandwidth=3,
+                             extension="greedy", history=60)
+        ms = seed_extend(at, None, p)
+        ka = KarlinAltschulStat.new_gapped(at.total_length,
+                                           at.num_sequences)
+        lines = []
+        for m in ms:
+            qid = at.descs[m.queryseqnum].split()[0]
+            sid = at.descs[m.dbseqnum].split()[0]
+            alignedlen = m.dblen + m.querylen
+            mism = m.mismatches
+            indels = m.distance - mism
+            # blast 'alignment length' = (alignedlen - indels)/2
+            # (ref: querymatch.c:257)
+            alilen = (alignedlen - indels) // 2
+            pident = 100.0 * (alilen - mism) / alilen
+            ev, bs = evalue_for_match(
+                ka, int(at.seq_length(m.queryseqnum)), alignedlen,
+                m.distance, mism)
+            qs, qe = m.querystart + 1, m.querystart + m.querylen
+            if m.direction == "F":
+                ss, se = m.dbstart + 1, m.dbstart + m.dblen
+            else:
+                ss, se = m.dbstart + m.dblen, m.dbstart + 1
+            lines.append("\t".join(
+                [qid, sid, f"{pident:.2f}", str(alilen), str(mism),
+                 str(indels), str(qs), str(qe), str(ss), str(se),
+                 f"{ev:1.0e}", f"{bs:.1f}"]))
+        got = parse_blast_matches("\n".join(lines)).splitlines()
+        want = [l.rstrip("\n") for l in
+                (testdata / "matchtool_see-ext.match").read_text()
+                .splitlines() if not l.startswith("#")]
+        assert got == want
