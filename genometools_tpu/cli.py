@@ -545,6 +545,60 @@ def _add_ltrharvest(sub):
     p.set_defaults(func=cmd_ltrharvest)
 
 
+def cmd_ltrdigest(args):
+    """gt ltrdigest: PPT/PBS annotation of LTR retrotransposons
+    (ref: src/tools/gt_ltrdigest.c)."""
+    from .anno.gff3 import gff3_to_string, parse_gff3
+    from .ltr.ltrdigest import LTRdigestParams, ltrdigest
+    text = open(args.file).read() if args.file != "-" else sys.stdin.read()
+    try:
+        nodes = parse_gff3(text)
+        mapping = _region_mapping(args)
+        trna_lib = None
+        if args.trnas:
+            from .core.seqio import read_seqfile
+            ss = read_seqfile(args.trnas)
+            trna_lib = [(d.split()[0], s.tobytes().decode())
+                        for d, s in zip(ss.descs, ss.seqs)]
+        params = LTRdigestParams(
+            ppt_len=(args.pptlen[0], args.pptlen[1]),
+            ubox_len=(args.uboxlen[0], args.uboxlen[1]),
+            ppt_radius=args.pptradius,
+            max_ubox_dist=args.maxgaplen,
+            pbs_alilen=(args.pbsalilen[0], args.pbsalilen[1]),
+            pbs_offsetlen=(args.pbsoffset[0], args.pbsoffset[1]),
+            pbs_trnaoffsetlen=(args.pbstrnaoffset[0],
+                               args.pbstrnaoffset[1]),
+            pbs_max_edist=args.pbsmaxedist, pbs_radius=args.pbsradius)
+        ltrdigest(nodes, mapping, trna_lib, params)
+    except ValueError as e:
+        print(f"gt ltrdigest: error: {e}", file=sys.stderr)
+        return 1
+    sys.stdout.write(gff3_to_string(nodes, retainids=True))
+    return 0
+
+
+def _add_ltrdigest(sub):
+    p = sub.add_parser("ltrdigest",
+                       help="annotate PPT/PBS in LTR retrotransposons")
+    p.add_argument("file", nargs="?", default="-")
+    p.add_argument("-seqfile")
+    p.add_argument("-encseq")
+    p.add_argument("-matchdesc", action="store_true")
+    p.add_argument("-usedesc", action="store_true")
+    p.add_argument("-trnas")
+    p.add_argument("-pptlen", type=int, nargs=2, default=[8, 30])
+    p.add_argument("-uboxlen", type=int, nargs=2, default=[3, 30])
+    p.add_argument("-pptradius", type=int, default=30)
+    p.add_argument("-maxgaplen", type=int, default=0)
+    p.add_argument("-pbsalilen", type=int, nargs=2, default=[11, 30])
+    p.add_argument("-pbsoffset", type=int, nargs=2, default=[0, 5])
+    p.add_argument("-pbstrnaoffset", type=int, nargs=2, default=[0, 5])
+    p.add_argument("-pbsmaxedist", type=int, default=1)
+    p.add_argument("-pbsradius", type=int, default=30)
+    p.set_defaults(func=cmd_ltrdigest)
+
+
 def cmd_packedindex(args):
     _force_platform(args)
     from .core.encseq import Encseq
@@ -1624,7 +1678,8 @@ def _add_wtree(sub):
 
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
-             _add_readjoiner, _add_ltrharvest, _add_packedindex,
+             _add_readjoiner, _add_ltrharvest, _add_ltrdigest,
+             _add_packedindex,
              _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,
