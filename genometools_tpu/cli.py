@@ -321,13 +321,24 @@ def cmd_seed_extend(args):
         seedlength=args.seedlength or None,
         minidentity=args.minidentity,
         sensitivity=args.extendxdrop or args.extendgreedy or 97,
-        userdefinedleastlength=args.l,
-        extension="greedy" if args.extendgreedy else "xdrop",
+        userdefinedleastlength=args.l or 0,
+        # greedy is the default extension mode
+        # (ref: gt_seed_extend.c:833 extendgreedy = true)
+        extension="xdrop" if args.extendxdrop else "greedy",
         maxfreq=args.maxfreq,
         reverse=not args.no_reverse,
         history=args.history,
+        logdiagbandwidth=args.diagbandwidth,
         perc_mat_history=args.percmathistory,
         maxalignedlendifference=args.maxalilendiff)
+    if args.estim:
+        from .match.estim import seed_extend_estim
+        sys.stdout.write(seed_extend_estim(
+            aenc, benc, p, mode=args.estim,
+            delta_filter=args.delta_filter,
+            bias_parameters=args.bias_parameters,
+            aname=args.ii, bname=args.qii or args.ii))
+        return 0
     outfmt = args.outfmt or []
     width = 60
     seed_in_algn = "seed_in_algn" in outfmt
@@ -361,7 +372,7 @@ def cmd_seed_extend(args):
         from .match.seedext_display import match_extra_columns
     if args.maxmat:
         from .match.seed_extend import maximal_exact_matches
-        k = args.seedlength or min(32, args.l)
+        k = args.seedlength or min(32, args.l or 20)
         for m in maximal_exact_matches(aenc, benc if args.qii else None,
                                        k, args.l):
             print(f"{m.dblen:8d}{m.dbseqnum:10d}{m.dbstart + 1:10d}  "
@@ -411,7 +422,19 @@ def _add_seed_extend(sub):
     p = sub.add_parser("seed_extend", help="seed and extend matching")
     p.add_argument("-ii", required=True)
     p.add_argument("-qii", default=None, help="query index (default: self)")
-    p.add_argument("-l", type=int, default=20, help="minimum alignment len")
+    p.add_argument("-l", type=int, default=None,
+                   help="minimum alignment len (default: mincoverage)")
+    p.add_argument("-estim", choices=["ANI", "JKD"], default=None)
+    p.add_argument("-snd_pass", action="store_true")  # implied by -estim
+    p.add_argument("-bias-parameters", dest="bias_parameters",
+                   action="store_true")
+    p.add_argument("-delta-filter", dest="delta_filter",
+                   action="store_true")
+    p.add_argument("-noinseqseeds", action="store_true")  # implied
+    p.add_argument("-histogram", default=None)            # accepted, no-op
+    p.add_argument("-cam", default=None)                  # accepted, no-op
+    p.add_argument("-parts", type=int, default=1)
+    p.add_argument("-diagbandwidth", type=int, default=6)
     p.add_argument("-seedlength", type=int, default=0)
     p.add_argument("-minidentity", type=int, default=80)
     p.add_argument("-extendxdrop", type=int, nargs="?", const=97, default=0)

@@ -276,6 +276,9 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
     k = params.seedlength or default_seedlength(aenc, benc)
     mincov = params.mincoverage if params.mincoverage is not None \
         else int(2.5 * k)
+    if not params.userdefinedleastlength:
+        # default -l is the mincoverage (ref: gt_seed_extend.c:1139)
+        params.userdefinedleastlength = mincov
     belowscore = params.belowscore()
     matches: list[SeedExtendMatch] = []
 
