@@ -161,6 +161,13 @@ def build_suffix_array(keys, with_lcp: bool = True):
         z = jnp.zeros(0, jnp.int32)
         return (z, z) if with_lcp else (z, None)
     npad = _next_pow2(n1)
+    # int32 arithmetic bounds: pad keys are maxkey+1..maxkey+(npad-n1) and
+    # the doubling rounds form idx + h with idx, h < npad — both must stay
+    # below 2^31. encseq's own guard (n + num_chars < 2^31) admits sizes in
+    # (2^30, 2^31) that would overflow silently here, so reject them too.
+    if npad > 2 ** 30 or int(keys.max()) + (npad - n1) >= 2 ** 31 - 1:
+        raise NotImplementedError(
+            "int64 index path not yet wired (n1 > 2^30 needs it)")
     if npad > n1:
         maxkey = int(keys.max())
         pad = maxkey + 1 + np.arange(npad - n1, dtype=np.int32)

@@ -1,0 +1,563 @@
+"""Batched greedy (front-prune) extension on device (JAX/XLA for TPU).
+
+The device counterpart of ops/greedy.py: thousands of seed extensions run
+as lanes of one fixed-shape front recurrence — the semantics equivalent
+of the reference front-prune engine (ref: src/match/ft-front-prune.c:633
+front_prune_edist_inplace + ft-polish.c), matching the scalar mirror
+`ops.greedy.greedy_extend` bit for bit (lockstep-verified by
+tests/test_greedy_batch.py).
+
+Architecture (SURVEY §7 "batched extension with per-seed lanes"):
+
+  * lanes: each seed extension is one lane; per-lane front state is a
+    row of fixed-shape (N, K) arrays — rows, 64-bit match history as a
+    pair of uint32 words, history size, max-mismatch counters
+  * diagonal slots: slot s holds diagonal k = s - D + kbase(lane); the
+    front window is recentred between chunks so K = 2D+1 slots always
+    cover the live (trimmed) window plus one chunk of drift
+  * match bitmasks instead of a run table: M[n, s, w] packs 32 match
+    bits (U[i]==V[i+k], specials never match) per uint32 word, built
+    once per chunk in O(N*K*W) bool ops.  The greedy run extension
+    fetches 32 bits at the current row and counts trailing matches with
+    popcount — O(N*K) per step, no O(W) one-hot per generation
+  * chunked continuation: windows of W symbols slide along u and v.  A
+    generation whose front touches the window edge (or the diagonal
+    slot edge) is rolled back and the lane pauses; the host advances
+    the window origins (du, dv), rebases rows/diagonals, and resumes
+    the lane in the next chunk — so arbitrarily long extensions stay on
+    device and remain bit-exact
+  * polishing: the reference's 2x15-bit history test is evaluated by
+    the same MSB-first score walk that fills its table
+    (ref: ft-polish.c fill_polishing_info), unrolled on the VPU
+
+Absolute vs relative bookkeeping: rows are relative to du, diagonals to
+kbase; alignedlen = 2*row_rel + k_rel + albase with albase = 2*du+kbase,
+so trims compare correctly in relative terms and the best polished point
+is stored absolutely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEGINF = jnp.int32(-(2 ** 30))
+_U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# 64-bit history as a pair of uint32 words
+# ---------------------------------------------------------------------------
+
+def _shl64(hlo, hhi, c):
+    """(hhi:hlo) << c with c int32 in [0, inf); bits beyond 64 drop."""
+    c = jnp.clip(c, 0, 64)
+    a = jnp.clip(c, 0, 31).astype(_U32)            # for the c<32 case
+    ra = jnp.clip(32 - c, 1, 31).astype(_U32)      # 32-c, valid c in [1,31]
+    b = jnp.clip(c - 32, 0, 31).astype(_U32)       # for the c>=32 case
+    lo_lt = hlo << a
+    carry = jnp.where(c > 0, hlo >> ra, _U32(0))
+    hi_lt = (hhi << a) | carry
+    hi_ge = hlo << b
+    ge32 = c >= 32
+    lo = jnp.where(c >= 64, _U32(0), jnp.where(ge32, _U32(0), lo_lt))
+    hi = jnp.where(c >= 64, _U32(0), jnp.where(ge32, hi_ge, hi_lt))
+    return lo, hi
+
+
+def _ones64(c):
+    """Low-c ones as a uint32 pair; c int32 >= 0, saturates at 64."""
+    c = jnp.clip(c, 0, 64)
+    a = jnp.clip(c, 0, 31).astype(_U32)
+    b = jnp.clip(c - 32, 0, 31).astype(_U32)
+    lo = jnp.where(c >= 32, _U32(0xFFFFFFFF), (_U32(1) << a) - _U32(1))
+    hi = jnp.where(c >= 64, _U32(0xFFFFFFFF),
+                   jnp.where(c >= 32, (_U32(1) << b) - _U32(1), _U32(0)))
+    return lo, hi
+
+
+def _popcount64(hlo, hhi):
+    return (jax.lax.population_count(hlo).astype(jnp.int32)
+            + jax.lax.population_count(hhi).astype(jnp.int32))
+
+
+def _ctz32(x):
+    """Trailing zeros of uint32; 32 for x == 0."""
+    iso = x & (~x + _U32(1))
+    return jax.lax.population_count(iso - _U32(1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# polishing (ref: ft-polish.c) — score walk instead of a 32k-entry table
+# ---------------------------------------------------------------------------
+
+def _polish_walk(prefix15, match_score, difference_score, cut_depth: int):
+    """diff_from_max and score_sum of a cut_depth-bit prefix, walked
+    MSB-first exactly like the reference's fill_polishing_info."""
+    score = jnp.zeros_like(prefix15)
+    maxscore = jnp.zeros_like(prefix15)
+    for b in range(cut_depth - 1, -1, -1):
+        maxscore = jnp.maximum(maxscore, score)
+        bit = (prefix15 >> b) & 1
+        score = score + jnp.where(bit == 1, match_score, -difference_score)
+    return score - maxscore, score
+
+
+# ---------------------------------------------------------------------------
+# per-chunk device kernel
+# ---------------------------------------------------------------------------
+
+def _match_bitmask(U, V, W: int, D: int):
+    """M[n, s, w]: uint32 words of match bits; bit b of word w is
+    (U[i] == V[i+k]) & (U[i] < 4) at i = 32*w + b, diag k = s - D."""
+    N = U.shape[0]
+    K = 2 * D + 1
+    W32 = W // 32
+    i_idx = jnp.arange(W)[None, None, :]
+    k_off = (jnp.arange(K) - D)[None, :, None]
+    j_idx = i_idx + k_off
+    j_ok = (j_idx >= 0) & (j_idx < W)
+    j_safe = jnp.clip(j_idx, 0, W - 1)
+    u = U[:, None, :]
+    v = jnp.take_along_axis(
+        jnp.broadcast_to(V[:, None, :], (N, K, W)),
+        jnp.broadcast_to(j_safe, (N, K, W)), axis=2)
+    m = (u == v) & (u < 4) & j_ok                          # (N,K,W)
+    weights = (_U32(1) << jnp.arange(32, dtype=_U32))[None, None, None, :]
+    return jnp.sum(m.reshape(N, K, W32, 32).astype(_U32) * weights,
+                   axis=3, dtype=_U32)                     # (N,K,W32)
+
+
+@partial(jax.jit, static_argnames=("W", "D", "GENS", "cut_depth"))
+def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
+                      d_lane, done, died, best,
+                      urem, vrem, kbase, rowbase,
+                      minmatchpercentage128, maxalignedlendifference,
+                      match_score, difference_score,
+                      W: int, D: int, GENS: int, cut_depth: int = 15):
+    """Run up to GENS generations of the greedy front recurrence.
+
+    State is post-generation-d_lane (raw gen-0 state from the host is
+    fine: the input state is trim/polish/completion-scored first, which
+    is idempotent on already-scored states).  Returns the updated state
+    plus a `paused` flag for lanes that hit a window or slot edge and
+    rolled back their last generation.
+    """
+    N, K = row.shape
+    W32 = W // 32
+    pol_size = 2 * cut_depth
+    karr = (jnp.arange(K, dtype=jnp.int32) - D)[None, :]
+    sidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    M = _match_bitmask(U, V, W, D)
+    w_iota = jnp.arange(W32, dtype=jnp.int32)[None, None, :]
+
+    ulen_c = jnp.minimum(urem, W)
+    vlen_c = jnp.minimum(vrem, W)
+    u_more = urem > W
+    v_more = vrem > W
+    ul = ulen_c[:, None]
+    vl = vlen_c[:, None]
+    albase = (2 * rowbase + kbase)[:, None]
+
+    def fetch_word(w):
+        """M[n, s, w[n, s]] with clamp+mask; one-hot over W32 words."""
+        onehot = w[:, :, None] == w_iota
+        vals = jnp.sum(jnp.where(onehot, M, _U32(0)), axis=2)
+        return jnp.where((w >= 0) & (w < W32), vals, _U32(0))
+
+    def add_matches(row, hlo, hhi, hsize, valid):
+        """Greedy run extension: 32 match bits per step via popcount."""
+        def cond(st):
+            return st[0].any()
+
+        def body(st):
+            cont, row, hlo, hhi, hsize = st
+            wi = row >> 5
+            off = (row & 31).astype(_U32)
+            w0 = fetch_word(wi)
+            w1 = fetch_word(wi + 1)
+            hi_sh = jnp.clip(32 - off.astype(jnp.int32), 1, 31).astype(_U32)
+            bits = (w0 >> off) | jnp.where(off > 0, w1 << hi_sh, _U32(0))
+            c = jnp.where(cont, _ctz32(~bits), 0)
+            olo, ohi = _ones64(c)
+            slo, shi = _shl64(hlo, hhi, c)
+            hlo = jnp.where(cont, slo | olo, hlo)
+            hhi = jnp.where(cont, shi | ohi, hhi)
+            hsize = jnp.where(cont, jnp.minimum(hsize + c, 64), hsize)
+            row = row + c
+            return cont & (c == 32), row, hlo, hhi, hsize
+
+        cont0 = valid & (row >= 0) & (row < W)
+        _, row, hlo, hhi, hsize = jax.lax.while_loop(
+            cond, body, (cont0, row, hlo, hhi, hsize))
+        return row, hlo, hhi, hsize
+
+    def trim_and_score(row, hlo, hhi, hsize, mm, valid, d, best, done):
+        """Flank trimming, polished-point update, completion test.
+        Idempotent — safe to re-apply to an already-scored state."""
+        rsafe = jnp.maximum(row, 0)
+        # absolute alignedlen: the reference clamps minlen at 0 on the
+        # absolute scale, so relative lengths would mis-trim once the
+        # window has advanced (albase = 2*du + kbase)
+        alignedlen = jnp.where(valid, 2 * rsafe + karr + albase, NEGINF)
+        maxal = jnp.max(alignedlen, axis=1)
+        minlen = jnp.maximum(maxal - maxalignedlendifference, 0)
+        need = (hsize * minmatchpercentage128) >> 7
+        keep = valid & (row <= ul) & (row + karr <= vl) & \
+            (alignedlen >= minlen[:, None]) & \
+            (_popcount64(hlo, hhi) >= need)
+        anyk = keep.any(axis=1)
+        first = jnp.argmax(keep, axis=1)
+        last = K - 1 - jnp.argmax(keep[:, ::-1], axis=1)
+        inwin = (sidx >= first[:, None]) & (sidx <= last[:, None])
+        valid = valid & inwin & anyk[:, None]
+        died_now = ~anyk & ~done
+
+        # polished-point update (ref: ft_update_trace_and_polished)
+        fill = jnp.maximum(pol_size - hsize, 0)
+        flo, fhi = _ones64(fill)
+        slo, _ = _shl64(flo, fhi, jnp.minimum(hsize, 64))
+        filled_lo = hlo | slo                     # pol_size <= 30 bits
+        p_lo = (filled_lo & _U32(0x7FFF)).astype(jnp.int32)
+        p_hi = ((filled_lo >> _U32(cut_depth)) & _U32(0x7FFF)) \
+            .astype(jnp.int32)
+        dfm_lo, ss_lo = _polish_walk(p_lo, match_score, difference_score,
+                                     cut_depth)
+        dfm_hi, _ = _polish_walk(p_hi, match_score, difference_score,
+                                 cut_depth)
+        polished = (dfm_lo >= 0) & (ss_lo + dfm_hi >= 0)
+        cand = jnp.where(valid & polished & ~done[:, None],
+                         alignedlen, NEGINF)
+        cbest = jnp.max(cand, axis=1)
+        kpick = jnp.argmax(cand == cbest[:, None], axis=1)
+        better = cbest > best[:, 0]
+        pick = lambda a: jnp.take_along_axis(a, kpick[:, None], axis=1)[:, 0]
+        newbest = jnp.stack(
+            [cbest, pick(rsafe) + rowbase, d, pick(mm)], axis=1)
+        best = jnp.where(better[:, None], newbest, best)
+
+        # completion: front[end_k].row == ulen (all in relative terms;
+        # end_k_rel = vrem - urem, |end_k_abs| <= d)
+        e_rel = vrem - urem
+        eidx = jnp.clip(e_rel + D, 0, K - 1)
+        take1 = lambda a: jnp.take_along_axis(a, eidx[:, None], axis=1)[:, 0]
+        ok_k = (jnp.abs(e_rel + kbase) <= d) & (jnp.abs(e_rel) <= D) & \
+            take1(valid) & (take1(row) == urem)
+        complete_now = ok_k & ~done
+        return valid, best, died_now, complete_now
+
+    # ---- score the input state (gen-0 raw state, or idempotent) -----
+    valid, best, died_now, complete_now = trim_and_score(
+        row, hlo, hhi, hsize, mm, valid, d_lane, best, done)
+    died = died | died_now
+    done = done | died_now | complete_now
+    paused = jnp.zeros(N, jnp.bool_)
+
+    def gen(_, carry):
+        (row, hlo, hhi, hsize, mm, valid, best, done, died, paused,
+         d_lane) = carry
+        act = ~done & ~paused
+
+        def sh(a, fillval, off):
+            if off == 1:   # from slot s-1 (diag k-1)
+                return jnp.pad(a, ((0, 0), (1, 0)),
+                               constant_values=fillval)[:, :K]
+            return jnp.pad(a, ((0, 0), (0, 1)),
+                           constant_values=fillval)[:, 1:]
+
+        # candidates: INS from k-1 (row same), MIS from k (row+1),
+        # DEL from k+1 (row+1) — first of that order wins row ties
+        v_ins = sh(valid, False, 1)
+        v_del = sh(valid, False, -1)
+        r_ins = jnp.where(v_ins, sh(row, 0, 1), NEGINF)
+        r_mis = jnp.where(valid, row + 1, NEGINF)
+        r_del = jnp.where(v_del, sh(row, 0, -1) + 1, NEGINF)
+        r_new = jnp.maximum(jnp.maximum(r_ins, r_mis), r_del)
+        anyc = r_new > NEGINF
+        use_ins = v_ins & (r_ins == r_new)
+        use_mis = valid & (r_mis == r_new) & ~use_ins
+        use_del = v_del & (r_del == r_new) & ~use_ins & ~use_mis
+
+        def pick3(a_ins, a_mis, a_del, zero):
+            return jnp.where(use_ins, a_ins,
+                             jnp.where(use_mis, a_mis,
+                                       jnp.where(use_del, a_del, zero)))
+
+        hlo_n = pick3(sh(hlo, _U32(0), 1), hlo, sh(hlo, _U32(0), -1),
+                      _U32(0))
+        hhi_n = pick3(sh(hhi, _U32(0), 1), hhi, sh(hhi, _U32(0), -1),
+                      _U32(0))
+        hs_n = pick3(sh(hsize, 0, 1), hsize, sh(hsize, 0, -1), 0)
+        # mismatches: max over the tied candidates
+        mm_ins = jnp.where(v_ins & (r_ins == r_new), sh(mm, 0, 1), NEGINF)
+        mm_mis = jnp.where(valid & (r_mis == r_new), mm + 1, NEGINF)
+        mm_del = jnp.where(v_del & (r_del == r_new), sh(mm, 0, -1), NEGINF)
+        mm_n = jnp.maximum(jnp.maximum(mm_ins, mm_mis), mm_del)
+
+        hs_n = jnp.minimum(hs_n + 1, 64)            # shift a difference in
+        hlo_n, hhi_n = _shl64(hlo_n, hhi_n, jnp.ones((), jnp.int32))
+        row_n = jnp.where(anyc, r_new, NEGINF)
+        row_n, hlo_n, hhi_n, hs_n = add_matches(
+            row_n, hlo_n, hhi_n, hs_n, anyc)
+
+        # window/slot edge contact => roll this generation back, pause
+        contact = (anyc & (
+            (u_more[:, None] & (row_n >= W))
+            | (v_more[:, None] & (row_n + karr >= W))
+            | (sidx <= 0) | (sidx >= K - 1))).any(axis=1)
+        pause_now = act & contact
+        commit = act & ~contact
+
+        d_next = jnp.where(commit, d_lane + 1, d_lane)
+        valid_n, best_n, died_now, complete_now = trim_and_score(
+            row_n, hlo_n, hhi_n, hs_n, mm_n, anyc, d_next, best,
+            done | pause_now | ~act)
+
+        cm = commit[:, None]
+        row = jnp.where(cm, row_n, row)
+        hlo = jnp.where(cm, hlo_n, hlo)
+        hhi = jnp.where(cm, hhi_n, hhi)
+        hsize = jnp.where(cm, hs_n, hsize)
+        mm = jnp.where(cm, mm_n, mm)
+        valid = jnp.where(cm, valid_n, valid)
+        best = jnp.where(commit[:, None], best_n, best)
+        died = died | (commit & died_now)
+        done = done | (commit & (died_now | complete_now))
+        paused = paused | pause_now
+        return (row, hlo, hhi, hsize, mm, valid, best, done, died,
+                paused, d_next)
+
+    carry = (row, hlo, hhi, hsize, mm, valid, best, done, died, paused,
+             d_lane)
+    carry = jax.lax.fori_loop(0, GENS, gen, carry)
+    (row, hlo, hhi, hsize, mm, valid, best, done, died, paused,
+     d_lane) = carry
+    return (row, hlo, hhi, hsize, mm, valid, best, done, died, paused,
+            d_lane)
+
+
+# ---------------------------------------------------------------------------
+# host driver: windowing, rebasing, chunk loop
+# ---------------------------------------------------------------------------
+
+def _host_lcp(u, v):
+    """Initial match run (wildcards never match) — one np pass."""
+    m = min(len(u), len(v))
+    if m == 0:
+        return 0
+    eq = (u[:m] == v[:m]) & (u[:m] < 4)
+    bad = np.flatnonzero(~eq)
+    return int(bad[0]) if bad.size else m
+
+
+class _GreedyBatchConfig:
+    # window tiers: a lane that cannot make progress at one tier (its
+    # current match run crosses the whole window, so the generation can
+    # never commit) escalates to the next, 4x larger window; only
+    # exhausting the largest tier falls back to the host engine
+    W_TIERS = (384, 1536, 6144, 24576)
+    D = 64
+    GENS = 48
+    MAX_CHUNKS = 512
+
+    # kept for tests that pin a single window size
+    @property
+    def W(self):
+        return self.W_TIERS[0]
+
+    @W.setter
+    def W(self, value):
+        self.W_TIERS = (value,)
+
+
+def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
+                        maxalignedlendifference: int, errorpercentage: float,
+                        history: int = 64, matchscore_bias: float = 1.0,
+                        cfg: _GreedyBatchConfig | None = None):
+    """Batched greedy extension of prefixes of us[i] vs vs[i].
+
+    Returns a dict of int32 arrays (alignedlen, row, distance,
+    mismatches) for the best polished point per lane, `died` flags, and
+    `fallback` — lanes the device could not finish (slot-window
+    overflow or chunk budget); callers must recompute those with the
+    host engine.  All non-fallback lanes are bit-exact vs
+    ops.greedy.greedy_extend.
+    """
+    if history != 64:
+        raise NotImplementedError("device greedy batch requires the "
+                                  "64-bit match history")
+    cfg = cfg or _GreedyBatchConfig()
+    tiers, D, GENS = cfg.W_TIERS, cfg.D, cfg.GENS
+    K = 2 * D + 1
+    N = len(us)
+    sl = np.asarray(seedlengths, np.int64)
+    if sl.ndim == 0:
+        sl = np.full(N, int(sl), np.int64)
+
+    match_score = int(20.0 * errorpercentage * matchscore_bias)
+    difference_score = 1000 - match_score
+    mmp128 = (perc_mat_history * 128) // 100 + \
+        (0 if (perc_mat_history * 128) % 100 == 0 else 1)
+
+    # ---- host generation 0: initial run from the seed ---------------
+    du = np.zeros(N, np.int64)        # window origin in u == min live row
+    dv = np.zeros(N, np.int64)
+    row = np.full((N, K), -(2 ** 30), np.int32)
+    hlo = np.zeros((N, K), np.uint32)
+    hhi = np.zeros((N, K), np.uint32)
+    hsize = np.zeros((N, K), np.int32)
+    mm = np.zeros((N, K), np.int32)
+    valid = np.zeros((N, K), bool)
+    d_lane = np.zeros(N, np.int32)
+    done = np.zeros(N, bool)
+    died = np.zeros(N, bool)
+    best = np.zeros((N, 4), np.int32)
+    fallback = np.zeros(N, bool)
+
+    for i in range(N):
+        c0 = _host_lcp(us[i], vs[i])
+        seed = int(sl[i])
+        h = ((1 << 64) - 1) if seed >= 64 else ((1 << seed) - 1)
+        c_eff = min(c0, 64)
+        h = ((h << c_eff) | ((1 << c_eff) - 1)) & ((1 << 64) - 1) \
+            if c0 < 64 else (1 << 64) - 1
+        hs = min(seed + c0, 64)
+        # window starts at the run end; rows/cols relative to (du, dv)
+        du[i] = c0
+        dv[i] = c0
+        row[i, D] = 0
+        hlo[i, D] = h & 0xFFFFFFFF
+        hhi[i, D] = (h >> 32) & 0xFFFFFFFF
+        hsize[i, D] = hs
+        valid[i, D] = True
+
+    pending = np.arange(N)
+    tier = np.zeros(N, np.int32)      # index into tiers, per lane
+    results = {k: np.zeros(N, np.int32) for k in
+               ("alignedlen", "row", "distance", "mismatches")}
+
+    for _chunk in range(cfg.MAX_CHUNKS):
+        if pending.size == 0:
+            break
+        # one device call per window tier present among pending lanes
+        P = pending[tier[pending] == tier[pending].min()]
+        W = tiers[int(tier[P[0]])]
+        NP_ = P.size
+        U = np.full((NP_, W), 254, np.uint8)
+        V = np.full((NP_, W), 255, np.uint8)
+        urem = np.zeros(NP_, np.int64)
+        vrem = np.zeros(NP_, np.int64)
+        for t, i in enumerate(P):
+            u, v = us[i], vs[i]
+            urem[t] = len(u) - du[i]
+            vrem[t] = len(v) - dv[i]
+            uw = u[du[i]:du[i] + W]
+            vw = v[dv[i]:dv[i] + W]
+            U[t, :len(uw)] = uw
+            V[t, :len(vw)] = vw
+        kbase = (dv[P] - du[P]).astype(np.int32)
+        d_before = d_lane[P].copy()
+        out = greedy_chunk_impl(
+            jnp.asarray(U), jnp.asarray(V),
+            jnp.asarray(row[P]), jnp.asarray(hlo[P]), jnp.asarray(hhi[P]),
+            jnp.asarray(hsize[P]), jnp.asarray(mm[P]),
+            jnp.asarray(valid[P]), jnp.asarray(d_lane[P]),
+            jnp.asarray(done[P]), jnp.asarray(died[P]),
+            jnp.asarray(best[P]),
+            jnp.asarray(np.minimum(urem, 2 ** 30).astype(np.int32)),
+            jnp.asarray(np.minimum(vrem, 2 ** 30).astype(np.int32)),
+            jnp.asarray(kbase),
+            jnp.asarray(np.minimum(du[P], 2 ** 30).astype(np.int32)),
+            jnp.int32(mmp128), jnp.int32(maxalignedlendifference),
+            jnp.int32(match_score), jnp.int32(difference_score),
+            W, D, GENS)
+        (row_o, hlo_o, hhi_o, hsize_o, mm_o, valid_o, best_o, done_o,
+         died_o, paused_o, d_o) = (np.asarray(a) for a in out)
+
+        row[P] = row_o
+        hlo[P] = hlo_o
+        hhi[P] = hhi_o
+        hsize[P] = hsize_o
+        mm[P] = mm_o
+        valid[P] = valid_o
+        best[P] = best_o
+        done[P] = done_o
+        died[P] = died_o
+        d_lane[P] = d_o
+
+        # finished lanes -> results
+        fin = P[done_o]
+        results["alignedlen"][fin] = best[fin, 0]
+        results["row"][fin] = best[fin, 1]
+        results["distance"][fin] = best[fin, 2]
+        results["mismatches"][fin] = best[fin, 3]
+
+        # continuing lanes: rebase window around the live front
+        cont = P[~done_o]
+        nxt = list(pending[~np.isin(pending, P)])
+        for t, i in zip(np.flatnonzero(~done_o), cont):
+            vs_mask = valid_o[t]
+            rows = row_o[t][vs_mask].astype(np.int64)
+            ks_rel = np.flatnonzero(vs_mask).astype(np.int64) - D
+            ks = ks_rel + int(kbase[t])     # absolute diagonals
+            cols = rows + ks_rel            # columns relative to dv
+            rmin = int(rows.min())
+            cmin = int(cols.min())
+            du_n = du[i] + rmin
+            dv_n = dv[i] + cmin
+            # ks are absolute diagonals (relative to the extension
+            # origin); the new kbase is dv_n - du_n
+            slots_new = ks - (dv_n - du_n) + D
+            if slots_new.min() < 1 or slots_new.max() > K - 2:
+                fallback[i] = True
+                continue
+            # no progress: the current match run crosses the whole
+            # window (or the front spread fills it) so no generation
+            # can commit — escalate to the next, larger window tier
+            if (d_o[t] == d_before[t] and du_n == du[i] and dv_n == dv[i]) \
+                    or rows.max() - rmin >= W - 64:
+                if tier[i] + 1 < len(tiers):
+                    tier[i] += 1
+                else:
+                    fallback[i] = True
+                    continue
+            elif tier[i] > 0:
+                # progress made: drop back toward the cheap tier (the
+                # long run that forced the escalation has been crossed)
+                tier[i] -= 1
+            nrow = np.full(K, -(2 ** 30), np.int32)
+            nhlo = np.zeros(K, np.uint32)
+            nhhi = np.zeros(K, np.uint32)
+            nhs = np.zeros(K, np.int32)
+            nmm = np.zeros(K, np.int32)
+            nval = np.zeros(K, bool)
+            src = np.flatnonzero(vs_mask)
+            nrow[slots_new] = (rows - rmin).astype(np.int32)
+            nhlo[slots_new] = hlo_o[t][src]
+            nhhi[slots_new] = hhi_o[t][src]
+            nhs[slots_new] = hsize_o[t][src]
+            nmm[slots_new] = mm_o[t][src]
+            nval[slots_new] = True
+            row[i], hlo[i], hhi[i] = nrow, nhlo, nhhi
+            hsize[i], mm[i], valid[i] = nhs, nmm, nval
+            du[i], dv[i] = du_n, dv_n
+            nxt.append(i)
+        pending = np.asarray(nxt, dtype=np.int64)
+    else:
+        fallback[pending] = True
+        pending = np.zeros(0, np.int64)
+
+    if pending.size:
+        fallback[pending] = True
+
+    return {
+        "alignedlen": results["alignedlen"],
+        "row": results["row"],
+        "distance": results["distance"],
+        "mismatches": results["mismatches"],
+        "died": died & ~fallback,
+        "fallback": fallback,
+    }

@@ -17,8 +17,13 @@ redistribution, expressed with jax.sharding collectives):
     scan of per-device distinct counts;
   * the new replicated rank materializes with a masked scatter + `psum`.
 
-Per-round sort work is n/P per device instead of n — the part that was
-O(n log n) on one chip now scales with the mesh; the exchanges ride ICI.
+Cost note (honest): send buffers are padded to worst-case capacity
+C = n1/nP per (src, dst) pair, so `all_to_all` delivers nP*C = n1 slots
+to every device and the per-device `lax.sort` each round runs over n1
+slots (most of them pad sentinels that sort to the front). Only the
+*key computation* is n/P per device; the per-round sort/memory does not
+yet shrink with the mesh. The genuinely position-sharded engine with
+~n/P per-device sorts lives in dist_doubling_sharded (see below / tests).
 
 Exactness: verified against the single-chip doubling engine on the
 virtual CPU mesh (tests/test_parallel.py).
@@ -46,8 +51,13 @@ def _round_shardmap(keys, rank, h, n1: int, nP: int, mesh):
         r1 = rank[pos_shard]
         nxt = jnp.minimum(pos_shard + h, n1 - 1)
         r2 = jnp.where(pos_shard + h < n1, rank[nxt], jnp.int32(-1))
-        dest = jnp.minimum((r1.astype(jnp.int64) * nP) // n1,
-                           nP - 1).astype(jnp.int32)
+        # rank-range partition without the r1*nP product: the full product
+        # overflows int32 (and astype(int64) is silently truncated when
+        # x64 is off) for n1 >= 2^31/nP. Any non-decreasing map of r1 onto
+        # [0, nP) with equal ranks on one device keeps the concatenated
+        # per-device orders globally sorted, so ceil-divide instead.
+        per = -(-n1 // nP)  # static host int: ceil(n1 / nP)
+        dest = jnp.minimum(r1 // per, nP - 1).astype(jnp.int32)
         # stable-sort local triples by dest to form contiguous buckets
         order = jnp.argsort(dest, stable=True)
         d_s, r1_s, r2_s, p_s = dest[order], r1[order], r2[order], \
