@@ -29,6 +29,7 @@ The numbers-equal target is testdata/seedextend{1,3}.out.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -317,6 +318,155 @@ def _seq_codes(enc: Encseq, s: int, revcomp: bool) -> np.ndarray:
     return seq
 
 
+def _batch_greedy_extensions(cands, k, greedy_ctx):
+    """Speculative device-batched extension of every candidate seed
+    (the reference extends seeds one by one and skips seeds inside
+    previous match rectangles; the skip decision never needs the
+    skipped seed's extension output, so extending all candidates in
+    two device batches — left flanks, then right flanks bounded by the
+    left results — preserves the exact sequential semantics).
+
+    cands: list of (useq, vseq, same_seq, dbstart_rel, querystart_rel).
+    Returns one entry per candidate: the `_extend_one_seed` tuple, or
+    None for overlapping same-sequence seed instances.
+    """
+    from ..ops.greedy_batch import greedy_extend_batch
+
+    pol, pmh, mad, history = greedy_ctx
+    out = [None] * len(cands)
+
+    def run_side(tasks):
+        """tasks: list of (cand_idx, u, v); fills (row, v_ext, dist, mm)
+        per task, scalar-engine fallback for lanes the device punts."""
+        if not tasks:
+            return {}
+        res = greedy_extend_batch(
+            [t[1] for t in tasks], [t[2] for t in tasks],
+            seedlengths=k, perc_mat_history=pmh,
+            maxalignedlendifference=mad, pol_info=pol, history=history)
+        side = {}
+        for t, (ci, u, v) in enumerate(tasks):
+            if res["fallback"][t]:
+                _, best = greedy_extend(
+                    u, v, max_history=history, perc_mat_history=pmh,
+                    maxalignedlendifference=mad, seedlength=k,
+                    pol_info=pol)
+                side[ci] = (best.row, best.alignedlen - best.row,
+                            best.distance, best.max_mismatches)
+            else:
+                row = int(res["row"][t])
+                side[ci] = (row, int(res["alignedlen"][t]) - row,
+                            int(res["distance"][t]),
+                            int(res["mismatches"][t]))
+        return side
+
+    left_tasks = []
+    for ci, (useq, vseq, same_seq, db, qs) in enumerate(cands):
+        if same_seq and db + k - 1 >= qs:
+            continue                      # overlapping instances: None
+        out[ci] = [0, 0, 0, 0, 0, 0, 0, 0]
+        if db > 0 and qs > 0:
+            voff = db + k if same_seq else 0
+            if qs - voff > 0:
+                left_tasks.append((ci, useq[0:db][::-1],
+                                   vseq[voff:qs][::-1]))
+    for ci, (row, vext, dist, mmv) in run_side(left_tasks).items():
+        out[ci][0], out[ci][1], out[ci][2], out[ci][6] = \
+            row, vext, dist, mmv
+
+    right_tasks = []
+    for ci, (useq, vseq, same_seq, db, qs) in enumerate(cands):
+        if out[ci] is None:
+            continue
+        v_left = out[ci][1]
+        urb = min(len(useq), qs - v_left) if same_seq else len(useq)
+        if db + k < urb and qs + k < len(vseq):
+            right_tasks.append((ci, useq[db + k:urb], vseq[qs + k:]))
+    for ci, (row, vext, dist, mmv) in run_side(right_tasks).items():
+        out[ci][3], out[ci][4], out[ci][5], out[ci][7] = \
+            row, vext, dist, mmv
+    return [tuple(o) if o is not None else None for o in out]
+
+
+def _device_extend_enabled() -> bool:
+    """Device-batched extension is the default on accelerator backends;
+    on the CPU backend the host C++ batch engine is faster than XLA-CPU
+    emulating the TPU kernel, so it stays the default there.
+    GT_TPU_DEVICE_EXTEND=1 forces on, GT_TPU_NO_DEVICE_EXTEND=1 off."""
+    if os.environ.get("GT_TPU_NO_DEVICE_EXTEND"):
+        return False
+    if os.environ.get("GT_TPU_DEVICE_EXTEND"):
+        return True
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+class _WaveProvider:
+    """Lazily extends candidate seeds in bounded device-batched waves.
+
+    Waves are built in processing order starting at the first seed the
+    accept loop actually needs.  Seeds predicted to be skipped by the
+    live per-segment state (prev_b_end / rectangles) are left out of
+    the wave; since prev_b_end can shrink, a prediction can be wrong —
+    such a seed is simply requested later and starts a new wave, so the
+    result stream is byte-identical to sequential extension."""
+
+    WAVE = 512
+
+    def __init__(self, segments, order, states, k, greedy_ctx, use_apos):
+        self.segments = segments
+        self.order = order
+        self.states = states
+        self.k = k
+        self.ctx = greedy_ctx
+        self.use_apos = use_apos
+        self.cache: dict = {}
+        self.pos_of = {key: idx for idx, key in enumerate(order)}
+
+    def get(self, si, i):
+        key = (si, i)
+        if key not in self.cache:
+            self._build_wave(self.pos_of[key])
+        return self.cache[key]
+
+    def _build_wave(self, start):
+        k = self.k
+        wave_keys = []
+        cands = []
+        idx = start
+        first = True
+        while idx < len(self.order) and len(cands) < self.WAVE:
+            key = self.order[idx]
+            idx += 1
+            if key in self.cache:
+                continue
+            si, i = key
+            _, _, useq, vseq, same_seq, apos, bpos, _ = self.segments[si]
+            bp, ap = int(bpos[i]), int(apos[i])
+            db, qs = ap + 1 - k, bp + 1 - k
+            if same_seq and db + k - 1 >= qs:
+                self.cache[key] = None        # overlapping instances
+                first = False
+                continue
+            if not first:
+                st = self.states[si]
+                if self.use_apos == 0 and st[0] and st[1] >= bp:
+                    continue                  # predicted skip
+                if self.use_apos > 0 and _seed_in_rectangles(
+                        st[2], ap, bp, k):
+                    continue                  # rectangles only grow
+            first = False
+            wave_keys.append(key)
+            cands.append((useq, vseq, same_seq, db, qs))
+        if cands:
+            exts = _batch_greedy_extensions(cands, k, self.ctx)
+            for key, ext in zip(wave_keys, exts):
+                self.cache[key] = ext
+
+
 def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                         pa_pos, k, mincov, belowscore, params, selfcomp,
                         amaxlen, events=None):
@@ -338,6 +488,9 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
         pol = PolishingInfo.new(float(params.errorpercentage),
                                 params.history)
         greedy_ctx_global = (pol, pmh, mad, params.history)
+    # ---- pass 1: diagband coverage filter, per segment ---------------
+    segments = []
+    seq_cache: dict = {}
     for s0, s1 in zip(seg_starts, seg_ends):
         aseq, bseq = int(pa_seq[s0]), int(pb_seq[s0])
         apos = pa_pos[s0:s1].astype(np.int64)
@@ -361,15 +514,42 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             sel = coverage >= mincov
         else:
             sel = np.ones(apos.size, bool)
+        ukey = ("a", aseq)
+        if ukey not in seq_cache:
+            seq_cache[ukey] = _seq_codes(aenc, aseq, False)
+        vkey = ("b", bseq, direction)
+        if vkey not in seq_cache:
+            seq_cache[vkey] = _seq_codes(benc, bseq, direction == "P")
+        segments.append((aseq, bseq, seq_cache[ukey], seq_cache[vkey],
+                         selfcomp and aseq == bseq, apos, bpos, sel))
 
-        useq = _seq_codes(aenc, aseq, False)
-        vseq = _seq_codes(benc, bseq, direction == "P")
-        same_seq = selfcomp and aseq == bseq
+    # ---- pass 2: device wave provider (greedy extensions) ------------
+    # The reference extends seeds strictly sequentially because the
+    # skip tests (prev_b_end / match rectangles) depend on previous
+    # extensions.  We batch bounded waves instead: predict the skips
+    # with the live state, extend <= WAVE candidates in one device
+    # batch, then run the exact sequential accept; a seed whose skip
+    # was mispredicted simply starts the next wave, so outputs stay
+    # byte-identical to the sequential engine.
+    order = []
+    for si, seg in enumerate(segments):
+        for i in np.nonzero(seg[7])[0]:
+            order.append((si, int(i)))
+    states = {si: [False, -1, []] for si in range(len(segments))}
+    provider = None
+    if greedy_ctx_global is not None and 30 <= params.history <= 64 and \
+            len(order) >= 8 and _device_extend_enabled():
+        provider = _WaveProvider(segments, order, states, k,
+                                 greedy_ctx_global, params.use_apos)
+
+    # ---- pass 3: sequential skip/accept (reference order) ------------
+    for si, (aseq, bseq, useq, vseq, same_seq, apos, bpos, sel) \
+            in enumerate(segments):
         greedy_ctx = greedy_ctx_global
-        haspreviousmatch = False
-        prev_b_end = -1
-        rectangles: list[tuple] = []  # (a_start, a_end, b_start, b_end)
+        st = states[si]
+        rectangles = st[2]            # (a_start, a_end, b_start, b_end)
         for i in np.nonzero(sel)[0]:
+            haspreviousmatch, prev_b_end = st[0], st[1]
             bp, ap = int(bpos[i]), int(apos[i])
             if haspreviousmatch and params.use_apos == 0 and \
                     prev_b_end >= bp:
@@ -379,16 +559,19 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                 continue
             dbstart_rel = ap + 1 - k
             querystart_rel = bp + 1 - k
-            ext = _extend_one_seed(useq, vseq, same_seq, dbstart_rel,
-                                   querystart_rel, k, belowscore,
-                                   params.scores, greedy_ctx)
+            if provider is not None:
+                ext = provider.get(si, int(i))
+            else:
+                ext = _extend_one_seed(useq, vseq, same_seq, dbstart_rel,
+                                       querystart_rel, k, belowscore,
+                                       params.scores, greedy_ctx)
             if ext is None:
                 if events is not None:
                     events.append(("failed", k, aseq, dbstart_rel,
                                    direction, bseq, querystart_rel))
                 continue
             u_l, v_l, sd_l, u_r, v_r, sd_r, mm_l, mm_r = ext
-            haspreviousmatch = True
+            st[0] = True                  # haspreviousmatch
             accepted = None
             # combine modes BOTH / ONLY_LEFT / ONLY_RIGHT tried in order
             # (ref: gt_extend_sesp mode loop, max_combine_mode default 2)
@@ -409,9 +592,7 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                 a_start = dbstart_rel - ul
                 b_start = querystart_rel - vl
                 if mode == 0:
-                    prev_b_end = b_start + querylen - 1
-                    if params.use_apos == 2 or (params.use_apos == 1):
-                        pass  # rectangle added below on accept / always
+                    st[1] = b_start + querylen - 1   # prev_b_end
                     rect = (a_start, a_start + dblen - 1,
                             b_start, b_start + querylen - 1)
                 # filters (ref: querymatch.c:722 check_final_generic)

@@ -136,7 +136,7 @@ def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
                       d_lane, done, died, best,
                       urem, vrem, kbase, rowbase,
                       minmatchpercentage128, maxalignedlendifference,
-                      match_score, difference_score,
+                      match_score, difference_score, hist_cap,
                       W: int, D: int, GENS: int, cut_depth: int = 15):
     """Run up to GENS generations of the greedy front recurrence.
 
@@ -154,6 +154,7 @@ def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
     M = _match_bitmask(U, V, W, D)
     w_iota = jnp.arange(W32, dtype=jnp.int32)[None, None, :]
 
+    hmask_lo, hmask_hi = _ones64(hist_cap)
     ulen_c = jnp.minimum(urem, W)
     vlen_c = jnp.minimum(vrem, W)
     u_more = urem > W
@@ -186,7 +187,7 @@ def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
             slo, shi = _shl64(hlo, hhi, c)
             hlo = jnp.where(cont, slo | olo, hlo)
             hhi = jnp.where(cont, shi | ohi, hhi)
-            hsize = jnp.where(cont, jnp.minimum(hsize + c, 64), hsize)
+            hsize = jnp.where(cont, jnp.minimum(hsize + c, hist_cap), hsize)
             row = row + c
             return cont & (c == 32), row, hlo, hhi, hsize
 
@@ -208,7 +209,7 @@ def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
         need = (hsize * minmatchpercentage128) >> 7
         keep = valid & (row <= ul) & (row + karr <= vl) & \
             (alignedlen >= minlen[:, None]) & \
-            (_popcount64(hlo, hhi) >= need)
+            (_popcount64(hlo & hmask_lo, hhi & hmask_hi) >= need)
         anyk = keep.any(axis=1)
         first = jnp.argmax(keep, axis=1)
         last = K - 1 - jnp.argmax(keep[:, ::-1], axis=1)
@@ -297,7 +298,7 @@ def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
         mm_del = jnp.where(v_del & (r_del == r_new), sh(mm, 0, -1), NEGINF)
         mm_n = jnp.maximum(jnp.maximum(mm_ins, mm_mis), mm_del)
 
-        hs_n = jnp.minimum(hs_n + 1, 64)            # shift a difference in
+        hs_n = jnp.minimum(hs_n + 1, hist_cap)      # shift a difference in
         hlo_n, hhi_n = _shl64(hlo_n, hhi_n, jnp.ones((), jnp.int32))
         row_n = jnp.where(anyc, r_new, NEGINF)
         row_n, hlo_n, hhi_n, hs_n = add_matches(
@@ -374,8 +375,10 @@ class _GreedyBatchConfig:
 
 
 def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
-                        maxalignedlendifference: int, errorpercentage: float,
+                        maxalignedlendifference: int,
+                        errorpercentage: float = 0.0,
                         history: int = 64, matchscore_bias: float = 1.0,
+                        pol_info=None,
                         cfg: _GreedyBatchConfig | None = None):
     """Batched greedy extension of prefixes of us[i] vs vs[i].
 
@@ -386,9 +389,10 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     host engine.  All non-fallback lanes are bit-exact vs
     ops.greedy.greedy_extend.
     """
-    if history != 64:
-        raise NotImplementedError("device greedy batch requires the "
-                                  "64-bit match history")
+    if not 30 <= history <= 64:
+        # cut_depth shrinks below 15 for history < 30; not mirrored here
+        raise NotImplementedError("device greedy batch requires a match "
+                                  "history size in [30, 64]")
     cfg = cfg or _GreedyBatchConfig()
     tiers, D, GENS = cfg.W_TIERS, cfg.D, cfg.GENS
     K = 2 * D + 1
@@ -397,8 +401,12 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     if sl.ndim == 0:
         sl = np.full(N, int(sl), np.int64)
 
-    match_score = int(20.0 * errorpercentage * matchscore_bias)
-    difference_score = 1000 - match_score
+    if pol_info is not None:      # exact scores from an existing
+        match_score = pol_info.match_score        # PolishingInfo object
+        difference_score = pol_info.difference_score
+    else:
+        match_score = int(20.0 * errorpercentage * matchscore_bias)
+        difference_score = 1000 - match_score
     mmp128 = (perc_mat_history * 128) // 100 + \
         (0 if (perc_mat_history * 128) % 100 == 0 else 1)
 
@@ -424,7 +432,7 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
         c_eff = min(c0, 64)
         h = ((h << c_eff) | ((1 << c_eff) - 1)) & ((1 << 64) - 1) \
             if c0 < 64 else (1 << 64) - 1
-        hs = min(seed + c0, 64)
+        hs = min(seed + c0, history)
         # window starts at the run end; rows/cols relative to (du, dv)
         du[i] = c0
         dv[i] = c0
@@ -460,22 +468,33 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
             V[t, :len(vw)] = vw
         kbase = (dv[P] - du[P]).astype(np.int32)
         d_before = d_lane[P].copy()
+
+        # pad the lane count to a power of two so jit compiles are
+        # reused across batch sizes; pad lanes start done=True
+        NP2 = max(16, 1 << (NP_ - 1).bit_length())
+
+        def padded(a, fill=0):
+            if NP_ == NP2:
+                return jnp.asarray(a)
+            pad = np.full((NP2 - NP_,) + a.shape[1:], fill, a.dtype)
+            return jnp.asarray(np.concatenate([a, pad]))
+
         out = greedy_chunk_impl(
-            jnp.asarray(U), jnp.asarray(V),
-            jnp.asarray(row[P]), jnp.asarray(hlo[P]), jnp.asarray(hhi[P]),
-            jnp.asarray(hsize[P]), jnp.asarray(mm[P]),
-            jnp.asarray(valid[P]), jnp.asarray(d_lane[P]),
-            jnp.asarray(done[P]), jnp.asarray(died[P]),
-            jnp.asarray(best[P]),
-            jnp.asarray(np.minimum(urem, 2 ** 30).astype(np.int32)),
-            jnp.asarray(np.minimum(vrem, 2 ** 30).astype(np.int32)),
-            jnp.asarray(kbase),
-            jnp.asarray(np.minimum(du[P], 2 ** 30).astype(np.int32)),
+            padded(U, 254), padded(V, 255),
+            padded(row[P]), padded(hlo[P]), padded(hhi[P]),
+            padded(hsize[P]), padded(mm[P]),
+            padded(valid[P]), padded(d_lane[P]),
+            padded(done[P], True), padded(died[P]),
+            padded(best[P]),
+            padded(np.minimum(urem, 2 ** 30).astype(np.int32)),
+            padded(np.minimum(vrem, 2 ** 30).astype(np.int32)),
+            padded(kbase),
+            padded(np.minimum(du[P], 2 ** 30).astype(np.int32)),
             jnp.int32(mmp128), jnp.int32(maxalignedlendifference),
             jnp.int32(match_score), jnp.int32(difference_score),
-            W, D, GENS)
+            jnp.int32(history), W, D, GENS)
         (row_o, hlo_o, hhi_o, hsize_o, mm_o, valid_o, best_o, done_o,
-         died_o, paused_o, d_o) = (np.asarray(a) for a in out)
+         died_o, paused_o, d_o) = (np.asarray(a)[:NP_] for a in out)
 
         row[P] = row_o
         hlo[P] = hlo_o
