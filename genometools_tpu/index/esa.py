@@ -34,14 +34,43 @@ from .suffix import build_suffix_array
 LCP_OVERFLOW = 255
 
 
-def recommended_prefixlength(num_chars: int, totallength: int) -> int:
-    """ref: gt_recommendedprefixlength (src/match/sfx-apfxlen.c):
-    roughly log_sigma(totallength), clamped."""
-    import math
-    if totallength <= 1 or num_chars <= 1:
+def _bcktab_sizeoftable(num_chars: int, prefixlength: int, maxvalue: int,
+                        withspecialsuffixes: bool = True) -> int:
+    """ref: gt_bcktab_sizeoftable (src/match/bcktab.c:289): leftborder +
+    countspecialcodes + distpfxidx counter bytes for a given prefixlength."""
+    base = 8 if maxvalue > 0xFFFFFFFF else 4
+    size = base * (num_chars ** prefixlength + 1)
+    if withspecialsuffixes:
+        size += base * num_chars ** (prefixlength - 1)
+        if prefixlength > 2:
+            size += base * sum(num_chars ** i
+                               for i in range(1, prefixlength - 1))
+    return size
+
+
+def recommended_prefixlength(num_chars: int, totallength: int,
+                             multiplier: float = 0.25) -> int:
+    """ref: gt_recommendedprefixlength (src/match/sfx-apfxlen.c:82):
+    largest prefixlength whose bcktab size stays below
+    multiplier * totallength bytes (GT_RECOMMENDED_MULTIPLIER_DEFAULT
+    0.25), clamped to [1, maxbasepower]. Exact reference arithmetic —
+    verified byte-identical .prj vs the compiled gt binary on at1MB."""
+    if num_chars <= 1:
         return 1
-    pl = int(math.log(totallength) / math.log(num_chars))
-    return max(1, min(pl, 12))
+    pl = 1
+    while (_bcktab_sizeoftable(num_chars, pl, totallength + 1) / multiplier
+           <= totallength):
+        pl += 1
+    pl -= 1
+    if pl == 0:
+        return 1
+    # gt_maxbasepower: largest i with num_chars^i < (2^64-1)/num_chars
+    minfailure = (2 ** 64 - 1) // num_chars
+    mbp, power = 0, 1
+    while power < minfailure:
+        power *= num_chars
+        mbp += 1
+    return min(mbp, pl) if mbp >= 1 else pl
 
 
 @dataclass
@@ -63,30 +92,50 @@ class EnhancedSuffixArray:
         return int(np.nonzero(self.suftab == 0)[0][0]) if self.suftab.size else 0
 
     def bwt(self) -> np.ndarray:
-        """Burrows-Wheeler transform over the encseq codes; position-0 suffix
-        and specials map to SEPARATOR-coded undefined (ref: sfx-run.c:173
-        bwttab2file: UNDEFBWTCHAR for pos 0 / specials)."""
+        """Burrows-Wheeler transform over the encseq codes: the encoded
+        char preceding each suffix verbatim (wildcards/separators kept),
+        UNDEFBWTCHAR (= WILDCARD, 254) for the position-0 suffix
+        (ref: sfx-run.c:173 bwttab2file; chardef.h:65 UNDEFBWTCHAR).
+        Byte-identical to the compiled gt binary's .bwt on testdata."""
         codes = self.encseq.codes_view(self.readmode)
         n = codes.size
         prev = self.suftab.astype(np.int64) - 1
-        ok = prev >= 0
-        vals = np.full(self.suftab.size, SEPARATOR, np.uint8)
-        pv = codes[np.clip(prev, 0, max(n - 1, 0))]
-        vals[ok] = np.where(is_special(pv[ok]), SEPARATOR, pv[ok])
+        vals = codes[np.clip(prev, 0, max(n - 1, 0))].astype(np.uint8)
+        vals[prev < 0] = 254                   # UNDEFBWTCHAR == WILDCARD
         return vals
 
 
 @dataclass
 class Bcktab:
-    """Per-code bucket boundaries for prefixlength-codes
-    (ref: src/match/bcktab.c). leftborder[c] = first suftab index of a
-    suffix whose first `prefixlength` chars have code c; suffixes whose
-    prefix hits a special sort into the special tail."""
+    """Per-code bucket table in the reference's exact on-disk semantics
+    (ref: src/match/bcktab.c; byte-identical .bck vs the compiled gt
+    binary on testdata).
+
+    ``leftborder[c]`` = first suftab index of the bucket for code c
+    (exclusive prefix sums over per-code counts — the state the reference
+    file captures after PASS-B insertion has decremented the inclusive
+    sums back to left borders); ``leftborder[numofallcodes]`` = total
+    counted suffixes.  Counted suffixes are every suffix NOT starting at a
+    special char; a suffix whose ell-window hits a special (or the
+    sequence end) at offset j >= 1 counts at maxcode =
+    (prefcode+1)*sigma^(ell-j) - 1 (ref: gt_bcktab_updatespecials,
+    bcktab.c:876, filltable insertion).
+
+    ``countspecialcodes[s]`` counts those special-window suffixes per
+    specialcode s = GT_FROMCODE2SPECIALCODE(maxcode) (= maxcode >> 2 for
+    DNA, bcktab.c:43); suffixes starting at specials and the sentinel are
+    NOT included (gt_bcktab_addfinalspecials is dead code in the
+    reference).
+
+    ``distpfxidx`` concatenates, for prefixindex j = 1..ell-2, the
+    per-j-prefix-code counts of special-window suffixes (sigma^j entries
+    each; ref: gt_bcktab_distpfxidx_increment / setdistpfxidxptrs)."""
 
     prefixlength: int
     num_chars: int
-    leftborder: np.ndarray        # int[numofallcodes + 1]
-    countspecialcodes: np.ndarray  # int[numofallcodes]
+    leftborder: np.ndarray         # int64[numofallcodes + 1]
+    countspecialcodes: np.ndarray  # int64[sigma^(prefixlength-1)]
+    distpfxidx: np.ndarray         # int64[sum_{j=1}^{ell-2} sigma^j]
 
     @property
     def numofallcodes(self) -> int:
@@ -94,18 +143,8 @@ class Bcktab:
 
 
 def compute_bcktab(esa: EnhancedSuffixArray, prefixlength: int) -> Bcktab:
-    """Bucket boundaries over prefixlength-codes.
-
-    Layout invariant (matches the reference suftab layout, ref:
-    src/match/bcktab.c gt_bcktab_calcboundsparts): the suftab is, in code
-    order, [regular bucket of code c][special suffixes whose defined prefix
-    maximally extends to code c] for c = 0..numofallcodes-1. A suffix with
-    a special at window offset j < prefixlength sorts after every regular
-    window sharing its j-symbol prefix, i.e. at maxcode =
-    (prefcode+1)*sigma^(prefixlength-j) - 1 (the reference's
-    countspecialcodes slot). The sentinel (empty suffix) lands at the last
-    code.
-    """
+    """Bucket table over prefixlength-codes (see Bcktab docstring for the
+    exact reference semantics this reproduces)."""
     enc = esa.encseq
     sigma = enc.alphabet.num_chars
     ell = prefixlength
@@ -130,19 +169,27 @@ def compute_bcktab(esa: EnhancedSuffixArray, prefixlength: int) -> Bcktab:
         pref = np.where(done, pref, pref * sigma + ext)
     regular = first_special == ell
 
-    hist_reg = np.bincount(pref[regular], minlength=numofallcodes)
-    # special suffixes -> maxcode slot
-    j = first_special[~regular]
-    cp = pref[~regular]
-    maxcode = (cp + 1) * sigma ** (ell - j) - 1
-    spec = np.bincount(maxcode, minlength=numofallcodes)
-    spec[numofallcodes - 1] += 1  # sentinel / empty suffix
-
-    # leftborder[c] = start of code c's region; a region is
-    # [regular bucket of width hist_reg[c]][specials of width spec[c]]
+    counted = ~special                       # prefixindex >= 1 or regular
+    j = first_special
+    code = np.where(regular, pref,
+                    (pref + 1) * sigma ** (ell - np.minimum(j, ell)) - 1)
+    counts = np.bincount(code[counted], minlength=numofallcodes)
     leftborder = np.zeros(numofallcodes + 1, np.int64)
-    np.cumsum(hist_reg + spec, out=leftborder[1:])
-    return Bcktab(prefixlength, sigma, leftborder, spec.astype(np.int64))
+    leftborder[1:numofallcodes] = np.cumsum(counts)[:-1]
+    leftborder[numofallcodes] = counts.sum()
+
+    spec_mask = counted & ~regular
+    cs = code[spec_mask]
+    sc = cs >> 2 if sigma == 4 else (cs - (sigma - 1)) // sigma
+    countspecialcodes = np.bincount(sc, minlength=sigma ** (ell - 1))
+
+    blocks = [np.bincount(pref[counted & (j == jj)], minlength=sigma ** jj)
+              for jj in range(1, ell - 1)]
+    distpfxidx = np.concatenate(blocks) if blocks \
+        else np.zeros(0, np.int64)
+    return Bcktab(prefixlength, sigma, leftborder,
+                  countspecialcodes.astype(np.int64),
+                  distpfxidx.astype(np.int64))
 
 
 def build_esa(encseq: Encseq, readmode: int = FWD, with_lcp: bool = True,
@@ -192,13 +239,41 @@ def write_esa(esa: EnhancedSuffixArray, indexname: str,
         llv.tofile(indexname + ".llv")
         if lcptab.size:
             maxbranchdepth = int(lcptab.max())
-            avg = float(lcptab[1:].mean()) if lcptab.size > 1 else 0.0
+            # averagelcp: the reference's Outlcpinfo sums only lcp values
+            # flushed for NONSPECIAL bucket slots (suffixes with a
+            # special-free full prefixlength window); lcp values written
+            # for special bucket ends / the trailing special area are not
+            # accumulated (ref: sfx-lcpvalues.c:414 lcptabsum vs
+            # lcp_bucketends:125, averagelcp division sfx-run.c:679)
+            codes = esa.encseq.codes
+            n = codes.size
+            pl = esa.prefixlength
+            spc = np.concatenate(
+                [[0], np.cumsum(is_special(codes).astype(np.int64))])
+            sa = esa.suftab
+            valid = sa + pl <= n
+            cnt = np.ones(sa.size, np.int64)
+            sav = sa[valid]
+            cnt[valid] = spc[sav + pl] - spc[sav]
+            nonspecial = valid & (cnt == 0)
+            avg = float(lcptab[nonspecial].sum()) / esa.suftab.size
     if bwt:
         esa.bwt().tofile(indexname + ".bwt")
     if bck and esa.bcktab is not None:
+        # reference .bck: mapspec sections (leftborder, countspecialcodes,
+        # distpfxidx), each 8-byte padded; uint32 entries unless
+        # totallength+1 overflows (ref: gt_bcktab_flush_to_file,
+        # core/mapspec.c gt_mapspec_pad, gt_bcktab_useulong)
         b = esa.bcktab
-        np.concatenate([b.leftborder.astype(dt),
-                        b.countspecialcodes.astype(dt)]).tofile(indexname + ".bck")
+        bdt = np.uint64 if esa.total_length + 1 > 0xFFFFFFFF else np.uint32
+        with open(indexname + ".bck", "wb") as fp:
+            for arr in (b.leftborder, b.countspecialcodes, b.distpfxidx):
+                if arr.size == 0:
+                    continue
+                raw = arr.astype(bdt).tobytes()
+                if len(raw) % 8:
+                    raw += b"\0" * (8 - len(raw) % 8)
+                fp.write(raw)
     _write_prj(esa, indexname, numoflargelcps, avg, maxbranchdepth, intsize)
 
 

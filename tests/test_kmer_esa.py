@@ -84,10 +84,11 @@ class TestESA:
         e = Encseq.from_string("acgt")
         esa = build_esa(e)
         bwt = esa.bwt()
-        # suftab = [0,1,2,3,4]; bwt[rank of suffix p] = codes[p-1]
+        # suftab = [0,1,2,3,4]; bwt[rank of suffix p] = codes[p-1];
+        # UNDEFBWTCHAR (254) for the position-0 suffix (ref: chardef.h:65)
         for r, p in enumerate(esa.suftab):
             if p == 0:
-                assert bwt[r] == 255
+                assert bwt[r] == 254
             else:
                 assert bwt[r] == e.codes[p - 1]
 
@@ -96,20 +97,25 @@ class TestESA:
         esa = build_esa(e, prefixlength=2, with_bck=True)
         b = esa.bcktab
         assert b.numofallcodes == 16
-        assert int(b.leftborder[-1]) == esa.suftab.size
-        # layout invariant: [regular bucket c][specials at c] per code —
-        # every suffix in the regular part of region c starts with a full
-        # non-special window of code c
+        # reference semantics (byte-parity-pinned by test_esa_refparity):
+        # leftborder counts every suffix NOT starting at a special char;
+        # suffixes whose window hits a special/end at offset j>=1 count at
+        # maxcode; countspecialcodes is indexed by specialcode (code>>2)
+        # and applies to codes with rightchar == sigma-1 (code % 4 == 3)
+        from genometools_tpu.core.chardef import is_special
         from genometools_tpu.ops.kmer import kmer_codes_np
+        ncounted = int((~is_special(e.codes)).sum())
+        assert int(b.leftborder[-1]) == ncounted
         code, valid = kmer_codes_np(e.codes, 2)
         for c in range(16):
             lo = int(b.leftborder[c])
-            hi = int(b.leftborder[c + 1]) - int(b.countspecialcodes[c])
-            for r in range(lo, hi):
+            hi = int(b.leftborder[c + 1])
+            spec = int(b.countspecialcodes[c >> 2]) if c % 4 == 3 else 0
+            for r in range(lo, hi - spec):
                 p = int(esa.suftab[r])
                 assert p < code.size and valid[p] and code[p] == c
-            # specials tail: window contains a special / sentinel
-            for r in range(hi, int(b.leftborder[c + 1])):
+            # specials tail of the region: window has a special / sentinel
+            for r in range(hi - spec, hi):
                 p = int(esa.suftab[r])
                 assert p >= code.size or not valid[p]
 
