@@ -38,7 +38,54 @@ import numpy as np
 
 from .alphabet import Alphabet, dna_alphabet, protein_alphabet
 from .chardef import SEPARATOR, WILDCARD, is_special
-from .seqio import SeqSet, read_seqfiles
+from .seqio import SeqSet, read_seqfile, read_seqfiles
+
+
+@dataclass
+class EncseqOrigin:
+    """Input-provenance metadata needed for the reference's on-disk
+    formats (.esq header fields, .md5, filelengthtab — see core/esq.py;
+    ref: gt_inputfiles2sequencekeyvalues, src/core/encseq.c:5470)."""
+
+    filenames: list[str]            # as given on the command line
+    filelengths: list[tuple[int, int]]  # (raw bytes, effective length)
+    md5s: list[str]                 # md5 hex of UPPERCASED original seq
+    numofallchars: int              # distinct original input characters
+    maxsubalphasize: int            # max distinct chars in one char class
+
+    @classmethod
+    def from_seqset(cls, seqset: SeqSet, alphabet: Alphabet,
+                    filenames: list[str] | None,
+                    filelengths: list[tuple[int, int]] | None
+                    ) -> "EncseqOrigin":
+        import hashlib
+        # the reference hashes toupper(gt_alphabet_decode(code)) per
+        # symbol (ref: encseq_charproc.gen:35) — so every wildcard
+        # contributes the uppercased wildcardshow char ('N' for DNA),
+        # not its original IUPAC letter
+        codes = alphabet.encode(np.arange(256, dtype=np.uint8))
+        lut = np.zeros(256, np.uint8)
+        reg = codes < len(alphabet.characters)
+        lut[reg] = np.frombuffer(
+            alphabet.characters.upper().encode("latin-1"),
+            np.uint8)[codes[reg]]
+        lut[~reg] = ord(alphabet.wildcard_show.upper())
+        md5s = [hashlib.md5(lut[np.asarray(s, np.uint8)].tobytes())
+                .hexdigest() for s in seqset.seqs]
+        # distinct original chars, grouped by encoded class
+        seen = np.zeros(256, bool)
+        for s in seqset.seqs:
+            seen[np.unique(np.asarray(s, np.uint8))] = True
+        chars = np.flatnonzero(seen)
+        classes: dict[int, int] = {}
+        enc = alphabet.encode(chars.astype(np.uint8))
+        for c in enc:
+            classes[int(c)] = classes.get(int(c), 0) + 1
+        return cls(filenames=filenames or [],
+                   filelengths=filelengths or [],
+                   md5s=md5s,
+                   numofallchars=int(chars.size),
+                   maxsubalphasize=max(classes.values()) if classes else 0)
 
 FWD, REV, CPL, RCL = 0, 1, 2, 3
 READMODES = {"fwd": FWD, "rev": REV, "cpl": CPL, "rcl": RCL}
@@ -87,6 +134,7 @@ class Encseq:
         self.descs = descs
         self.alphabet = alphabet
         self.mirrored = mirrored
+        self.origin: EncseqOrigin | None = None
         s, l = _runs(is_special(codes))
         self.special_ranges = SpecialRanges(s, l)
         w, wl = _runs(codes == WILDCARD)
@@ -95,7 +143,10 @@ class Encseq:
 
     # -- construction ------------------------------------------------------
     @classmethod
-    def from_seqset(cls, seqset: SeqSet, alphabet: Alphabet | None = None) -> "Encseq":
+    def from_seqset(cls, seqset: SeqSet, alphabet: Alphabet | None = None,
+                    filenames: list[str] | None = None,
+                    filelengths: list[tuple[int, int]] | None = None,
+                    ) -> "Encseq":
         if alphabet is None:
             sample = b"".join(s[:2048].tobytes() for s in seqset.seqs[:16])
             from .alphabet import guess_alphabet
@@ -121,12 +172,27 @@ class Encseq:
                     pos += 1
                 codes[pos:pos + len(p)] = p
                 pos += len(p)
-        return cls(codes, np.asarray(ssp, np.int64), list(seqset.descs), alphabet)
+        enc = cls(codes, np.asarray(ssp, np.int64), list(seqset.descs),
+                  alphabet)
+        enc.origin = EncseqOrigin.from_seqset(seqset, alphabet, filenames,
+                                              filelengths)
+        return enc
 
     @classmethod
     def from_files(cls, paths: list[str], alphabet: Alphabet | None = None) -> "Encseq":
         """ref: gt_encseq_new_from_files (src/core/encseq.c:7503)."""
-        return cls.from_seqset(read_seqfiles(paths), alphabet)
+        import os
+        seqsets = [read_seqfile(p) for p in paths]
+        merged = SeqSet()
+        filelengths = []
+        for p, s in zip(paths, seqsets):
+            nsep = len(s.seqs) - 1 + (1 if merged.seqs else 0)
+            filelengths.append((os.path.getsize(p),
+                                s.total_length + nsep))
+            merged.seqs.extend(s.seqs)
+            merged.descs.extend(s.descs)
+        return cls.from_seqset(merged, alphabet, filenames=list(paths),
+                               filelengths=filelengths)
 
     @classmethod
     def from_string(cls, s: str, alphabet: Alphabet | None = None) -> "Encseq":
@@ -241,8 +307,19 @@ class Encseq:
         words = (padded << shifts).sum(axis=1, dtype=np.uint64)
         return words.astype(np.uint32)
 
-    # -- persistence (our native format) ----------------------------------
+    # -- persistence -------------------------------------------------------
     def save(self, indexname: str) -> None:
+        """Persist the encoded sequence. DNA sequence sets are written in
+        the reference gt binary's own format (.esq/.ssp/.des/.sds/.md5,
+        byte-identical — see core/esq.py); non-DNA alphabets and mirrored
+        views fall back to the internal .gte container."""
+        if self.alphabet.num_chars == 4 and not self.mirrored:
+            from . import esq
+            esq.write_all(self, indexname)
+            return
+        self._save_gte(indexname)
+
+    def _save_gte(self, indexname: str) -> None:
         """Write <indexname>.gte (npz) + <indexname>.gte.json metadata."""
         np.savez_compressed(
             indexname + ".gte",
@@ -265,6 +342,13 @@ class Encseq:
 
     @classmethod
     def load(cls, indexname: str) -> "Encseq":
+        """Load a persisted encoded sequence — either the reference .esq
+        format (ours or one written by the real gt binary) or the
+        internal .gte container."""
+        if Path(indexname + ".esq").exists():
+            from . import esq
+            enc, _ = esq.read_esq(indexname)
+            return enc
         data = np.load(indexname + ".gte.npz")
         meta = json.loads(Path(indexname + ".gte.json").read_text())
         if meta["alphabet"] == "dna":
