@@ -1445,6 +1445,46 @@ def _add_mergeesa(sub):
     p.set_defaults(func=cmd_mergeesa)
 
 
+def cmd_sain(args):
+    """gt dev sain (ref: src/tools/gt_sain.c, src/match/sfx-sain.c:1577):
+    SA-IS linear-time induced-sorting construction — the independent
+    second ESA path; cross-checks the doubling engine when both run."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .core.native import sais_native
+    from .index.esa import build_esa, write_esa
+
+    enc = Encseq.from_files(args.db) if args.db else Encseq.load(args.esa)
+    keys = enc.suffix_keys()
+    sa = sais_native(keys)
+    if sa is None:
+        print("sain: native library unavailable", file=sys.stderr)
+        return 1
+    if args.check:
+        esa = build_esa(enc, with_lcp=False)
+        if not (sa.astype(np.int64) == esa.suftab.astype(np.int64)).all():
+            print("sain: MISMATCH vs doubling engine", file=sys.stderr)
+            return 1
+        print(f"# sain == doubling engine on {sa.size} suffixes",
+              file=sys.stderr)
+    if args.suf:
+        indexname = args.indexname or (args.db[0] if args.db else args.esa)
+        sa.astype(np.uint64).tofile(indexname + ".suf")
+    return 0
+
+
+def _add_sain(sub):
+    p = sub.add_parser("sain", help="SA-IS induced-sorting suffix array")
+    p.add_argument("-db", nargs="+", default=None)
+    p.add_argument("-esa", default=None, help="existing encseq index")
+    p.add_argument("-indexname", default=None)
+    p.add_argument("-suf", action="store_true", help="write .suf")
+    p.add_argument("-check", action="store_true",
+                   help="cross-check against the doubling engine")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_sain)
+
+
 def cmd_compreads(args):
     """gt compreads (ref: src/tools/gt_compreads.c + hcr.c): lossless
     FASTQ read compression.  The container is an own compact format
@@ -1712,7 +1752,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqtransform, _add_fastq_sample, _add_seqids,
              _add_loccheck, _add_gff3validator, _add_inlineseq_split,
              _add_inlineseq_add, _add_hop, _add_matchtool,
-             _add_mergeesa, _add_compreads, _add_sambam]
+             _add_mergeesa, _add_compreads, _add_sambam, _add_sain]
 
 
 def main(argv=None):

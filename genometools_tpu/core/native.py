@@ -75,6 +75,7 @@ def get_lib():
         u8p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int, i64p]
+    lib.gt_sais.argtypes = [i32p, ctypes.c_int64, i32p]
     _lib = lib
     return _lib
 
@@ -138,6 +139,20 @@ def greedy_batch_native(us, vs, *, max_history, perc_mat_history,
         pol.cut_depth, pol.mask, 1 if trim else 0,
         out.ctypes.data_as(i64p))
     return out.reshape(n, 5)
+
+
+def sais_native(keys) -> np.ndarray | None:
+    """SA-IS linear-time suffix array over int32 suffix keys — the
+    independent second construction path (capability equivalent of
+    `gt dev sain`, ref: src/match/sfx-sain.c:1577). Returns int32[n]
+    or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    out = np.empty(keys.size, np.int32)
+    lib.gt_sais(_i32ptr(keys), keys.size, _i32ptr(out))
+    return out
 
 
 def _as_i32(a: np.ndarray) -> np.ndarray:

@@ -608,3 +608,146 @@ void gt_greedy_batch(const uint8_t *useq, const int64_t *uoff,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SA-IS linear-time suffix-array construction (host oracle).
+//
+// Capability equivalent of the reference's alternative constructor
+// `gt dev sain` (ref: src/match/sfx-sain.c:1577 gt_sain_encseq_sortsuffixes)
+// as an independent second path to cross-check the TPU doubling engine at
+// scale. Textbook induced-sorting formulation (Nong/Zhang/Chan 2009),
+// written from the published algorithm — not a port of the reference code.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// T[0..n-1] over alphabet [0, K), T[n-1] the unique smallest sentinel.
+static void sais_core(const int64_t *T, int64_t *SA, int64_t n, int64_t K) {
+  if (n == 1) {
+    SA[0] = 0;
+    return;
+  }
+  std::vector<bool> isS(n);
+  isS[n - 1] = true;
+  for (int64_t i = n - 2; i >= 0; i--)
+    isS[i] = T[i] < T[i + 1] || (T[i] == T[i + 1] && isS[i + 1]);
+  auto isLMS = [&](int64_t i) { return i > 0 && isS[i] && !isS[i - 1]; };
+
+  std::vector<int64_t> counts(K, 0), bkt(K);
+  for (int64_t i = 0; i < n; i++) counts[T[i]]++;
+  auto bucketEnds = [&]() {
+    int64_t s = 0;
+    for (int64_t c = 0; c < K; c++) { s += counts[c]; bkt[c] = s; }
+  };
+  auto bucketStarts = [&]() {
+    int64_t s = 0;
+    for (int64_t c = 0; c < K; c++) { bkt[c] = s; s += counts[c]; }
+  };
+
+  auto induce = [&]() {
+    // L-type left-to-right from bucket starts
+    bucketStarts();
+    for (int64_t i = 0; i < n; i++) {
+      int64_t j = SA[i] - 1;
+      if (SA[i] > 0 && !isS[j]) SA[bkt[T[j]]++] = j;
+    }
+    // S-type right-to-left from bucket ends
+    bucketEnds();
+    for (int64_t i = n - 1; i >= 0; i--) {
+      int64_t j = SA[i] - 1;
+      if (SA[i] > 0 && isS[j]) SA[--bkt[T[j]]] = j;
+    }
+  };
+
+  // step 1: place LMS suffixes at their bucket ends, induce once
+  std::fill(SA, SA + n, -1);
+  bucketEnds();
+  for (int64_t i = n - 1; i >= 0; i--)
+    if (isLMS(i)) SA[--bkt[T[i]]] = i;
+  // guard: induce skips SA[i] <= 0 via the SA[i] > 0 test; -1 entries are
+  // only ever read, never dereferenced into T
+  {
+    // replace -1 with 0 sentinel-safe handling: induced sort only reads
+    // SA[i] - 1 when SA[i] > 0, so -1 entries are inert
+  }
+  induce();
+
+  // step 2: name LMS substrings in SA order
+  int64_t nlms = 0;
+  for (int64_t i = 0; i < n; i++)
+    if (isLMS(SA[i])) SA[nlms++] = SA[i];
+  std::fill(SA + nlms, SA + n, -1);
+  int64_t *names = SA + nlms;
+  int64_t name = 0, prev = -1;
+  for (int64_t i = 0; i < nlms; i++) {
+    int64_t pos = SA[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int64_t d = 0;; d++) {
+        if (T[pos + d] != T[prev + d] || isS[pos + d] != isS[prev + d]) {
+          diff = true;
+          break;
+        }
+        if (d > 0 && (isLMS(pos + d) || isLMS(prev + d))) {
+          diff = isLMS(pos + d) != isLMS(prev + d);
+          break;
+        }
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    names[pos / 2] = name - 1;
+  }
+  // compact names in text order
+  std::vector<int64_t> s1(nlms);
+  {
+    int64_t k = 0;
+    for (int64_t i = nlms; i < n; i++)
+      if (SA[i] >= 0) s1[k++] = SA[i];
+  }
+
+  // step 3: sort the reduced problem
+  std::vector<int64_t> sa1(nlms);
+  if (name < nlms) {
+    sais_core(s1.data(), sa1.data(), nlms, name);
+  } else {
+    for (int64_t i = 0; i < nlms; i++) sa1[s1[i]] = i;
+  }
+
+  // step 4: place LMS suffixes by sa1 order, induce final
+  std::vector<int64_t> lmspos;
+  lmspos.reserve(nlms);
+  for (int64_t i = 0; i < n; i++)
+    if (isLMS(i)) lmspos.push_back(i);
+  std::fill(SA, SA + n, -1);
+  bucketEnds();
+  for (int64_t i = nlms - 1; i >= 0; i--) {
+    int64_t j = lmspos[sa1[i]];
+    SA[--bkt[T[j]]] = j;
+  }
+  induce();
+}
+
+}  // namespace
+
+extern "C" {
+
+// keys: int32[n] (unique-special suffix keys, see Encseq.suffix_keys —
+// may contain any non-negative values). Writes sa_out[0..n-1].
+void gt_sais(const int32_t *keys, int64_t n, int32_t *sa_out) {
+  if (n <= 0) return;
+  // shift +1 and append the unique smallest sentinel 0
+  std::vector<int64_t> T(n + 1);
+  int64_t K = 0;
+  for (int64_t i = 0; i < n; i++) {
+    T[i] = (int64_t)keys[i] + 1;
+    if (T[i] + 1 > K) K = T[i] + 1;
+  }
+  T[n] = 0;
+  std::vector<int64_t> SA(n + 1);
+  sais_core(T.data(), SA.data(), n + 1, K);
+  for (int64_t i = 1; i <= n; i++) sa_out[i - 1] = (int32_t)SA[i];
+}
+
+}  // extern "C"

@@ -117,3 +117,38 @@ class TestMediumScale:
             sa_np = np.asarray(sa)
             assert np.sort(sa_np).tolist() == list(range(keys.size))
             assert (kasai_lcp(keys, sa_np) == np.asarray(lcp)).all()
+
+
+class TestSAIS:
+    """SA-IS independent constructor (ref: src/match/sfx-sain.c:1577)."""
+
+    def test_sais_vs_bruteforce_fuzz(self):
+        from genometools_tpu.core.native import sais_native
+        from genometools_tpu.index.suffix import suffix_array_bruteforce
+        rng = np.random.default_rng(7)
+        for trial in range(50):
+            n = int(rng.integers(1, 60))
+            keys = rng.integers(0, 5, n).astype(np.int32)
+            if trial % 3 == 0:   # unique-special style keys
+                sp = rng.random(n) < 0.2
+                keys[sp] = 4 + np.arange(n, dtype=np.int32)[sp]
+            sa = sais_native(keys)
+            if sa is None:
+                import pytest
+                pytest.skip("native lib unavailable")
+            assert np.array_equal(sa, suffix_array_bruteforce(keys))
+
+    def test_sais_equals_doubling_on_testdata(self, testdata):
+        from genometools_tpu.core.encseq import Encseq
+        from genometools_tpu.core.native import sais_native
+        from genometools_tpu.index.suffix import build_suffix_array
+        for db in ["Duplicate.fna", "Random159.fna", "TTT-small.fna",
+                   "at1MB"]:
+            enc = Encseq.from_files([str(testdata / db)])
+            keys = enc.suffix_keys()
+            sa = sais_native(keys)
+            if sa is None:
+                import pytest
+                pytest.skip("native lib unavailable")
+            sa2, _ = build_suffix_array(keys, with_lcp=False)
+            assert np.array_equal(sa, np.asarray(sa2)), db
