@@ -22,8 +22,10 @@ C = n1/nP per (src, dst) pair, so `all_to_all` delivers nP*C = n1 slots
 to every device and the per-device `lax.sort` each round runs over n1
 slots (most of them pad sentinels that sort to the front). Only the
 *key computation* is n/P per device; the per-round sort/memory does not
-yet shrink with the mesh. The genuinely position-sharded engine with
-~n/P per-device sorts lives in dist_doubling_sharded (see below / tests).
+shrink with the mesh. The genuinely position-sharded engine with ~n/P
+per-device sorts and O(n/P) per-round traffic is
+parallel/dist_doubling_sharded.py (block-bitonic distributed sorts); this
+replicated variant is kept as the simpler cross-check path.
 
 Exactness: verified against the single-chip doubling engine on the
 virtual CPU mesh (tests/test_parallel.py).

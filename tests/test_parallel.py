@@ -62,3 +62,44 @@ class TestDistributedDoubling:
         sa = distributed_build_sa(jnp.asarray(keys), npad, mesh)
         ref, _ = build_suffix_array(keys, with_lcp=False)
         assert np.asarray(sa).tolist() == np.asarray(ref)[:npad].tolist()
+
+
+class TestShardedDoubling:
+    """Position-sharded engine: O(n/P) per-device memory and traffic
+    (parallel/dist_doubling_sharded.py)."""
+
+    @pytest.mark.parametrize("n", [16, 253, 1000, 4096])
+    def test_matches_single_chip(self, n):
+        from genometools_tpu.parallel.dist_doubling_sharded import \
+            sharded_suffix_array
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(n)
+        s = "".join(rng.choice(list("acgtn"), n, p=[0.24] * 4 + [0.04]))
+        e = Encseq.from_string(s)
+        keys = e.suffix_keys()
+        sa = sharded_suffix_array(keys, mesh)
+        ref, _ = build_suffix_array(keys, with_lcp=False)
+        assert sa.tolist() == np.asarray(ref).tolist()
+
+    def test_repetitive_no_skew_sensitivity(self):
+        # heavy rank duplication: the block-bitonic network has no
+        # value-range routing, so repetitive inputs cannot overflow
+        from genometools_tpu.parallel.dist_doubling_sharded import \
+            sharded_suffix_array
+        mesh = make_mesh(8)
+        e = Encseq.from_string("acg" * 1000 + "t")
+        keys = e.suffix_keys()
+        sa = sharded_suffix_array(keys, mesh)
+        ref, _ = build_suffix_array(keys, with_lcp=False)
+        assert sa.tolist() == np.asarray(ref).tolist()
+
+    @pytest.mark.parametrize("ndev", [1, 2, 4])
+    def test_smaller_meshes(self, ndev):
+        from genometools_tpu.parallel.dist_doubling_sharded import \
+            sharded_suffix_array
+        mesh = make_mesh(ndev)
+        e = Encseq.from_string("mississippimississippi|acgtacgt")
+        keys = e.suffix_keys()
+        sa = sharded_suffix_array(keys, mesh)
+        ref, _ = build_suffix_array(keys, with_lcp=False)
+        assert sa.tolist() == np.asarray(ref).tolist()
