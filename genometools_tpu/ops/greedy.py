@@ -202,7 +202,9 @@ def greedy_extend(u: np.ndarray, v: np.ndarray, *,
                         cand.row += 1
                         bits = FT_EOP_DELETION
                     elif cand.row == c.row + 1:
-                        cand.mm = max(cand.mm, c.mm)
+                        # ref keeps the ins/mis winner's max_mismatches on
+                        # a deletion tie (ft-front-prune.c:395-407 has no
+                        # mm update in the == branch)
                         bits |= FT_EOP_DELETION
                 if cand is None:
                     continue

@@ -38,6 +38,7 @@ is stored absolutely.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -112,32 +113,69 @@ def _polish_walk(prefix15, match_score, difference_score, cut_depth: int):
 
 def _match_bitmask(U, V, W: int, D: int):
     """M[n, s, w]: uint32 words of match bits; bit b of word w is
-    (U[i] == V[i+k]) & (U[i] < 4) at i = 32*w + b, diag k = s - D."""
+    (U[i] == V[i+k]) & (U[i] < 4) at i = 32*w + b, diag k = s - D.
+
+    Built one diagonal at a time (lax.map over the K shifts of V) so the
+    peak temporary is O(N*W), not O(N*K*W) — the all-at-once gather
+    formulation allocates multi-GB temps at wave sizes >= 16k lanes."""
     N = U.shape[0]
     K = 2 * D + 1
     W32 = W // 32
-    i_idx = jnp.arange(W)[None, None, :]
-    k_off = (jnp.arange(K) - D)[None, :, None]
-    j_idx = i_idx + k_off
-    j_ok = (j_idx >= 0) & (j_idx < W)
-    j_safe = jnp.clip(j_idx, 0, W - 1)
-    u = U[:, None, :]
-    v = jnp.take_along_axis(
-        jnp.broadcast_to(V[:, None, :], (N, K, W)),
-        jnp.broadcast_to(j_safe, (N, K, W)), axis=2)
-    m = (u == v) & (u < 4) & j_ok                          # (N,K,W)
-    weights = (_U32(1) << jnp.arange(32, dtype=_U32))[None, None, None, :]
-    return jnp.sum(m.reshape(N, K, W32, 32).astype(_U32) * weights,
-                   axis=3, dtype=_U32)                     # (N,K,W32)
+    weights = (_U32(1) << jnp.arange(32, dtype=_U32))[None, None, :]
+    # pad with 255: never equal to a u < 4 code, so out-of-window j
+    # positions are match=0 exactly like an explicit j-range mask
+    Vp = jnp.pad(V, ((0, 0), (D, D)), constant_values=255)
+
+    def one_slot(s):
+        vk = jax.lax.dynamic_slice_in_dim(Vp, s, W, axis=1)  # j = i+s-D
+        m = (U == vk) & (U < 4)                              # (N, W)
+        return jnp.sum(m.reshape(N, W32, 32).astype(_U32) * weights,
+                       axis=2, dtype=_U32)                   # (N, W32)
+
+    M = jax.lax.map(one_slot, jnp.arange(K))                 # (K, N, W32)
+    return jnp.moveaxis(M, 0, 1)                             # (N, K, W32)
 
 
-@partial(jax.jit, static_argnames=("W", "D", "GENS", "cut_depth"))
-def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
-                      d_lane, done, died, best,
-                      urem, vrem, kbase, rowbase,
+def _use_pallas() -> bool:
+    """The VMEM-resident Pallas kernel is the chunk provider on TPU; the
+    XLA twin stays the provider on CPU (Pallas interpret mode is far
+    slower there).  GT_TPU_PALLAS_EXTEND=0 forces the XLA twin."""
+    env = os.environ.get("GT_TPU_PALLAS_EXTEND")
+    if env is not None:
+        return env not in ("0", "off", "no")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid, d_lane,
+                      done, died, best, urem, vrem, kbase, rowbase,
                       minmatchpercentage128, maxalignedlendifference,
                       match_score, difference_score, hist_cap,
                       W: int, D: int, GENS: int, cut_depth: int = 15):
+    """Chunk-provider dispatcher (tests monkeypatch this symbol)."""
+    if _use_pallas():
+        from .greedy_pallas import greedy_chunk_pallas
+        return greedy_chunk_pallas(
+            U, V, row, hlo, hhi, hsize, mm, valid, d_lane, done, died,
+            best, urem, vrem, kbase, rowbase, minmatchpercentage128,
+            maxalignedlendifference, match_score, difference_score,
+            hist_cap, W, D, GENS, cut_depth)
+    return greedy_chunk_xla(
+        U, V, row, hlo, hhi, hsize, mm, valid, d_lane, done, died, best,
+        urem, vrem, kbase, rowbase, minmatchpercentage128,
+        maxalignedlendifference, match_score, difference_score, hist_cap,
+        W, D, GENS, cut_depth)
+
+
+@partial(jax.jit, static_argnames=("W", "D", "GENS", "cut_depth"))
+def greedy_chunk_xla(U, V, row, hlo, hhi, hsize, mm, valid,
+                     d_lane, done, died, best,
+                     urem, vrem, kbase, rowbase,
+                     minmatchpercentage128, maxalignedlendifference,
+                     match_score, difference_score, hist_cap,
+                     W: int, D: int, GENS: int, cut_depth: int = 15):
     """Run up to GENS generations of the greedy front recurrence.
 
     State is post-generation-d_lane (raw gen-0 state from the host is
@@ -292,11 +330,14 @@ def greedy_chunk_impl(U, V, row, hlo, hhi, hsize, mm, valid,
         hhi_n = pick3(sh(hhi, _U32(0), 1), hhi, sh(hhi, _U32(0), -1),
                       _U32(0))
         hs_n = pick3(sh(hsize, 0, 1), hsize, sh(hsize, 0, -1), 0)
-        # mismatches: max over the tied candidates
+        # mismatches: max over tied ins/mis; a deletion contributes its
+        # mm only when it wins outright (ref ft-front-prune.c:395-407:
+        # the deletion-tie branch has no max_mismatches update)
         mm_ins = jnp.where(v_ins & (r_ins == r_new), sh(mm, 0, 1), NEGINF)
         mm_mis = jnp.where(valid & (r_mis == r_new), mm + 1, NEGINF)
         mm_del = jnp.where(v_del & (r_del == r_new), sh(mm, 0, -1), NEGINF)
-        mm_n = jnp.maximum(jnp.maximum(mm_ins, mm_mis), mm_del)
+        mm_im = jnp.maximum(mm_ins, mm_mis)
+        mm_n = jnp.where(mm_im > NEGINF, mm_im, mm_del)
 
         hs_n = jnp.minimum(hs_n + 1, hist_cap)      # shift a difference in
         hlo_n, hhi_n = _shl64(hlo_n, hhi_n, jnp.ones((), jnp.int32))
@@ -361,7 +402,8 @@ class _GreedyBatchConfig:
     # exhausting the largest tier falls back to the host engine
     W_TIERS = (384, 1536, 6144, 24576)
     D = 64
-    GENS = 48
+    GENS = 48          # XLA twin: fori_loop always runs all GENS
+    GENS_PALLAS = 384  # Pallas while_loop exits early; fewer roundtrips
     MAX_CHUNKS = 512
 
     # kept for tests that pin a single window size
@@ -394,7 +436,8 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
         raise NotImplementedError("device greedy batch requires a match "
                                   "history size in [30, 64]")
     cfg = cfg or _GreedyBatchConfig()
-    tiers, D, GENS = cfg.W_TIERS, cfg.D, cfg.GENS
+    tiers, D = cfg.W_TIERS, cfg.D
+    GENS = cfg.GENS_PALLAS if _use_pallas() else cfg.GENS
     K = 2 * D + 1
     N = len(us)
     sl = np.asarray(seedlengths, np.int64)
