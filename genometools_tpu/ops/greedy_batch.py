@@ -111,29 +111,51 @@ def _polish_walk(prefix15, match_score, difference_score, cut_depth: int):
 # per-chunk device kernel
 # ---------------------------------------------------------------------------
 
+def _base_bitmasks(X, W: int):
+    """(N, 4, W32) uint32: bit i of word w of plane b is X[32w+i] == b.
+    Special codes (>= 4) set no bit in any plane."""
+    N = X.shape[0]
+    W32 = W // 32
+    weights = (_U32(1) << jnp.arange(32, dtype=_U32))[None, None, None, :]
+    planes = (X[:, None, :] ==
+              jnp.arange(4, dtype=X.dtype)[None, :, None])   # (N, 4, W)
+    return jnp.sum(planes.reshape(N, 4, W32, 32).astype(_U32) * weights,
+                   axis=3, dtype=_U32)                        # (N, 4, W32)
+
+
 def _match_bitmask(U, V, W: int, D: int):
     """M[n, s, w]: uint32 words of match bits; bit b of word w is
     (U[i] == V[i+k]) & (U[i] < 4) at i = 32*w + b, diag k = s - D.
 
-    Built one diagonal at a time (lax.map over the K shifts of V) so the
-    peak temporary is O(N*W), not O(N*K*W) — the all-at-once gather
-    formulation allocates multi-GB temps at wave sizes >= 16k lanes."""
-    N = U.shape[0]
+    Bit-parallel: per-base one-hot bitplanes of U and V packed once,
+    then each diagonal's match word is OR_b(Ub & funnel_shift(Vb, k))
+    — ~10 word ops per (k, w) instead of 32 symbol compares, with the
+    K shifts vectorized in groups of equal word offset k>>5."""
     K = 2 * D + 1
     W32 = W // 32
-    weights = (_U32(1) << jnp.arange(32, dtype=_U32))[None, None, :]
-    # pad with 255: never equal to a u < 4 code, so out-of-window j
-    # positions are match=0 exactly like an explicit j-range mask
-    Vp = jnp.pad(V, ((0, 0), (D, D)), constant_values=255)
+    Ub = _base_bitmasks(U, W)[:, :, None, :]                  # (N,4,1,W32)
+    pad = D // 32 + 1
+    Vbp = jnp.pad(_base_bitmasks(V, W), ((0, 0), (0, 0), (pad, pad + 1)))
+    ks = np.arange(K) - D
+    qs = ks >> 5                                              # word offset
+    rs = (ks - (qs << 5)).astype(np.uint32)                   # bit offset
+    out = []
+    for q in np.unique(qs):
+        sel = qs == q
+        r_g = jnp.asarray(rs[sel], _U32)[None, None, :, None]
+        V0 = Vbp[:, :, None, pad + int(q):pad + int(q) + W32]
+        V1 = Vbp[:, :, None, pad + int(q) + 1:pad + int(q) + 1 + W32]
+        hi_sh = jnp.clip(_U32(32) - r_g, 1, 31)
+        hi = jnp.where(r_g > 0, V1 << hi_sh, _U32(0))
+        Vsh = (V0 >> r_g) | hi                                # (N,4,Kg,W32)
+        m = Ub & Vsh
+        out.append(m[:, 0] | m[:, 1] | m[:, 2] | m[:, 3])     # (N,Kg,W32)
+    return jnp.concatenate(out, axis=1)                       # (N,K,W32)
 
-    def one_slot(s):
-        vk = jax.lax.dynamic_slice_in_dim(Vp, s, W, axis=1)  # j = i+s-D
-        m = (U == vk) & (U < 4)                              # (N, W)
-        return jnp.sum(m.reshape(N, W32, 32).astype(_U32) * weights,
-                       axis=2, dtype=_U32)                   # (N, W32)
 
-    M = jax.lax.map(one_slot, jnp.arange(K))                 # (K, N, W32)
-    return jnp.moveaxis(M, 0, 1)                             # (N, K, W32)
+# single-shot whole-task provider hook (tests monkeypatch this to the
+# interpret-mode Pallas kernel; None = resolve from the backend)
+greedy_full_impl = None
 
 
 def _use_pallas() -> bool:
@@ -401,10 +423,31 @@ class _GreedyBatchConfig:
     # never commit) escalates to the next, 4x larger window; only
     # exhausting the largest tier falls back to the host engine
     W_TIERS = (384, 1536, 6144, 24576)
-    D = 64
+    # diagonal-slot tiers: most fronts stay narrow (trimming holds the
+    # live window near maxalignedlendifference diagonals), so lanes run
+    # in a cheap K=2*16+1-slot wave and only escalate when a rebase
+    # finds their live spread no longer fits
+    D_TIERS = (16, 64)
     GENS = 48          # XLA twin: fori_loop always runs all GENS
     GENS_PALLAS = 384  # Pallas while_loop exits early; fewer roundtrips
     MAX_CHUNKS = 512
+    MAX_WAVE = 131072  # per-device-call lane cap (bounds M + state HBM)
+    # single-shot fast path (tasks fitting one window run whole inside
+    # the kernel — no state upload, no rebase roundtrips); each task
+    # starts in the smallest tier that holds both flanks and `undone`
+    # lanes (diagonal drift beyond that tier's D) cascade to the next
+    W_FULL_TIERS = (384, 768, 1536)
+    D_FULL_TIERS = (32, 64, 64)
+    GENS_FULL = 1536
+
+    # kept for tests that pin a single diagonal window
+    @property
+    def D(self):
+        return self.D_TIERS[-1]
+
+    @D.setter
+    def D(self, value):
+        self.D_TIERS = (value,)
 
     # kept for tests that pin a single window size
     @property
@@ -436,8 +479,9 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
         raise NotImplementedError("device greedy batch requires a match "
                                   "history size in [30, 64]")
     cfg = cfg or _GreedyBatchConfig()
-    tiers, D = cfg.W_TIERS, cfg.D
+    tiers, dtiers = cfg.W_TIERS, cfg.D_TIERS
     GENS = cfg.GENS_PALLAS if _use_pallas() else cfg.GENS
+    D = dtiers[-1]                    # host state is kept at max width
     K = 2 * D + 1
     N = len(us)
     sl = np.asarray(seedlengths, np.int64)
@@ -453,6 +497,61 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     mmp128 = (perc_mat_history * 128) // 100 + \
         (0 if (perc_mat_history * 128) % 100 == 0 else 1)
 
+    ulens = np.asarray([len(u) for u in us], np.int64)
+    vlens = np.asarray([len(v) for v in vs], np.int64)
+    died = np.zeros(N, bool)
+    results = {k: np.zeros(N, np.int32) for k in
+               ("alignedlen", "row", "distance", "mismatches")}
+    todo = np.ones(N, bool)
+
+    # ---- single-shot fast path ---------------------------------------
+    full_impl = greedy_full_impl
+    if full_impl is None and _use_pallas():
+        from .greedy_pallas import greedy_full_pallas
+        full_impl = greedy_full_pallas
+    if full_impl is not None:
+        maxlen = np.maximum(ulens, vlens)
+        remaining = (ulens >= 1) & (vlens >= 1)
+        for W0, Df in zip(cfg.W_FULL_TIERS, cfg.D_FULL_TIERS):
+            fast = np.flatnonzero(remaining & (maxlen <= W0))
+            remaining[fast] = False   # re-marked below if undone
+            fast = fast[np.argsort(ulens[fast] + vlens[fast],
+                                   kind="stable")]
+            for s in range(0, fast.size, cfg.MAX_WAVE):
+                Fs = fast[s:s + cfg.MAX_WAVE]
+                NP_ = Fs.size
+                NP2 = max(16, 1 << (NP_ - 1).bit_length())
+                U = np.full((NP2, W0), 254, np.uint8)
+                V = np.full((NP2, W0), 255, np.uint8)
+                for t, i in enumerate(Fs):
+                    U[t, :ulens[i]] = us[i]
+                    V[t, :vlens[i]] = vs[i]
+
+                def fpad(a):
+                    out = np.zeros(NP2, np.int32)
+                    out[:NP_] = a
+                    return jnp.asarray(out)
+
+                best_o, done_o, died_o, undone_o = full_impl(
+                    jnp.asarray(U), jnp.asarray(V), fpad(sl[Fs]),
+                    fpad(ulens[Fs]), fpad(vlens[Fs]),
+                    jnp.int32(mmp128),
+                    jnp.int32(maxalignedlendifference),
+                    jnp.int32(match_score),
+                    jnp.int32(difference_score),
+                    jnp.int32(history), W0, Df, cfg.GENS_FULL)
+                best_o = np.asarray(best_o)[:NP_]
+                done_o = np.asarray(done_o)[:NP_]
+                died_o = np.asarray(died_o)[:NP_]
+                fin = Fs[done_o]
+                results["alignedlen"][fin] = best_o[done_o, 0]
+                results["row"][fin] = best_o[done_o, 1]
+                results["distance"][fin] = best_o[done_o, 2]
+                results["mismatches"][fin] = best_o[done_o, 3]
+                died[fin] = died_o[done_o]
+                todo[fin] = False
+                remaining[Fs[~done_o]] = True   # cascade to next tier
+
     # ---- host generation 0: initial run from the seed ---------------
     du = np.zeros(N, np.int64)        # window origin in u == min live row
     dv = np.zeros(N, np.int64)
@@ -464,11 +563,10 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     valid = np.zeros((N, K), bool)
     d_lane = np.zeros(N, np.int32)
     done = np.zeros(N, bool)
-    died = np.zeros(N, bool)
     best = np.zeros((N, 4), np.int32)
     fallback = np.zeros(N, bool)
 
-    for i in range(N):
+    for i in np.flatnonzero(todo):
         c0 = _host_lcp(us[i], vs[i])
         seed = int(sl[i])
         h = ((1 << 64) - 1) if seed >= 64 else ((1 << seed) - 1)
@@ -485,17 +583,24 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
         hsize[i, D] = hs
         valid[i, D] = True
 
-    pending = np.arange(N)
-    tier = np.zeros(N, np.int32)      # index into tiers, per lane
-    results = {k: np.zeros(N, np.int32) for k in
-               ("alignedlen", "row", "distance", "mismatches")}
+    pending = np.flatnonzero(todo)
+    tier = np.zeros(N, np.int32)      # index into W tiers, per lane
+    dtier = np.zeros(N, np.int32)     # index into D tiers, per lane
 
     for _chunk in range(cfg.MAX_CHUNKS):
         if pending.size == 0:
             break
-        # one device call per window tier present among pending lanes
-        P = pending[tier[pending] == tier[pending].min()]
+        # one device call per (window, diag) tier pair among pending
+        # lanes; lanes sorted by remaining work so the kernel's 128-lane
+        # blocks are homogeneous (a block exits as soon as ALL its lanes
+        # are done, so mixing short and long lanes wastes whole blocks)
+        key = tier[pending] * len(dtiers) + dtier[pending]
+        P = pending[key == key.min()]
+        remaining = (ulens[P] - du[P]) + (vlens[P] - dv[P])
+        P = P[np.argsort(remaining, kind="stable")][:cfg.MAX_WAVE]
         W = tiers[int(tier[P[0]])]
+        Dw = dtiers[int(dtier[P[0]])]
+        csl = slice(D - Dw, D + Dw + 1)   # wave's slot columns
         NP_ = P.size
         U = np.full((NP_, W), 254, np.uint8)
         V = np.full((NP_, W), 255, np.uint8)
@@ -524,9 +629,10 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
 
         out = greedy_chunk_impl(
             padded(U, 254), padded(V, 255),
-            padded(row[P]), padded(hlo[P]), padded(hhi[P]),
-            padded(hsize[P]), padded(mm[P]),
-            padded(valid[P]), padded(d_lane[P]),
+            padded(row[P][:, csl]), padded(hlo[P][:, csl]),
+            padded(hhi[P][:, csl]), padded(hsize[P][:, csl]),
+            padded(mm[P][:, csl]),
+            padded(valid[P][:, csl]), padded(d_lane[P]),
             padded(done[P], True), padded(died[P]),
             padded(best[P]),
             padded(np.minimum(urem, 2 ** 30).astype(np.int32)),
@@ -535,16 +641,10 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
             padded(np.minimum(du[P], 2 ** 30).astype(np.int32)),
             jnp.int32(mmp128), jnp.int32(maxalignedlendifference),
             jnp.int32(match_score), jnp.int32(difference_score),
-            jnp.int32(history), W, D, GENS)
+            jnp.int32(history), W, Dw, GENS)
         (row_o, hlo_o, hhi_o, hsize_o, mm_o, valid_o, best_o, done_o,
          died_o, paused_o, d_o) = (np.asarray(a)[:NP_] for a in out)
 
-        row[P] = row_o
-        hlo[P] = hlo_o
-        hhi[P] = hhi_o
-        hsize[P] = hsize_o
-        mm[P] = mm_o
-        valid[P] = valid_o
         best[P] = best_o
         done[P] = done_o
         died[P] = died_o
@@ -563,7 +663,7 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
         for t, i in zip(np.flatnonzero(~done_o), cont):
             vs_mask = valid_o[t]
             rows = row_o[t][vs_mask].astype(np.int64)
-            ks_rel = np.flatnonzero(vs_mask).astype(np.int64) - D
+            ks_rel = np.flatnonzero(vs_mask).astype(np.int64) - Dw
             ks = ks_rel + int(kbase[t])     # absolute diagonals
             cols = rows + ks_rel            # columns relative to dv
             rmin = int(rows.min())
@@ -571,16 +671,26 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
             du_n = du[i] + rmin
             dv_n = dv[i] + cmin
             # ks are absolute diagonals (relative to the extension
-            # origin); the new kbase is dv_n - du_n
-            slots_new = ks - (dv_n - du_n) + D
-            if slots_new.min() < 1 or slots_new.max() > K - 2:
+            # origin); the new kbase is dv_n - du_n.  Pick the smallest
+            # diagonal tier whose recentred slot window holds the live
+            # spread (tiers both escalate and relax here).
+            off = ks - (dv_n - du_n)
+            amax = int(np.abs(off).max())
+            ndt = next((j for j, Dt in enumerate(dtiers)
+                        if amax <= Dt - 1), None)
+            if ndt is None:
                 fallback[i] = True
                 continue
+            slots_new = off + D
             # no progress: the current match run crosses the whole
             # window (or the front spread fills it) so no generation
-            # can commit — escalate to the next, larger window tier
-            if (d_o[t] == d_before[t] and du_n == du[i] and dv_n == dv[i]) \
-                    or rows.max() - rmin >= W - 64:
+            # can commit — widen the slot window if the spread is the
+            # limiter, else escalate to the next, larger window tier
+            no_prog = (d_o[t] == d_before[t] and du_n == du[i]
+                       and dv_n == dv[i])
+            if no_prog and ndt < len(dtiers) - 1 and amax >= Dw - 2:
+                ndt += 1
+            elif no_prog or rows.max() - rmin >= W - 64:
                 if tier[i] + 1 < len(tiers):
                     tier[i] += 1
                 else:
@@ -590,6 +700,7 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
                 # progress made: drop back toward the cheap tier (the
                 # long run that forced the escalation has been crossed)
                 tier[i] -= 1
+            dtier[i] = ndt
             nrow = np.full(K, -(2 ** 30), np.int32)
             nhlo = np.zeros(K, np.uint32)
             nhhi = np.zeros(K, np.uint32)

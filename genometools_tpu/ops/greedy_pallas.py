@@ -1,27 +1,47 @@
-"""Pallas TPU kernel for the batched greedy (front-prune) extension.
+"""Pallas TPU kernels for the batched greedy (front-prune) extension.
 
-Semantics-identical drop-in for ops.greedy_batch.greedy_chunk_impl (the
-device front recurrence mirroring ref: src/match/ft-front-prune.c:633
-front_prune_edist_inplace + ft-polish.c), but VMEM-resident: the XLA
-version carries eleven (N, K) state arrays through HBM on every one of
-GENS generations (~370 MB per generation at N=32768), which makes it
-HBM-bandwidth-bound at a few hundred extensions/s.  Here the grid runs
-over lane blocks; each program keeps its block's whole front state plus
-the match bitmask in VMEM across all generations, so HBM sees each lane's
-state exactly twice (load, store) per chunk.
+Semantics-identical device engines for ops.greedy_batch (the front
+recurrence mirroring ref: src/match/ft-front-prune.c:633
+front_prune_edist_inplace + ft-polish.c), VMEM-resident: each program
+keeps its block's whole front state plus the match bitmask in VMEM
+across all generations, so HBM sees each lane's state at most twice
+(load, store) per call.
+
+Two entry points:
+
+  * greedy_full_pallas — the single-shot fast path: tasks whose u and v
+    both fit one W-window build generation 0 *inside* the kernel (seed
+    history + initial match run) and run to completion, so the host
+    uploads only U/V and downloads four result rows per lane.  Lanes
+    that touch the diagonal-slot edge (or exhaust GENS) come back
+    `undone` and rejoin the chunked path.
+  * greedy_chunk_pallas — signature-compatible twin of
+    greedy_batch.greedy_chunk_impl for the windowed/rebased long-task
+    path.
+
+Layout: state travels as (K, BLK) — the diagonal-slot axis on sublanes,
+the 128-lane axis minor — so a K=33 front costs ceil(33/8) vector
+registers per op, slot-axis shifts/reductions are cheap sublane ops,
+and narrow fronts run with BLK up to 512 lanes per program.  Per-lane
+scalars travel as (1, BLK) rows.
 
 Kernel-safe rewrites vs the XLA twin (verified bit-exact by
 tests/test_greedy_pallas.py):
 
-  * per-lane scalars travel as (N, 1) int32 columns (TPU wants >=2D);
   * bool state travels as int32 masks (converted at the kernel edges);
+    while_loop carries must be int32 — Mosaic cannot legalize
+    vector<i1> scf.yield operands;
   * `argmax`/`take_along_axis` along the slot axis become one-hot /
     min-max reductions (no gathers on the VPU);
   * the slot-axis shifts use jnp.roll + edge masks instead of pad+slice;
-  * the match bitmask arrives pre-transposed as (N, W32, K) so the slot
-    axis stays minor (128-lane friendly) in every hot op;
-  * the generation loop is a while_loop that exits as soon as every lane
-    in the block is done or paused.
+  * the match bitmask arrives as (W32, K, BLK) so the word index is a
+    cheap major-dim slice in the run-extension loop;
+  * the two 15-bit polishing walks run stacked as one (2, K, BLK) walk
+    (the walk is a serial dependency chain; halving its op count
+    matters more than per-op width);
+  * the generation loop is a while_loop that exits as soon as every
+    lane in the block is done or paused, unrolled 4 generations per
+    iteration to amortize the scalar exit reduction.
 """
 
 from __future__ import annotations
@@ -34,53 +54,48 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .greedy_batch import (_U32, _ctz32, _ones64, _polish_walk,
-                           _popcount64, _shl64)
+from .greedy_batch import (_U32, _ctz32, _match_bitmask, _ones64,
+                           _polish_walk, _popcount64, _shl64)
 
 # Python-int twin of greedy_batch.NEGINF: a module-level jnp scalar would
 # be a captured constant inside the Pallas kernel, which pallas_call
 # rejects; a weak-typed int folds into each op instead.
 NEGINF = -(2 ** 30)
 
+UNROLL = 4
+
+
+def _block_lanes(K: int, N: int) -> int:
+    """Lanes per program: the kernel body is op-issue-bound (measured
+    ~0.14us per vector op almost independent of operand width up to
+    ~30 vregs), so pack as many lanes per op as the scoped-VMEM stack
+    allows — roughly K*BLK <= 33k elements per state array."""
+    if K <= 40:
+        blk = 1024
+    elif K <= 80:
+        blk = 512
+    else:
+        blk = 256
+    return min(blk, N)
+
 
 def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
                  mad: int, match_score: int, difference_score: int,
-                 hist_cap: int):
+                 hist_cap: int, single_shot: bool):
     K = 2 * D + 1
     W32 = W // 32
     pol_size = 2 * cut_depth
     hmask = (1 << hist_cap) - 1 if hist_cap < 64 else (1 << 64) - 1
     hmask_lo, hmask_hi = hmask & 0xFFFFFFFF, hmask >> 32
 
-    def kernel(M_ref, row_ref, hlo_ref, hhi_ref, hs_ref, mm_ref, val_ref,
-               d_ref, done_ref, died_ref, bal_ref, brow_ref, bd_ref,
-               bmm_ref, urem_ref, vrem_ref, kbase_ref, rowbase_ref,
-               row_o, hlo_o, hhi_o, hs_o, mm_o, val_o, bal_o, brow_o,
-               bd_o, bmm_o, done_o, died_o, paused_o, d_o):
-        M = M_ref[:]                      # (BLK, W32, K) uint32
-        row = row_ref[:]
-        hlo = hlo_ref[:]
-        hhi = hhi_ref[:]
-        hsize = hs_ref[:]
-        mm = mm_ref[:]
-        valid = val_ref[:] != 0
-        d_lane = d_ref[:]                 # (BLK, 1)
-        done = done_ref[:] != 0
-        died = died_ref[:] != 0
-        best_al = bal_ref[:]
-        best_row = brow_ref[:]
-        best_d = bd_ref[:]
-        best_mm = bmm_ref[:]
-        urem = urem_ref[:]
-        vrem = vrem_ref[:]
-        kbase = kbase_ref[:]
-        rowbase = rowbase_ref[:]
+    def body(M, row, hlo, hhi, hsize, mm, valid, d_lane, done, died,
+             best_al, best_row, best_d, best_mm, urem, vrem, kbase,
+             rowbase):
+        BLK = row.shape[1]
+        karr = (jax.lax.broadcasted_iota(jnp.int32, (K, BLK), 0) - D)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (K, BLK), 0)
 
-        BLK = row.shape[0]
-        karr = (jax.lax.broadcasted_iota(jnp.int32, (BLK, K), 1) - D)
-        sidx = jax.lax.broadcasted_iota(jnp.int32, (BLK, K), 1)
-
-        ulen_c = jnp.minimum(urem, W)      # (BLK, 1)
+        ulen_c = jnp.minimum(urem, W)      # (1, BLK)
         vlen_c = jnp.minimum(vrem, W)
         u_more = urem > W
         v_more = vrem > W
@@ -89,19 +104,19 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
         mhi = jnp.uint32(hmask_hi)
 
         def fetch_word(w):
-            """M[n, w[n, s], s], clamp+mask; unrolled one-hot over W32."""
-            acc = jnp.zeros((BLK, K), _U32)
+            """M[w[s, n], s, n], clamp+mask; unrolled one-hot over W32."""
+            acc = jnp.zeros((K, BLK), _U32)
             for wi in range(W32):
-                acc = jnp.where(w == wi, M[:, wi, :], acc)
+                acc = jnp.where(w == wi, M[wi], acc)
             return jnp.where((w >= 0) & (w < W32), acc, _U32(0))
 
         def add_matches(row, hlo, hhi, hsize, valid):
-            # while_loop carries travel as int32 — Mosaic cannot legalize
-            # vector<i1> block arguments in scf.while yields.
+            # while_loop carries travel as int32 — Mosaic cannot
+            # legalize vector<i1> block arguments in scf.while yields.
             def cond(st):
                 return jnp.sum(st[0]) > 0
 
-            def body(st):
+            def wbody(st):
                 cont_i, row, hlo, hhi, hsize = st
                 cont = cont_i != 0
                 wi = row >> 5
@@ -125,8 +140,8 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
 
             cont0 = valid & (row >= 0) & (row < W)
             _, row, hlo, hhi, hsize = jax.lax.while_loop(
-                cond, body, (cont0.astype(jnp.int32), row, hlo, hhi,
-                             hsize))
+                cond, wbody, (cont0.astype(jnp.int32), row, hlo, hhi,
+                              hsize))
             return row, hlo, hhi, hsize
 
         def trim_and_score(row, hlo, hhi, hsize, mm, valid, d, best_al,
@@ -134,16 +149,16 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
             rsafe = jnp.maximum(row, 0)
             alignedlen = jnp.where(valid, 2 * rsafe + karr + albase,
                                    NEGINF)
-            maxal = jnp.max(alignedlen, axis=1, keepdims=True)
+            maxal = jnp.max(alignedlen, axis=0, keepdims=True)
             minlen = jnp.maximum(maxal - mad, 0)
             need = (hsize * mmp128) >> 7
             keep = valid & (row <= ulen_c) & (row + karr <= vlen_c) & \
                 (alignedlen >= minlen) & \
                 (_popcount64(hlo & mlo, hhi & mhi) >= need)
-            anyk = keep.any(axis=1, keepdims=True)
-            first = jnp.min(jnp.where(keep, sidx, K), axis=1,
+            anyk = keep.any(axis=0, keepdims=True)
+            first = jnp.min(jnp.where(keep, sidx, K), axis=0,
                             keepdims=True)
-            last = jnp.max(jnp.where(keep, sidx, -1), axis=1,
+            last = jnp.max(jnp.where(keep, sidx, -1), axis=0,
                            keepdims=True)
             inwin = (sidx >= first) & (sidx <= last)
             valid = valid & inwin & anyk
@@ -156,21 +171,20 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
             p_lo = (filled_lo & _U32(0x7FFF)).astype(jnp.int32)
             p_hi = ((filled_lo >> _U32(cut_depth)) & _U32(0x7FFF)) \
                 .astype(jnp.int32)
-            dfm_lo, ss_lo = _polish_walk(p_lo, match_score,
-                                         difference_score, cut_depth)
-            dfm_hi, _ = _polish_walk(p_hi, match_score,
-                                     difference_score, cut_depth)
-            polished = (dfm_lo >= 0) & (ss_lo + dfm_hi >= 0)
+            # one stacked walk for both 15-bit halves (serial chain)
+            dfm, ss = _polish_walk(jnp.stack([p_lo, p_hi]), match_score,
+                                   difference_score, cut_depth)
+            polished = (dfm[0] >= 0) & (ss[0] + dfm[1] >= 0)
             cand = jnp.where(valid & polished & ~done, alignedlen, NEGINF)
-            cbest = jnp.max(cand, axis=1, keepdims=True)
+            cbest = jnp.max(cand, axis=0, keepdims=True)
             ismax = cand == cbest
             # first occurrence along the slot axis (argmax tie rule)
-            fidx = jnp.min(jnp.where(ismax, sidx, K), axis=1,
+            fidx = jnp.min(jnp.where(ismax, sidx, K), axis=0,
                            keepdims=True)
             pickmask = sidx == fidx
 
             def pick(a):
-                return jnp.sum(jnp.where(pickmask, a, 0), axis=1,
+                return jnp.sum(jnp.where(pickmask, a, 0), axis=0,
                                keepdims=True)
 
             better = cbest > best_al
@@ -179,12 +193,12 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
             best_d = jnp.where(better, d, best_d)
             best_mm = jnp.where(better, pick(mm), best_mm)
 
-            e_rel = vrem - urem                       # (BLK, 1)
+            e_rel = vrem - urem                       # (1, BLK)
             eidx = jnp.clip(e_rel + D, 0, K - 1)
             oh = sidx == eidx
 
             def take1(a, zero):
-                return jnp.sum(jnp.where(oh, a, zero), axis=1,
+                return jnp.sum(jnp.where(oh, a, zero), axis=0,
                                keepdims=True)
 
             ok_k = (jnp.abs(e_rel + kbase) <= d) & (jnp.abs(e_rel) <= D) \
@@ -194,6 +208,15 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
             complete_now = ok_k & ~done
             return (valid, best_al, best_row, best_d, best_mm, died_now,
                     complete_now)
+
+        if single_shot:
+            # in-kernel generation 0: the seed's all-match history at
+            # the centre slot, then the initial match run — identical
+            # to greedy_extend_batch's host gen-0 (its window skip by
+            # the run length is a no-op here because the whole task is
+            # inside this window)
+            row, hlo, hhi, hsize = add_matches(row, hlo, hhi, hsize,
+                                               valid)
 
         (valid, best_al, best_row, best_d, best_mm, died_now,
          complete_now) = trim_and_score(
@@ -208,7 +231,7 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
             if a.dtype == jnp.bool_:
                 # Mosaic can't roll/select i1 vectors — shift as i32
                 return sh(a.astype(jnp.int32), int(fillval), off) != 0
-            r = jnp.roll(a, off, axis=1)
+            r = jnp.roll(a, off, axis=0)
             if off == 1:
                 return jnp.where(sidx == 0, fillval, r)
             return jnp.where(sidx == K - 1, fillval, r)
@@ -270,7 +293,7 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
             contact = (anyc & (
                 (u_more & (row_n >= W))
                 | (v_more & (row_n + karr >= W))
-                | (sidx <= 0) | (sidx >= K - 1))).any(axis=1,
+                | (sidx <= 0) | (sidx >= K - 1))).any(axis=0,
                                                       keepdims=True)
             pause_now = act & contact
             commit = act & ~contact
@@ -302,36 +325,89 @@ def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
                     done.astype(jnp.int32), died.astype(jnp.int32),
                     paused.astype(jnp.int32), d_next)
 
+        def gen_unrolled(carry):
+            for _ in range(UNROLL):
+                carry = gen(carry)
+            return carry
+
         carry = (jnp.zeros((), jnp.int32), row, hlo, hhi, hsize, mm,
                  valid.astype(jnp.int32),
                  (best_al, best_row, best_d, best_mm),
                  done.astype(jnp.int32), died.astype(jnp.int32),
                  paused.astype(jnp.int32), d_lane)
-        carry = jax.lax.while_loop(gen_cond, gen, carry)
+        carry = jax.lax.while_loop(gen_cond, gen_unrolled, carry)
         (_, row, hlo, hhi, hsize, mm, valid_i,
          (best_al, best_row, best_d, best_mm), done_i, died_i, paused_i,
          d_lane) = carry
-        valid = valid_i != 0
-        done = done_i != 0
-        died = died_i != 0
-        paused = paused_i != 0
+        return (row, hlo, hhi, hsize, mm, valid_i, best_al, best_row,
+                best_d, best_mm, done_i, died_i, paused_i, d_lane)
 
+    if single_shot:
+        def kernel(M_ref, seed_ref, urem_ref, vrem_ref,
+                   bal_o, brow_o, bd_o, bmm_o, done_o, died_o, undone_o):
+            M = M_ref[:]
+            seedl = seed_ref[:]              # (1, BLK)
+            urem = urem_ref[:]
+            vrem = vrem_ref[:]
+            BLK = seedl.shape[1]
+            sidx0 = jax.lax.broadcasted_iota(jnp.int32, (K, BLK), 0)
+            center = sidx0 == D
+            z = jnp.zeros((K, BLK), jnp.int32)
+            slo, shi = _ones64(jnp.broadcast_to(seedl, (K, BLK)))
+            row0 = jnp.where(center, 0, NEGINF)
+            hlo0 = jnp.where(center, slo, _U32(0))
+            hhi0 = jnp.where(center, shi, _U32(0))
+            hs0 = jnp.where(center, jnp.minimum(seedl, hist_cap), 0)
+            zrow = jnp.zeros((1, BLK), jnp.int32)
+            false_row = zrow != 0
+            out = body(M, row0, hlo0, hhi0, hs0, z, center, zrow,
+                       false_row, false_row, zrow, zrow, zrow,
+                       zrow, urem, vrem, zrow, zrow)
+            (_, _, _, _, _, _, best_al, best_row, best_d, best_mm,
+             done_i, died_i, paused_i, _) = out
+            bal_o[:] = best_al
+            brow_o[:] = best_row
+            bd_o[:] = best_d
+            bmm_o[:] = best_mm
+            done_o[:] = done_i
+            died_o[:] = died_i & done_i
+            undone_o[:] = 1 - done_i
+        return kernel
+
+    def kernel(M_ref, row_ref, hlo_ref, hhi_ref, hs_ref, mm_ref, val_ref,
+               d_ref, done_ref, died_ref, bal_ref, brow_ref, bd_ref,
+               bmm_ref, urem_ref, vrem_ref, kbase_ref, rowbase_ref,
+               row_o, hlo_o, hhi_o, hs_o, mm_o, val_o, bal_o, brow_o,
+               bd_o, bmm_o, done_o, died_o, paused_o, d_o):
+        out = body(M_ref[:], row_ref[:], hlo_ref[:], hhi_ref[:],
+                   hs_ref[:], mm_ref[:], val_ref[:] != 0, d_ref[:],
+                   done_ref[:] != 0, died_ref[:] != 0, bal_ref[:],
+                   brow_ref[:], bd_ref[:], bmm_ref[:], urem_ref[:],
+                   vrem_ref[:], kbase_ref[:], rowbase_ref[:])
+        (row, hlo, hhi, hsize, mm, valid_i, best_al, best_row, best_d,
+         best_mm, done_i, died_i, paused_i, d_lane) = out
         row_o[:] = row
         hlo_o[:] = hlo
         hhi_o[:] = hhi
         hs_o[:] = hsize
         mm_o[:] = mm
-        val_o[:] = valid.astype(jnp.int32)
+        val_o[:] = valid_i
         bal_o[:] = best_al
         brow_o[:] = best_row
         bd_o[:] = best_d
         bmm_o[:] = best_mm
-        done_o[:] = done.astype(jnp.int32)
-        died_o[:] = died.astype(jnp.int32)
-        paused_o[:] = paused.astype(jnp.int32)
+        done_o[:] = done_i
+        died_o[:] = died_i
+        paused_o[:] = paused_i
         d_o[:] = d_lane
 
     return kernel
+
+
+def _lane_block_spec(a, BLK):
+    nd = a.ndim
+    return pl.BlockSpec(a.shape[:-1] + (BLK,),
+                        partial(lambda n, i: (0,) * (n - 1) + (i,), nd))
 
 
 @partial(jax.jit, static_argnames=(
@@ -343,44 +419,37 @@ def _chunk_pallas(M, row, hlo, hhi, hsize, mm, valid, d_lane, done, died,
                   match_score: int, difference_score: int, hist_cap: int,
                   interpret: bool):
     N, K = row.shape
-    # 256-lane blocks overflow the default 16MB scoped-VMEM budget
-    # (state + while-loop temporaries); 128 lanes fits with headroom.
-    BLK = min(128, N)
+    BLK = _block_lanes(K, N)
     assert N % BLK == 0
-    col = lambda a: a.astype(jnp.int32).reshape(N, 1)
-    ins = [M, row, hlo, hhi, hsize, mm, valid.astype(jnp.int32),
-           col(d_lane), col(done), col(died), col(best[:, 0]),
-           col(best[:, 1]), col(best[:, 2]), col(best[:, 3]), col(urem),
-           col(vrem), col(kbase), col(rowbase)]
-
-    in_specs = [pl.BlockSpec((BLK,) + a.shape[1:],
-                             partial(lambda nd, i: (i,) + (0,) * (nd - 1),
-                                     a.ndim))
-                for a in ins]
-    outs = [jax.ShapeDtypeStruct((N, K), jnp.int32),    # row
-            jax.ShapeDtypeStruct((N, K), jnp.uint32),   # hlo
-            jax.ShapeDtypeStruct((N, K), jnp.uint32),   # hhi
-            jax.ShapeDtypeStruct((N, K), jnp.int32),    # hsize
-            jax.ShapeDtypeStruct((N, K), jnp.int32),    # mm
-            jax.ShapeDtypeStruct((N, K), jnp.int32),    # valid
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # best_al
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # best_row
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # best_d
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # best_mm
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # done
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # died
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),    # paused
-            jax.ShapeDtypeStruct((N, 1), jnp.int32)]    # d_lane
-    out_specs = [pl.BlockSpec((BLK,) + o.shape[1:],
-                              partial(lambda nd, i: (i,) + (0,) * (nd - 1),
-                                      len(o.shape)))
-                 for o in outs]
+    rowv = lambda a: a.astype(jnp.int32).reshape(1, N)
+    fronts = [jnp.transpose(a) for a in (row, hlo, hhi, hsize, mm)]
+    ins = [M] + fronts + [valid.astype(jnp.int32).T,
+                          rowv(d_lane), rowv(done), rowv(died),
+                          rowv(best[:, 0]), rowv(best[:, 1]),
+                          rowv(best[:, 2]), rowv(best[:, 3]), rowv(urem),
+                          rowv(vrem), rowv(kbase), rowv(rowbase)]
+    in_specs = [_lane_block_spec(a, BLK) for a in ins]
+    outs = [jax.ShapeDtypeStruct((K, N), jnp.int32),    # row
+            jax.ShapeDtypeStruct((K, N), jnp.uint32),   # hlo
+            jax.ShapeDtypeStruct((K, N), jnp.uint32),   # hhi
+            jax.ShapeDtypeStruct((K, N), jnp.int32),    # hsize
+            jax.ShapeDtypeStruct((K, N), jnp.int32),    # mm
+            jax.ShapeDtypeStruct((K, N), jnp.int32),    # valid
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # best_al
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # best_row
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # best_d
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # best_mm
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # done
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # died
+            jax.ShapeDtypeStruct((1, N), jnp.int32),    # paused
+            jax.ShapeDtypeStruct((1, N), jnp.int32)]    # d_lane
+    out_specs = [_lane_block_spec(o, BLK) for o in outs]
     kern = _make_kernel(W, D, GENS, cut_depth, mmp128, mad, match_score,
-                        difference_score, hist_cap)
+                        difference_score, hist_cap, single_shot=False)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+            vmem_limit_bytes=96 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         grid=(N // BLK,),
@@ -403,10 +472,9 @@ def greedy_chunk_pallas(U, V, row, hlo, hhi, hsize, mm, valid, d_lane,
     Builds the match bitmask with XLA (one-shot, bandwidth-friendly) and
     runs the VMEM-resident Pallas kernel for the generation loop.
     Returns the same 11-tuple; `best` is re-packed as (N, 4)."""
-    from .greedy_batch import _match_bitmask
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    M = jnp.swapaxes(_match_bitmask(U, V, W, D), 1, 2)  # (N, W32, K)
+    M = jnp.transpose(_match_bitmask(U, V, W, D), (2, 1, 0))  # (W32,K,N)
     out = _chunk_pallas(
         M, row, hlo, hhi, hsize, mm, valid, d_lane, done, died, best,
         urem, vrem, kbase, rowbase, W=W, D=D, GENS=GENS,
@@ -416,9 +484,70 @@ def greedy_chunk_pallas(U, V, row, hlo, hhi, hsize, mm, valid, d_lane,
         interpret=bool(interpret))
     (row_o, hlo_o, hhi_o, hs_o, mm_o, val_o, bal, brow, bd, bmm, done_o,
      died_o, paused_o, d_o) = out
-    best_o = jnp.concatenate([bal, brow, bd, bmm], axis=1)
+    fronts = [jnp.transpose(a) for a in
+              (row_o, hlo_o, hhi_o, hs_o, mm_o)]
+    best_o = jnp.concatenate([bal.T, brow.T, bd.T, bmm.T], axis=1)
     squeeze = lambda a: a.reshape(-1)
-    return (row_o, hlo_o, hhi_o, hs_o, mm_o, val_o.astype(jnp.bool_),
+    return (*fronts, jnp.transpose(val_o).astype(jnp.bool_),
             best_o, squeeze(done_o).astype(jnp.bool_),
             squeeze(died_o).astype(jnp.bool_),
             squeeze(paused_o).astype(jnp.bool_), squeeze(d_o))
+
+
+@partial(jax.jit, static_argnames=(
+    "W", "D", "GENS", "cut_depth", "mmp128", "mad", "match_score",
+    "difference_score", "hist_cap", "interpret"))
+def _full_pallas(U, V, seedl, ulen, vlen, *, W: int, D: int, GENS: int,
+                 cut_depth: int, mmp128: int, mad: int, match_score: int,
+                 difference_score: int, hist_cap: int, interpret: bool):
+    N = U.shape[0]
+    K = 2 * D + 1
+    BLK = _block_lanes(K, N)
+    assert N % BLK == 0
+    M = jnp.transpose(_match_bitmask(U, V, W, D), (2, 1, 0))
+    rowv = lambda a: a.astype(jnp.int32).reshape(1, N)
+    ins = [M, rowv(seedl), rowv(ulen), rowv(vlen)]
+    in_specs = [_lane_block_spec(a, BLK) for a in ins]
+    outs = [jax.ShapeDtypeStruct((1, N), jnp.int32)] * 7
+    out_specs = [_lane_block_spec(o, BLK) for o in outs]
+    kern = _make_kernel(W, D, GENS, cut_depth, mmp128, mad, match_score,
+                        difference_score, hist_cap, single_shot=True)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        grid=(N // BLK,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=outs,
+        interpret=interpret,
+        **kwargs,
+    )(*ins)
+
+
+def greedy_full_pallas(U, V, seedl, ulen, vlen,
+                       minmatchpercentage128, maxalignedlendifference,
+                       match_score, difference_score, hist_cap,
+                       W: int, D: int, GENS: int, cut_depth: int = 15,
+                       interpret: bool | None = None):
+    """Single-shot whole-task extension for tasks with ulen, vlen <= W.
+
+    Returns (best (N,4), done, died, undone) — `undone` lanes touched
+    the diagonal-slot edge or exhausted GENS and must be re-run through
+    the chunked path (results for them are unset)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out = _full_pallas(
+        U, V, seedl, ulen, vlen, W=W, D=D, GENS=GENS,
+        cut_depth=cut_depth, mmp128=int(minmatchpercentage128),
+        mad=int(maxalignedlendifference), match_score=int(match_score),
+        difference_score=int(difference_score), hist_cap=int(hist_cap),
+        interpret=bool(interpret))
+    bal, brow, bd, bmm, done_o, died_o, undone_o = out
+    best = jnp.concatenate([bal.T, brow.T, bd.T, bmm.T], axis=1)
+    squeeze = lambda a: a.reshape(-1)
+    return (best, squeeze(done_o).astype(jnp.bool_),
+            squeeze(died_o).astype(jnp.bool_),
+            squeeze(undone_o).astype(jnp.bool_))

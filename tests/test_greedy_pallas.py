@@ -6,7 +6,8 @@ import pytest
 
 from genometools_tpu.ops import greedy_batch as gb
 from genometools_tpu.ops.greedy import PolishingInfo, greedy_extend
-from genometools_tpu.ops.greedy_pallas import greedy_chunk_pallas
+from genometools_tpu.ops.greedy_pallas import (greedy_chunk_pallas,
+                                               greedy_full_pallas)
 
 
 @pytest.fixture()
@@ -46,6 +47,29 @@ class TestGreedyPallasLockstep:
         for i in range(len(us)):
             if res["fallback"][i]:
                 continue
+            _, best = greedy_extend(
+                us[i], vs[i], max_history=60, perc_mat_history=55,
+                maxalignedlendifference=30, seedlength=14, pol_info=pol)
+            assert res["alignedlen"][i] == best.alignedlen, i
+            assert res["row"][i] == best.row, i
+            assert res["distance"][i] == best.distance, i
+            assert res["mismatches"][i] == best.max_mismatches, i
+
+    @pytest.mark.parametrize("err", [0.02, 0.15, 0.4])
+    def test_single_shot_matches_scalar(self, monkeypatch, err):
+        # the fast path: gen-0 built in-kernel, whole task in one call;
+        # undone lanes must fall through to the chunked path untouched
+        def full_shim(*a, **kw):
+            return greedy_full_pallas(*a, **kw, interpret=True)
+        monkeypatch.setattr(gb, "greedy_full_impl", full_shim)
+        rng = np.random.default_rng(17 + int(err * 100))
+        us, vs = _random_pairs(rng, 48, err, 300)
+        pol = PolishingInfo.new(20.0, 60)
+        res = gb.greedy_extend_batch(
+            us, vs, seedlengths=14, perc_mat_history=55,
+            maxalignedlendifference=30, pol_info=pol, history=60)
+        assert not res["fallback"].any()
+        for i in range(len(us)):
             _, best = greedy_extend(
                 us[i], vs[i], max_history=60, perc_mat_history=55,
                 maxalignedlendifference=30, seedlength=14, pol_info=pol)
