@@ -123,19 +123,40 @@ def _base_bitmasks(X, W: int):
                    axis=3, dtype=_U32)                        # (N, 4, W32)
 
 
+def pack_codes(X: np.ndarray):
+    """Host-side 2.5-bit packing of a (N, W) uint8 code window: the two
+    code bit-planes plus the special mask as little-endian uint32 words
+    — 2.5 bits/symbol instead of 8, sized for slow host->device links."""
+    def pb(bits):
+        return np.packbits(bits, axis=1, bitorder="little") \
+            .view(np.uint32)
+    return pb(X & 1 == 1), pb(X & 2 == 2), pb(X >= 4)
+
+
+def _planes_from_bits(lo, hi, spec):
+    """Device twin of _base_bitmasks from pack_codes output."""
+    ok = ~spec
+    return jnp.stack([~lo & ~hi & ok, lo & ~hi & ok,
+                      ~lo & hi & ok, lo & hi & ok], axis=1)   # (N,4,W32)
+
+
 def _match_bitmask(U, V, W: int, D: int):
     """M[n, s, w]: uint32 words of match bits; bit b of word w is
-    (U[i] == V[i+k]) & (U[i] < 4) at i = 32*w + b, diag k = s - D.
+    (U[i] == V[i+k]) & (U[i] < 4) at i = 32*w + b, diag k = s - D."""
+    return _match_from_planes(_base_bitmasks(U, W), _base_bitmasks(V, W),
+                              W, D)
 
-    Bit-parallel: per-base one-hot bitplanes of U and V packed once,
-    then each diagonal's match word is OR_b(Ub & funnel_shift(Vb, k))
+
+def _match_from_planes(Ub, Vb, W: int, D: int):
+    """Bit-parallel match bitmask from per-base one-hot bitplanes:
+    each diagonal's match word is OR_b(Ub & funnel_shift(Vb, k))
     — ~10 word ops per (k, w) instead of 32 symbol compares, with the
     K shifts vectorized in groups of equal word offset k>>5."""
-    K = 2 * D + 1
     W32 = W // 32
-    Ub = _base_bitmasks(U, W)[:, :, None, :]                  # (N,4,1,W32)
+    K = 2 * D + 1
+    Ub = Ub[:, :, None, :]                                    # (N,4,1,W32)
     pad = D // 32 + 1
-    Vbp = jnp.pad(_base_bitmasks(V, W), ((0, 0), (0, 0), (pad, pad + 1)))
+    Vbp = jnp.pad(Vb, ((0, 0), (0, 0), (pad, pad + 1)))
     ks = np.arange(K) - D
     qs = ks >> 5                                              # word offset
     rs = (ks - (qs << 5)).astype(np.uint32)                   # bit offset
@@ -433,12 +454,14 @@ class _GreedyBatchConfig:
     MAX_CHUNKS = 512
     MAX_WAVE = 131072  # per-device-call lane cap (bounds M + state HBM)
     # single-shot fast path (tasks fitting one window run whole inside
-    # the kernel — no state upload, no rebase roundtrips); each task
-    # starts in the smallest tier that holds both flanks and `undone`
-    # lanes (diagonal drift beyond that tier's D) cascade to the next
-    W_FULL_TIERS = (384, 768, 1536)
-    D_FULL_TIERS = (32, 64, 64)
-    GENS_FULL = 1536
+    # the kernel — no state upload, no rebase roundtrips).  Passes are
+    # (W, D, GENS): each task starts in the first pass whose window
+    # holds both flanks; undone lanes (slot drift beyond D or GENS cap)
+    # cascade to the next eligible pass.  The cheap 32-generation first
+    # pass finishes the ~90% of lanes that die or complete early, so
+    # block-level divergence (a block runs until its slowest lane) only
+    # costs the straggler re-run.
+    FULL_PASSES = ((384, 32, 32), (768, 64, 1536), (1536, 64, 1536))
 
     # kept for tests that pin a single diagonal window
     @property
@@ -512,7 +535,7 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     if full_impl is not None:
         maxlen = np.maximum(ulens, vlens)
         remaining = (ulens >= 1) & (vlens >= 1)
-        for W0, Df in zip(cfg.W_FULL_TIERS, cfg.D_FULL_TIERS):
+        for W0, Df, Gf in cfg.FULL_PASSES:
             fast = np.flatnonzero(remaining & (maxlen <= W0))
             remaining[fast] = False   # re-marked below if undone
             fast = fast[np.argsort(ulens[fast] + vlens[fast],
@@ -520,29 +543,36 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
             for s in range(0, fast.size, cfg.MAX_WAVE):
                 Fs = fast[s:s + cfg.MAX_WAVE]
                 NP_ = Fs.size
-                NP2 = max(16, 1 << (NP_ - 1).bit_length())
+                # pad to a block multiple: few distinct compile shapes,
+                # little dead-lane upload (pow2 padding wastes up to 2x)
+                if NP_ <= 4096:
+                    NP2 = max(16, 1 << (NP_ - 1).bit_length())
+                else:
+                    NP2 = -(-NP_ // 4096) * 4096
                 U = np.full((NP2, W0), 254, np.uint8)
                 V = np.full((NP2, W0), 255, np.uint8)
                 for t, i in enumerate(Fs):
                     U[t, :ulens[i]] = us[i]
                     V[t, :vlens[i]] = vs[i]
+                W32 = W0 // 32
+                PK = np.zeros((NP2, 6 * W32 + 3), np.uint32)
+                for ci, plane in enumerate(pack_codes(U) + pack_codes(V)):
+                    PK[:, ci * W32:(ci + 1) * W32] = plane
+                PK[:NP_, 6 * W32 + 0] = sl[Fs]
+                PK[:NP_, 6 * W32 + 1] = ulens[Fs]
+                PK[:NP_, 6 * W32 + 2] = vlens[Fs]
 
-                def fpad(a):
-                    out = np.zeros(NP2, np.int32)
-                    out[:NP_] = a
-                    return jnp.asarray(out)
-
-                best_o, done_o, died_o, undone_o = full_impl(
-                    jnp.asarray(U), jnp.asarray(V), fpad(sl[Fs]),
-                    fpad(ulens[Fs]), fpad(vlens[Fs]),
+                out = full_impl(
+                    jnp.asarray(PK),
                     jnp.int32(mmp128),
                     jnp.int32(maxalignedlendifference),
                     jnp.int32(match_score),
                     jnp.int32(difference_score),
-                    jnp.int32(history), W0, Df, cfg.GENS_FULL)
-                best_o = np.asarray(best_o)[:NP_]
-                done_o = np.asarray(done_o)[:NP_]
-                died_o = np.asarray(died_o)[:NP_]
+                    jnp.int32(history), W0, Df, Gf)
+                out = np.asarray(out)[:, :NP_]
+                best_o = out[:4].T
+                done_o = out[4] != 0
+                died_o = out[5] != 0
                 fin = Fs[done_o]
                 results["alignedlen"][fin] = best_o[done_o, 0]
                 results["row"][fin] = best_o[done_o, 1]

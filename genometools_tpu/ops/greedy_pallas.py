@@ -54,7 +54,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .greedy_batch import (_U32, _ctz32, _match_bitmask, _ones64,
+from .greedy_batch import (_U32, _ctz32, _match_bitmask,
+                           _match_from_planes, _ones64, _planes_from_bits,
                            _polish_walk, _popcount64, _shl64)
 
 # Python-int twin of greedy_batch.NEGINF: a module-level jnp scalar would
@@ -497,16 +498,25 @@ def greedy_chunk_pallas(U, V, row, hlo, hhi, hsize, mm, valid, d_lane,
 @partial(jax.jit, static_argnames=(
     "W", "D", "GENS", "cut_depth", "mmp128", "mad", "match_score",
     "difference_score", "hist_cap", "interpret"))
-def _full_pallas(U, V, seedl, ulen, vlen, *, W: int, D: int, GENS: int,
+def _full_pallas(PK, *, W: int, D: int, GENS: int,
                  cut_depth: int, mmp128: int, mad: int, match_score: int,
                  difference_score: int, hist_cap: int, interpret: bool):
-    N = U.shape[0]
+    """PK: one (N, 6*W32+3) uint32 array — the six pack_codes planes
+    plus seedlen/ulen/vlen columns.  A single input array and a single
+    stacked (7, N) result keep host<->device round trips to one each
+    way (the dominant fixed cost on a tunneled TPU)."""
+    N = PK.shape[0]
+    W32 = W // 32
     K = 2 * D + 1
     BLK = _block_lanes(K, N)
     assert N % BLK == 0
-    M = jnp.transpose(_match_bitmask(U, V, W, D), (2, 1, 0))
-    rowv = lambda a: a.astype(jnp.int32).reshape(1, N)
-    ins = [M, rowv(seedl), rowv(ulen), rowv(vlen)]
+    parts = [PK[:, i * W32:(i + 1) * W32] for i in range(6)]
+    M = jnp.transpose(
+        _match_from_planes(_planes_from_bits(*parts[:3]),
+                           _planes_from_bits(*parts[3:]), W, D),
+        (2, 1, 0))
+    rowv = lambda i: PK[:, 6 * W32 + i].astype(jnp.int32).reshape(1, N)
+    ins = [M, rowv(0), rowv(1), rowv(2)]
     in_specs = [_lane_block_spec(a, BLK) for a in ins]
     outs = [jax.ShapeDtypeStruct((1, N), jnp.int32)] * 7
     out_specs = [_lane_block_spec(o, BLK) for o in outs]
@@ -516,7 +526,7 @@ def _full_pallas(U, V, seedl, ulen, vlen, *, W: int, D: int, GENS: int,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(N // BLK,),
         in_specs=in_specs,
@@ -525,29 +535,30 @@ def _full_pallas(U, V, seedl, ulen, vlen, *, W: int, D: int, GENS: int,
         interpret=interpret,
         **kwargs,
     )(*ins)
+    return jnp.concatenate(out, axis=0)                       # (7, N)
 
 
-def greedy_full_pallas(U, V, seedl, ulen, vlen,
-                       minmatchpercentage128, maxalignedlendifference,
+def greedy_full_pallas(PK, minmatchpercentage128,
+                       maxalignedlendifference,
                        match_score, difference_score, hist_cap,
                        W: int, D: int, GENS: int, cut_depth: int = 15,
                        interpret: bool | None = None):
     """Single-shot whole-task extension for tasks with ulen, vlen <= W.
 
-    Returns (best (N,4), done, died, undone) — `undone` lanes touched
-    the diagonal-slot edge or exhausted GENS and must be re-run through
-    the chunked path (results for them are unset)."""
+    PK: (N, 6*W32+3) uint32 — pack_codes planes for U and V plus
+    seedlen/ulen/vlen columns (see greedy_batch's fast path; one array
+    keeps the host->device upload to a single transfer).
+
+    Returns np (7, N) int32: best alignedlen/row/distance/mismatches,
+    done, died, undone — `undone` lanes touched the diagonal-slot edge
+    or exhausted GENS and must be re-run through the chunked path
+    (results for them are unset)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     out = _full_pallas(
-        U, V, seedl, ulen, vlen, W=W, D=D, GENS=GENS,
+        PK, W=W, D=D, GENS=GENS,
         cut_depth=cut_depth, mmp128=int(minmatchpercentage128),
         mad=int(maxalignedlendifference), match_score=int(match_score),
         difference_score=int(difference_score), hist_cap=int(hist_cap),
         interpret=bool(interpret))
-    bal, brow, bd, bmm, done_o, died_o, undone_o = out
-    best = jnp.concatenate([bal.T, brow.T, bd.T, bmm.T], axis=1)
-    squeeze = lambda a: a.reshape(-1)
-    return (best, squeeze(done_o).astype(jnp.bool_),
-            squeeze(died_o).astype(jnp.bool_),
-            squeeze(undone_o).astype(jnp.bool_))
+    return np.asarray(out)
