@@ -9,13 +9,14 @@ concurrently on a `jax.sharding.Mesh` instead of sequentially:
   1. every device scans the replicated keys and histograms first-symbol
      bucket codes; `psum` over the mesh gives the global leftborder
      (ref pass A: sfx-suffixer.c updatekmercount);
-  2. each device takes a contiguous slice of the *rank space* and
-     resolves it locally by iterative most-significant-digit refinement
-     (stable `lax.sort` passes over successive symbol keys) — the
-     data-parallel analog of per-part bucket sorting
-     (ref pass B + gt_sortallbuckets);
-  3. per-device SA slices are concatenated by `all_gather` (implicitly by
-     the output sharding).
+  2. each device packs the first ``max_depth`` symbol digits of its own
+     position block into bit-packed words and one block-bitonic network
+     (shared with parallel/dist_doubling_sharded.py) sorts the
+     (words…, pos) tuples across the mesh — the data-parallel analog of
+     per-part bucket sorting (ref pass B + gt_sortallbuckets), with
+     O(n/P) per-device state and traffic;
+  3. the sorted position blocks ARE the per-device SA slices; they are
+     concatenated implicitly by the output sharding.
 
 Because each position's full ordering is determined by at most
 ``max_depth`` symbol keys *or* a unique special key, the refinement is
@@ -49,48 +50,81 @@ def _digit(keys: jnp.ndarray, pos: jnp.ndarray, d: int, n1: int) -> jnp.ndarray:
     return jnp.where(idx < n1, keys[safe], jnp.int32(-1))
 
 
-@partial(jax.jit, static_argnames=("n1", "max_depth", "mesh"))
+@partial(jax.jit, static_argnames=("n1", "max_depth", "mesh", "sigma"))
 def sharded_suffix_sort(keys: jnp.ndarray, n1: int, max_depth: int,
-                        mesh: Mesh):
+                        mesh: Mesh, sigma: int = 4):
     """Suffix sort sharded over mesh axis 'shard'.
 
-    keys: int32[n1] replicated. Returns sa int32[n1] (replicated) and the
-    global first-symbol histogram (the leftborder analog).
+    keys: int32[n1] replicated (the encseq analog — mirrors the
+    reference's replicated-sequence model). The *sort itself* is
+    distributed: each device packs the ``max_depth`` symbol digits of
+    its C = n1/P position block into bit-packed words (3 bits/symbol
+    for DNA) and one block-bitonic network sorts the (words…, pos)
+    tuples across the mesh — per-device state and per-step traffic are
+    O(n/P); no device ever materializes the global order.
+
+    Digit encoding (total order == the suffix-order contract):
+      regular code c        -> c + 1
+      special (key >= sigma)-> sigma + 1   (sorts after every regular)
+      past-end / after the first special -> 0
+    Two suffixes tying on all packed words share their regular prefix
+    and have specials at the same depth, so the final ``pos`` key
+    finishes the comparison exactly (special at position p == key
+    sigma + p, ascending in p).  Ties among suffixes whose regular
+    prefixes exceed ``max_depth`` are NOT resolved: callers must ensure
+    maxlcp < max_depth or fall back to the doubling engine.
+
+    Returns (sa int32[n1] replicated, global first-symbol histogram —
+    the leftborder analog).
     """
     ndev = mesh.devices.size
+    assert ndev & (ndev - 1) == 0, "bitonic network needs a pow-2 mesh"
     npad = ((n1 + ndev - 1) // ndev) * ndev
+    C = npad // ndev
     pos_all = jnp.arange(npad, dtype=jnp.int32)
+    bits = max(1, (sigma + 1).bit_length())   # codes 0..sigma+1
+    per_word = 30 // bits                     # keep words non-negative
+    from .dist_doubling_sharded import _block_bitonic_sort
 
     def stage(pos_shard):
         # --- pass A: local histogram over this device's position shard ---
         first = _digit(keys, pos_shard, 0, n1)
         # bucket = first key clipped into [0, sigma]: all specials share
         # one bucket (they order by position = by key anyway)
-        sigma_bucket = jnp.minimum(first, jnp.int32(4))
-        hist = jnp.zeros(5, jnp.int32).at[
-            jnp.where(pos_shard < n1, sigma_bucket, 4)
+        sigma_bucket = jnp.minimum(first, jnp.int32(sigma))
+        hist = jnp.zeros(sigma + 1, jnp.int32).at[
+            jnp.where(pos_shard < n1, sigma_bucket, sigma)
         ].add(jnp.where(pos_shard < n1, 1, 0))
         hist = jax.lax.psum(hist, "shard")
 
-        # --- pass B: stable LSD sort of positions by max_depth symbol
-        # digits; each device keeps its contiguous rank slice. NOTE: this
-        # round still *computes* the global order per device (the keys are
-        # replicated; only the output is sharded) — distributing the sort
-        # itself (sample-sort with all_to_all routing) is the next
-        # scaling step. Ties beyond max_depth keep input order; callers
-        # must ensure maxlcp < max_depth or fall back to the global
-        # doubling engine.
-        order = jnp.arange(npad, dtype=jnp.int32)
-        for d in range(max_depth - 1, -1, -1):
-            dig = _digit(keys, order, d, n1) + 2  # shift -1 pad to >=1
-            dig = jnp.where(order < n1, dig, jnp.int32(2**30))
-            _, order = jax.lax.sort((dig, order), num_keys=1,
-                                    is_stable=True)
-        shard_size = npad // ndev
-        myid = jax.lax.axis_index("shard")
-        my_slice = jax.lax.dynamic_slice(order, (myid * shard_size,),
-                                         (shard_size,))
-        return my_slice, hist
+        # --- pass B: pack this block's digit matrix, then one
+        # distributed tuple sort over the mesh ---
+        words = []
+        acc = jnp.zeros(C, jnp.int32)
+        cnt = 0
+        alive = jnp.ones(C, jnp.bool_)
+        for d in range(max_depth):
+            idx = pos_shard + d
+            safe = jnp.minimum(idx, n1 - 1)
+            dig = keys[safe]
+            past = idx >= n1
+            spec = dig >= sigma
+            code = jnp.where(past | ~alive, 0,
+                             jnp.where(spec, sigma + 1, dig + 1))
+            acc = (acc << bits) | code
+            cnt += 1
+            if cnt == per_word:
+                words.append(acc)
+                acc = jnp.zeros(C, jnp.int32)
+                cnt = 0
+            alive = alive & ~spec & ~past
+        if cnt:
+            words.append(acc << (bits * (per_word - cnt)))
+        # internal pad positions (pos >= n1) must sort last
+        words[0] = jnp.where(pos_shard >= n1, jnp.int32(2 ** 30), words[0])
+        srt = _block_bitonic_sort(words + [pos_shard], len(words) + 1,
+                                  ndev, "shard", C)
+        return srt[-1], hist
 
     spec = P("shard")
     out = jax.shard_map(
