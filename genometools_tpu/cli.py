@@ -191,16 +191,31 @@ def cmd_repfind(args):
                                 repfind_reverse, repfind_self)
 
     enc = Encseq.load(args.ii)
+    if args.extendgreedy is not False or args.extendxdrop is not False:
+        from .match.repfind import repfind_extend
+        esa = load_esa(args.ii, encseq=enc)
+        kind = "greedy" if args.extendgreedy is not False else "xdrop"
+        for m in repfind_extend(enc, args.l, kind,
+                                minidentity=args.minidentity,
+                                maxalignedlendifference=args.maxalilendiff,
+                                perc_mat_history=args.percmathistory,
+                                esa=esa):
+            print(m.line())
+        return 0
     if args.f or not (args.r or args.p):
         esa = load_esa(args.ii, encseq=enc)
         rows = repfind_self(enc, args.l, esa=esa)
         for line in format_match_lines(rows, "F"):
             print(line)
     if args.r:
-        for line in format_match_lines(repfind_reverse(enc, args.l), "R"):
+        esa_r = load_esa(args.ii, encseq=enc)
+        for line in format_match_lines(repfind_reverse(enc, args.l,
+                                                       esa=esa_r), "R"):
             print(line)
     if args.p:
-        for line in format_match_lines(repfind_palindromic(enc, args.l), "P"):
+        esa_p = load_esa(args.ii, encseq=enc)
+        for line in format_match_lines(repfind_palindromic(enc, args.l,
+                                                           esa=esa_p), "P"):
             print(line)
     return 0
 
@@ -212,6 +227,13 @@ def _add_repfind(sub):
     p.add_argument("-f", action="store_true", help="forward matches (default)")
     p.add_argument("-r", action="store_true", help="reverse matches")
     p.add_argument("-p", action="store_true", help="reverse-strand matches")
+    p.add_argument("-extendgreedy", nargs="?", const=100, default=False,
+                   type=int, help="greedy-extend maximal pairs")
+    p.add_argument("-extendxdrop", nargs="?", const=97, default=False,
+                   type=int, help="xdrop-extend maximal pairs")
+    p.add_argument("-minidentity", type=int, default=80)
+    p.add_argument("-maxalilendiff", type=int, default=30)
+    p.add_argument("-percmathistory", type=int, default=55)
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_repfind)
 

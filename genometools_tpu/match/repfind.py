@@ -46,15 +46,30 @@ def repfind_self(encseq: Encseq, minlength: int,
 
 
 def _repfind_transformed(encseq: Encseq, minlength: int,
-                         complement: bool) -> np.ndarray:
+                         complement: bool,
+                         esa: EnhancedSuffixArray | None = None
+                         ) -> np.ndarray:
     """Matches between the sequence set and its reverse (-r) or reverse
-    complement (-p). Redesign of the reference's readmode machinery
-    (ref: gt_repfind.c:776 runs maxpairs per GT_READMODE_{REVERSE,
-    REVCOMPL}): concatenate seq + SEPARATOR + transformed(seq) and run the
-    same forward maxpairs engine, keeping only cross-half pairs. A pair
-    (p, q) with q in the transformed half maps back to forward start
-    2n - q - (len-1); maximality in the concatenation equals maximality of
-    the transformed-match relation."""
+    complement (-p), byte-ordered like the reference.
+
+    Match *set*: concatenate seq + SEPARATOR + transformed(seq) and run
+    the forward maxpairs engine, keeping cross-half pairs. Each concat
+    pair (p in half 1, q in half 2) IS one directed iterator event of
+    the reference's query-substring machinery (ref: esa-mmsearch.c:847
+    gt_querysubstringmatchiterator_next over the encseq read in
+    GT_READMODE_{REVERSE,REVCOMPL}): the db occurrence is p, the query
+    occurrence's forward image starts at fpos = 2n - q - (len-1), and
+    the concat pair's left/right-maximality equals the event's
+    db-left-maximality + maximal extendright length.
+
+    Reference gating and order are then applied exactly:
+      * gt_querymatch_ordered with force_order (default true,
+        ref: querymatch.c:73,357): print iff dbseq < queryseq, or same
+        sequence and dbrel <= querystart_fwdstrand;
+      * emission order = (query unit ascending, reverse-readmode offset
+        ascending, db hits in suftab order) — offset o relates to the
+        printed forward-strand position by o = seqlen - qrel - len.
+    """
     from ..core.chardef import SEPARATOR, is_special as _issp
     n = encseq.total_length
     tr = encseq.codes[::-1]
@@ -66,37 +81,47 @@ def _repfind_transformed(encseq: Encseq, minlength: int,
                           2 * n - encseq.ssp[::-1]]).astype(np.int64)
     m = Encseq(codes, ssp, encseq.descs + encseq.descs[::-1],
                encseq.alphabet)
-    esa = build_esa(m, FWD)
-    mp = enumerate_maxpairs(esa, minlength)
+    cesa = build_esa(m, FWD)
+    mp = enumerate_maxpairs(cesa, minlength)
     p1, p2, ln = mp.pos1.astype(np.int64), mp.pos2.astype(np.int64), \
         mp.length.astype(np.int64)
     lo = np.minimum(p1, p2)
     hi = np.maximum(p1, p2)
     keep = (lo < n) & (hi > n)
-    lo, hi, ln = lo[keep], hi[keep], ln[keep]
+    db, hi, ln = lo[keep], hi[keep], ln[keep]
     fpos = 2 * n - hi - (ln - 1)
-    # every match appears under both mirror orientations (x, mirror(y)) and
-    # (y, mirror(x)); canonicalize to one report per match like the
-    # reference
-    a = np.minimum(lo, fpos)
-    b = np.maximum(lo, fpos)
-    uniq = np.unique(np.stack([a, b, ln], axis=1), axis=0)
-    return uniq[:, 0], uniq[:, 1], uniq[:, 2]
+
+    dbseq = encseq.seqnum_of_pos(db)
+    dbrel = db - encseq.seq_startpos(dbseq)
+    qseq = encseq.seqnum_of_pos(fpos)
+    qrel = fpos - encseq.seq_startpos(qseq)  # == querystart_fwdstrand
+    keep2 = (dbseq < qseq) | ((dbseq == qseq) & (dbrel <= qrel))
+    dbseq, dbrel, qseq, qrel, db, ln = (a[keep2] for a in
+                                        (dbseq, dbrel, qseq, qrel, db, ln))
+
+    if esa is None:
+        esa = build_esa(encseq, FWD)
+    rank = np.empty(esa.suftab.size, np.int64)
+    rank[esa.suftab] = np.arange(esa.suftab.size)
+    off = encseq.seq_length(qseq) - qrel - ln
+    order = np.lexsort((rank[db], off, qseq))
+    rows = np.stack([ln, dbseq, dbrel, ln, qseq, qrel], axis=1)
+    return rows[order]
 
 
-def repfind_reverse(encseq: Encseq, minlength: int) -> np.ndarray:
+def repfind_reverse(encseq: Encseq, minlength: int,
+                    esa: EnhancedSuffixArray | None = None) -> np.ndarray:
     """Reverse matches (gt repfind -r, direction letter R): substring at
     pos1 read forward equals substring at pos2 read backward."""
-    lo, fpos, ln = _repfind_transformed(encseq, minlength, complement=False)
-    return _format_rows(encseq, lo.astype(np.int64), fpos.astype(np.int64),
-                        ln, "R")
+    return _repfind_transformed(encseq, minlength, complement=False,
+                                esa=esa)
 
 
-def repfind_palindromic(encseq: Encseq, minlength: int) -> np.ndarray:
+def repfind_palindromic(encseq: Encseq, minlength: int,
+                        esa: EnhancedSuffixArray | None = None) -> np.ndarray:
     """Reverse-strand matches (gt repfind -p, direction letter P)."""
-    lo, fpos, ln = _repfind_transformed(encseq, minlength, complement=True)
-    return _format_rows(encseq, lo.astype(np.int64), fpos.astype(np.int64),
-                        ln, "P")
+    return _repfind_transformed(encseq, minlength, complement=True,
+                                esa=esa)
 
 
 def repfind_extend(encseq: Encseq, minlength: int,
