@@ -88,71 +88,111 @@ def _window_codes(codes: np.ndarray, k: int) -> np.ndarray:
 def find_contained(readset: ReadSet, singlestrand: bool = False) -> np.ndarray:
     """Boolean mask of contained reads (ref: rdj-contfinder.c:867).
 
-    Read r is contained iff it occurs as substring of some other read
+    Read r is contained iff it occurs as a substring of some other read
     (or a read's reverse complement unless singlestrand). Duplicate
-    groups keep their first member. Mirrors contfinder semantics at the
-    set level; the reference's radix-trie is replaced by an anchor join.
+    groups (identical content, or identical to another read's reverse
+    complement) keep their smallest read number.
+
+    Sort-based design replacing the reference's radix trie: build one
+    suffix array over the concatenation of all reads (+ their reverse
+    complements) with per-position separators, via the linear-time
+    SA-IS constructor (native; falls back to the doubling engine) plus
+    Kasai LCP.  In suffix order, every occurrence of read r's full
+    content is inside the maximal run of suffixes whose lcp with the
+    read-start suffix is >= len(r); within that run
+
+      * an entry from another source read with a longer read length is
+        a proper-containment witness (lcp >= len(r) already implies the
+        occurrence has len(r) non-special symbols remaining), and
+      * an offset-0 entry of an equal-length read is a duplicate /
+        rc-duplicate witness (mark r iff a witness has a smaller read
+        number).
+
+    Cost: O(total_bases) construction + per-read run scans (a run is
+    exactly the occurrence set of that read's content).
     """
     n = readset.num_reads
     contained = np.zeros(n, bool)
     if n == 0:
         return contained
-    minlen = min(len(r) for r in readset.reads)
-    k = min(minlen, 16)
-    # collect all k-windows of all reads (+rc): (code, read)
-    win_codes, win_read = [], []
-    for r in range(n):
-        seqs = [readset.reads[r]] if singlestrand else \
-            [readset.reads[r], readset.rc(r)]
-        for seq in seqs:
-            w = _window_codes(seq, k)
-            win_codes.append(w)
-            win_read.append(np.full(w.size, r, np.int64))
-    win_codes = np.concatenate(win_codes)
-    win_read = np.concatenate(win_read)
-    order = np.argsort(win_codes, kind="stable")
-    win_codes, win_read = win_codes[order], win_read[order]
+
+    # --- concat: fwd reads (+ rc reads) with separator keys -----------
+    parts = list(readset.reads)
+    src = [np.full(len(p), i, np.int32) for i, p in enumerate(parts)]
+    if not singlestrand:
+        parts += [readset.rc(r) for r in range(n)]
+        src += [np.full(len(readset.reads[i]), i, np.int32)
+                for i in range(n)]
+    lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    starts = np.cumsum(lens + 1) - (lens + 1)
+    total = int(lens.sum()) + len(parts)      # one separator after each
+    codes = np.full(total, 255, np.uint8)
+    mask = np.ones(total, bool)
+    mask[np.cumsum(lens + 1) - 1] = False
+    codes[mask] = np.concatenate(parts)
+    srcread = np.full(total, -1, np.int32)
+    srcread[mask] = np.concatenate(src)
+    offset0 = np.zeros(total, bool)
+    offset0[starts] = True
+
+    keys = np.where(codes < 4, codes.astype(np.int32),
+                    4 + np.arange(total, dtype=np.int32))
+    from ..core.native import kasai_lcp_native, sais_native
+    sa = sais_native(keys)
+    if sa is None:
+        from ..index.suffix import build_suffix_array
+        sa, _ = build_suffix_array(keys, with_lcp=False)
+        sa = np.asarray(sa)
+    lcp = kasai_lcp_native(keys, sa)
+    if lcp is None:
+        from ..index.suffix import kasai_lcp
+        lcp = kasai_lcp(keys, sa)
+    inv = np.empty(total, np.int64)
+    inv[sa] = np.arange(total)
+
+    sa_src = srcread[sa]                      # source read per suffix
+    rlen = np.fromiter((len(r) for r in readset.reads), np.int64, n)
+    sa_len = np.where(sa_src >= 0, rlen[np.maximum(sa_src, 0)], 0)
+    sa_off0 = offset0[sa]
+
+    read_starts = starts[:n]
+    if n > 1 and (rlen == rlen[0]).all():
+        # equal-length fast path (the typical large read set): with one
+        # global L, the runs are the segments between lcp < L breaks —
+        # one vectorized group-by instead of per-read walks.  Proper
+        # containment is impossible (no longer read), so only the
+        # duplicate rule applies: mark r iff its segment has an
+        # offset-0 entry with a smaller read number.
+        L = int(rlen[0])
+        seg = np.cumsum(lcp < L)              # segment id per SA slot
+        INF = np.int32(n)
+        cand = np.where(sa_off0 & (sa_src >= 0), sa_src, INF)
+        nseg = int(seg[-1]) + 1
+        seg_min = np.full(nseg, INF, np.int32)
+        np.minimum.at(seg_min, seg, cand)
+        t = inv[read_starts]                  # SA slot of each read start
+        return seg_min[seg[t]] < np.arange(n)
 
     for r in range(n):
-        codes = readset.reads[r]
-        pc = _read_code(codes, 0, k)
-        lo = np.searchsorted(win_codes, pc, "left")
-        hi = np.searchsorted(win_codes, pc, "right")
-        cand = np.unique(win_read[lo:hi])
-        for o in cand:
-            if o == r or contained[o]:
-                continue
-            if len(readset.reads[o]) < len(codes):
-                continue
-            if len(readset.reads[o]) == len(codes) and o > r:
-                # duplicates keep the smaller read number
-                pass
-            if _occurs_in(codes, readset.reads[o]) or \
-                    (not singlestrand and _occurs_in(codes, readset.rc(o))):
-                if len(readset.reads[o]) == len(codes):
-                    # duplicate (or rc-duplicate): drop the larger number,
-                    # unless both are each-other's dup (keep first)
-                    if o < r or (o > r and not _is_dup_pair_kept(r, o)):
-                        contained[r] = True
-                        break
-                else:
-                    contained[r] = True
-                    break
+        L = int(rlen[r])
+        t = int(inv[read_starts[r]])
+        # maximal run [a, b] with pairwise lcp >= L around t
+        a = t
+        while a > 0 and lcp[a] >= L:
+            a -= 1
+        b = t
+        while b + 1 < total and lcp[b + 1] >= L:
+            b += 1
+        if a == b:
+            continue
+        seg_src = sa_src[a:b + 1]
+        other = seg_src != r
+        if (other & (sa_len[a:b + 1] > L)).any():
+            contained[r] = True
+        elif (other & sa_off0[a:b + 1] & (sa_len[a:b + 1] == L)
+              & (seg_src < r)).any():
+            contained[r] = True
     return contained
-
-
-def _is_dup_pair_kept(r, o):
-    return True  # r < o: r stays, o will be marked when processed
-
-
-def _occurs_in(needle: np.ndarray, hay: np.ndarray) -> bool:
-    if needle.size > hay.size:
-        return False
-    m = needle.size
-    for s in range(hay.size - m + 1):
-        if (hay[s:s + m] == needle).all():
-            return True
-    return False
 
 
 @dataclass

@@ -75,7 +75,7 @@ class EncseqOrigin:
         # distinct original chars, grouped by encoded class
         seen = np.zeros(256, bool)
         for s in seqset.seqs:
-            seen[np.unique(np.asarray(s, np.uint8))] = True
+            seen[np.asarray(s, np.uint8)] = True
         chars = np.flatnonzero(seen)
         classes: dict[int, int] = {}
         enc = alphabet.encode(chars.astype(np.uint8))
@@ -151,27 +151,22 @@ class Encseq:
             sample = b"".join(s[:2048].tobytes() for s in seqset.seqs[:16])
             from .alphabet import guess_alphabet
             alphabet = guess_alphabet(sample)
-        parts, ssp, off = [], [], 0
-        for i, seq in enumerate(seqset.seqs):
-            if i > 0:
-                ssp.append(off)
-                off += 1
-            enc = alphabet.encode(seq)
-            parts.append(enc)
-            off += len(enc)
-        if len(parts) == 0:
+        nseq = len(seqset.seqs)
+        if nseq == 0:
             codes = np.zeros(0, np.uint8)
+            ssp = []
         else:
-            codes = np.empty(off, np.uint8)
-            pos = 0
-            si = 0
-            for i, p in enumerate(parts):
-                if i > 0:
-                    codes[ssp[si]] = SEPARATOR
-                    si += 1
-                    pos += 1
-                codes[pos:pos + len(p)] = p
-                pos += len(p)
+            lens = np.fromiter((len(s) for s in seqset.seqs), np.int64,
+                               count=nseq)
+            starts = np.cumsum(lens + 1) - (lens + 1)  # incl. separators
+            ssp = (starts[1:] - 1).tolist()
+            off = int(lens.sum()) + nseq - 1
+            codes = np.full(off, SEPARATOR, np.uint8)
+            raw = seqset.seqs[0] if nseq == 1 else np.concatenate(
+                [np.asarray(s, np.uint8) for s in seqset.seqs])
+            mask = np.ones(off, bool)
+            mask[np.asarray(ssp, np.int64)] = False
+            codes[mask] = alphabet.encode(raw)
         enc = cls(codes, np.asarray(ssp, np.int64), list(seqset.descs),
                   alphabet)
         enc.origin = EncseqOrigin.from_seqset(seqset, alphabet, filenames,

@@ -81,10 +81,15 @@ def parse_fasta_bytes(data: bytes) -> SeqSet:
 
     # payload mask: not newline/CR/space/tab and not inside a header line
     keep = (buf != _NL) & (buf != ord("\r")) & (buf != ord(" ")) & (buf != ord("\t"))
-    inside_header = np.zeros(buf.size + 1, dtype=np.int8)
-    np.add.at(inside_header, header_starts, 1)
-    np.add.at(inside_header, np.minimum(header_ends + 1, buf.size), -1)
-    keep &= np.cumsum(inside_header[:-1]) == 0
+    # mask header bytes directly (their trailing newlines are already
+    # excluded): header bytes are a tiny fraction of the file, so an
+    # explicit index list beats a whole-buffer interval cumsum
+    hlen = header_ends - header_starts
+    if hlen.size:
+        offs = np.concatenate([[0], np.cumsum(hlen)[:-1]])
+        hidx = (np.repeat(header_starts - offs, hlen)
+                + np.arange(int(hlen.sum()), dtype=np.int64))
+        keep[hidx] = False
 
     payload_idx = np.flatnonzero(keep)
     # which record each payload byte belongs to

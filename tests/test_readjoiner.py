@@ -147,3 +147,73 @@ class TestErrorCorrection:
                     (genome[s:s + 100] == fixed.reads[i]).all():
                 ok += 1
         assert ok >= 2
+
+
+class TestContfinderSortDesign:
+    """The SA-IS/run-scan contfinder (ref: rdj-contfinder.c:928 radix
+    design): brute-force cross-check incl. rc-duplicates + a scaling
+    smoke test far beyond what the pairwise scan could handle."""
+
+    def _brute(self, reads):
+        n = len(reads)
+        out = np.zeros(n, bool)
+
+        def occurs(a, b):
+            m = len(a)
+            return any((b[s:s + m] == a).all()
+                       for s in range(len(b) - m + 1))
+
+        for r in range(n):
+            for o in range(n):
+                if o == r:
+                    continue
+                ro = reads[o]
+                rc = (3 - ro[::-1]).astype(np.uint8)
+                if len(ro) > len(reads[r]):
+                    if occurs(reads[r], ro) or occurs(reads[r], rc):
+                        out[r] = True
+                        break
+                elif len(ro) == len(reads[r]) and o < r:
+                    if (ro == reads[r]).all() or (rc == reads[r]).all():
+                        out[r] = True
+                        break
+        return out
+
+    def test_varlen_vs_bruteforce(self):
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            reads = [rng.integers(0, 4, rng.integers(5, 30)).astype(np.uint8)
+                     for _ in range(50)]
+            reads[3] = reads[10][2:2 + min(8, len(reads[10]) - 2)].copy()
+            reads[7] = reads[20].copy()
+            reads[9] = (3 - reads[21][::-1]).astype(np.uint8)
+            rs = ReadSet(reads)
+            got = find_contained(rs)
+            assert (got == self._brute(rs.reads)).all()
+
+    def test_eqlen_20k_reads_scale(self):
+        rng = np.random.default_rng(1)
+        genome = rng.integers(0, 4, 50_000).astype(np.uint8)
+        reads = []
+        for _ in range(20_000):
+            p = rng.integers(0, 50_000 - 80)
+            r = genome[p:p + 80]
+            if rng.random() < 0.5:
+                r = (3 - r[::-1]).astype(np.uint8)
+            reads.append(r)
+        rs = ReadSet(reads)
+        c = find_contained(rs)
+        # duplicates exist with 20k reads over 50kb; smallest index of
+        # each duplicate group must survive
+        assert c.sum() > 0
+        first = {}
+        keep = np.zeros(len(reads), bool)
+        for i, r in enumerate(rs.reads):
+            kf = r.tobytes()
+            kr = (3 - r[::-1]).astype(np.uint8).tobytes()
+            k = min(kf, kr)
+            if k not in first:
+                first[k] = i
+                keep[i] = True
+        # every kept-first read is not contained (eqlen => dup rule only)
+        assert not c[keep].any()
