@@ -34,9 +34,32 @@ def cmd_suffixerator(args):
     if args.mirrored:
         enc = enc.mirror()
     rm = READMODES[args.dir]
+    indexname = args.indexname or args.db[0]
+    if args.parts > 1 or args.memlimit:
+        # memory-bounded code-range parts (int64 path; ref: -parts /
+        # -memlimit, src/match/sfx-partssuf.c:172); streams .suf
+        # segments without holding the whole suftab
+        if rm != 0 or args.lcp or args.bwt or args.bck:
+            raise SystemExit("parts mode currently writes -suf -tis only")
+        from .index.parts import iter_suftab_parts, plan_parts
+        n1 = enc.total_length + 1
+        if args.memlimit:
+            budget = max(1, _parse_memlimit(args.memlimit) // 16)
+        else:
+            budget = -(-n1 // args.parts)
+        if args.tis:
+            enc.save(indexname)
+        if args.suf:
+            with open(indexname + ".suf", "wb") as f:
+                for seg in iter_suftab_parts(enc.codes, budget):
+                    seg.astype(np.uint64).tofile(f)
+        if args.showtime:
+            plan = plan_parts(enc.codes, budget)
+            print(f"# parts={plan.counts.size} budget={budget}",
+                  file=sys.stderr)
+        return 0
     esa = build_esa(enc, rm, with_lcp=args.lcp,
                     prefixlength=args.pl or None, with_bck=args.bck)
-    indexname = args.indexname or args.db[0]
     if args.tis:
         enc.save(indexname)
     write_esa(esa, indexname, suf=args.suf, lcp=args.lcp, bwt=args.bwt,
@@ -64,9 +87,21 @@ def _add_suffixerator(sub):
     p.add_argument("-ssp", action="store_true")
     p.add_argument("-des", action="store_true")
     p.add_argument("-dir", default="fwd", choices=["fwd", "rev", "cpl", "rcl"])
+    p.add_argument("-parts", type=int, default=1,
+                   help="build the suffix table in N memory-bounded parts")
+    p.add_argument("-memlimit", default=None,
+                   help="memory budget for part planning, e.g. 512MB")
     p.add_argument("-showtime", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_suffixerator)
+
+
+def _parse_memlimit(s: str) -> int:
+    s = s.strip().upper()
+    for suf, mult in (("GB", 1 << 30), ("MB", 1 << 20), ("KB", 1 << 10)):
+        if s.endswith(suf):
+            return int(float(s[:-2]) * mult)
+    return int(s)
 
 
 # ---------------------------------------------------------------------------
