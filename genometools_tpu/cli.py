@@ -387,7 +387,12 @@ def cmd_seed_extend(args):
         history=args.history,
         logdiagbandwidth=args.diagbandwidth,
         perc_mat_history=args.percmathistory,
-        maxalignedlendifference=args.maxalilendiff)
+        maxalignedlendifference=args.maxalilendiff,
+        parts=args.parts,
+        pick=tuple(int(x) for x in args.pick.split(","))
+        if args.pick else None)
+    if args.pick and args.parts <= 1:
+        raise SystemExit('option "-pick" requires option "-parts"')
     if args.estim:
         from .match.estim import seed_extend_estim
         sys.stdout.write(seed_extend_estim(
@@ -491,6 +496,7 @@ def _add_seed_extend(sub):
     p.add_argument("-histogram", default=None)            # accepted, no-op
     p.add_argument("-cam", default=None)                  # accepted, no-op
     p.add_argument("-parts", type=int, default=1)
+    p.add_argument("-pick", default=None, help="run one grid cell: a,b")
     p.add_argument("-diagbandwidth", type=int, default=6)
     p.add_argument("-seedlength", type=int, default=0)
     p.add_argument("-minidentity", type=int, default=80)

@@ -47,6 +47,8 @@ class SeedExtendParams:
     seedlength: int | None = None
     minidentity: int = 80
     sensitivity: int = 97
+    parts: int = 1                     # part x part grid (-parts)
+    pick: tuple[int, int] | None = None  # run one grid cell (-pick a,b)
     userdefinedleastlength: int = 20   # -l
     logdiagbandwidth: int = 6
     mincoverage: int | None = None     # default 2.5 * seedlength
@@ -293,6 +295,9 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
         strands.append("F")
     if params.reverse:
         strands.append("P")
+    if params.parts > 1 or params.pick:
+        return _seed_extend_grid(aenc, benc, params, events, k, mincov,
+                                 belowscore, selfcomp, strands, amaxlen)
     for direction in strands:
         blist = enumerate_kmers(benc, k, revcomp=(direction == "P"))
         # same-sequence distance rule: bpos >= apos + seedlength on the
@@ -305,6 +310,78 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
         matches.extend(_process_seed_pairs(
             aenc, benc, direction, pa_seq, pb_seq, pb_pos, pa_pos, k,
             mincov, belowscore, params, selfcomp, amaxlen, events))
+    return matches
+
+
+def sequence_ranges(enc: Encseq, parts: int) -> list[tuple[int, int]]:
+    """Split sequence numbers into <= parts contiguous ranges balanced
+    by total length (ref: gt_sequence_parts_info_new,
+    src/tools/gt_seed_extend.c:1251-1276). Returns [start, end]
+    inclusive pairs."""
+    n = enc.num_sequences
+    parts = max(1, min(parts, n))
+    lens = np.asarray(enc.seq_length(np.arange(n)), np.int64)
+    cum = np.cumsum(lens)
+    total = int(cum[-1])
+    cuts = [0]
+    for i in range(1, parts):
+        b = int(np.searchsorted(cum, total * i / parts))
+        if b >= n:
+            b = n - 1
+        if b + 1 > cuts[-1]:
+            cuts.append(b + 1)
+    cuts.append(n)
+    return [(cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)
+            if cuts[i] < cuts[i + 1]]
+
+
+def _filter_list(lst, lo: int, hi: int):
+    code, seq, pos = lst
+    m = (seq >= lo) & (seq <= hi)
+    return code[m], seq[m], pos[m]
+
+
+def _seed_extend_grid(aenc, benc, params, events, k, mincov, belowscore,
+                      selfcomp, strands, amaxlen):
+    """Part x part grid scheduling (ref: gt_seed_extend.c:1251,
+    diagbandseed.c:6044-6050 loop): A-ranges x B-ranges, B starting at
+    the A range for self-comparison; per cell the full two-strand
+    pipeline runs on the range-restricted k-mer lists.  Band geometry
+    stays part-invariant because the diagonal-band division uses the
+    GLOBAL maximum sequence length (ref comment diagbandseed.c:4594-97),
+    so the match set is independent of the part count (the reference's
+    own invariance bar, sorted-output equality)."""
+    aranges = sequence_ranges(aenc, params.parts)
+    branges = aranges if selfcomp else sequence_ranges(benc, params.parts)
+    if params.pick is not None:
+        pa, pb = params.pick
+        if not (1 <= pa <= len(aranges) and 1 <= pb <= len(branges)):
+            raise ValueError(
+                f"option -pick must not exceed {len(aranges)} "
+                f"(number of parts)")
+    matches: list[SeedExtendMatch] = []
+    alist_full = enumerate_kmers(aenc, k, revcomp=False)
+    blists = {d: enumerate_kmers(benc, k, revcomp=(d == "P"))
+              for d in strands}
+    for ai, (alo, ahi) in enumerate(aranges):
+        alist = _filter_list(alist_full, alo, ahi)
+        bstart = ai if selfcomp else 0
+        for bi in range(bstart, len(branges)):
+            if params.pick is not None and \
+                    (ai + 1, bi + 1) != tuple(params.pick):
+                continue
+            blo, bhi = branges[bi]
+            diag_cell = selfcomp and ai == bi
+            for direction in strands:
+                blist = _filter_list(blists[direction], blo, bhi)
+                pa_seq, pb_seq, pb_pos, pa_pos = build_seed_pairs(
+                    alist, blist, diag_cell or (selfcomp and ai < bi),
+                    params.maxfreq, inseqseeds=diag_cell,
+                    mindist=k if direction == "F" else 0)
+                matches.extend(_process_seed_pairs(
+                    aenc, benc, direction, pa_seq, pb_seq, pb_pos,
+                    pa_pos, k, mincov, belowscore, params,
+                    diag_cell, amaxlen, events))
     return matches
 
 

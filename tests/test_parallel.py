@@ -103,3 +103,33 @@ class TestShardedDoubling:
         sa = sharded_suffix_array(keys, mesh)
         ref, _ = build_suffix_array(keys, with_lcp=False)
         assert sa.tolist() == np.asarray(ref).tolist()
+
+
+class TestDistSeedGrid:
+    def test_grid_counts_match_host(self):
+        from collections import Counter
+
+        from genometools_tpu.match.seed_extend import (enumerate_kmers,
+                                                       sequence_ranges)
+        from genometools_tpu.parallel.dist_seed_grid import grid_mlistlen
+        rng = np.random.default_rng(2)
+        pieces = ["".join(rng.choice(list("acgt"), rng.integers(80, 300)))
+                  for _ in range(9)]
+        e = Encseq.from_string("|".join(pieces))
+        k = 8
+        alist = enumerate_kmers(e, k, revcomp=False)
+        aranges = sequence_ranges(e, 3)
+        blists = []
+        for lo, hi in aranges:
+            m = (alist[1] >= lo) & (alist[1] <= hi)
+            blists.append((alist[0][m], alist[1][m], alist[2][m]))
+        mesh = make_mesh(8)
+        got = grid_mlistlen(alist, blists, aranges, mesh, selfcomp=True)
+        # host mirror
+        want = []
+        for ai, (alo, ahi) in enumerate(aranges):
+            for bi in range(ai, len(aranges)):
+                cb = Counter(blists[bi][0].tolist())
+                am = (alist[1] >= alo) & (alist[1] <= ahi)
+                want.append(sum(cb[c] for c in alist[0][am].tolist()))
+        assert got.tolist() == want

@@ -534,3 +534,42 @@ class TestBlastOutfmt:
                 (testdata / "matchtool_see-ext.match").read_text()
                 .splitlines() if not l.startswith("#")]
         assert got == want
+
+
+class TestPartsGrid:
+    """Part x part grid scheduling (ref: gt_seed_extend.c:1251,
+    diagbandseed.c:6044): the reference's own invariance bar is
+    sorted-output equality across part counts (testsuite
+    gt_seed_extend_include.rb:620 'gt seed_extend: parts')."""
+
+    def _run(self, e, parts, pick=None, qenc=None):
+        from genometools_tpu.match.seed_extend import (SeedExtendParams,
+                                                       seed_extend)
+        p = SeedExtendParams(userdefinedleastlength=10, minidentity=80,
+                             sensitivity=97, extension="greedy",
+                             parts=parts, pick=pick)
+        return sorted(m.line() for m in seed_extend(e, qenc, p))
+
+    def test_parts_invariance_selfcomp(self, testdata):
+        e = Encseq.from_files([str(testdata / "small_poly.fas")])
+        ref = self._run(e, 1)
+        assert ref  # non-empty workload
+        for parts in (2, 3):
+            assert self._run(e, parts) == ref
+
+    def test_parts_invariance_atinsert(self, testdata):
+        e = Encseq.from_files([str(testdata / "Atinsert.fna")])
+        ref = self._run(e, 1)
+        for parts in (2, 4):
+            assert self._run(e, parts) == ref
+
+    def test_pick_cells_union(self, testdata):
+        from genometools_tpu.match.seed_extend import sequence_ranges
+        e = Encseq.from_files([str(testdata / "Atinsert.fna")])
+        nr = len(sequence_ranges(e, 2))
+        ref = self._run(e, 1)
+        got = []
+        for a in range(1, nr + 1):
+            for b in range(a, nr + 1):
+                got.extend(self._run(e, 2, pick=(a, b)))
+        assert sorted(got) == ref
