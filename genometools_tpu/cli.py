@@ -693,6 +693,7 @@ def cmd_packedindex(args):
         enc = Encseq.from_files(args.db) if args.db else Encseq.load(args.ii)
         fm = build_fmindex(enc)
         fm.save(args.indexname)
+        enc.save(args.indexname)
     return 0
 
 
@@ -705,6 +706,105 @@ def _add_packedindex(sub):
     pm.add_argument("-indexname", required=True)
     pm.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_packedindex)
+
+
+def cmd_tagerator(args):
+    """Approximate tag mapping (ref: src/tools/gt_tagerator.c +
+    src/match/tagerator.c); output columns and headers match the
+    reference; see match/querysearch.tagerator_search for semantics."""
+    _force_platform(args)
+    from .core.chardef import is_special
+    from .core.encseq import Encseq
+    from .core.seqio import read_seqfile
+    if args.esa is None and args.pck is None:
+        raise SystemExit("one of -esa or -pck is required")
+    e = args.e if args.e is not None and args.e >= 0 else 0
+    outkeys = args.output or ["tagnum", "tagseq", "dblength",
+                              "dbstartpos", "strand"]
+    if e == 0:
+        print("# computing complete matches without differences "
+              "(exact matches)")
+    else:
+        print(f"# computing complete matches with up to {e} differences")
+    if args.esa:
+        print(f"# indexname(esa)={args.esa}")
+        enc = Encseq.load(args.esa)
+        from .index.esa import load_esa
+        from .match.querysearch import tagerator_search
+        esa = load_esa(args.esa, encseq=enc)
+        search = lambda tagc, dist: tagerator_search(esa, tagc, dist)
+    else:
+        print(f"# indexname(pck)={args.pck}")
+        from .index.fmindex import fmindex_from_codes, pck_tagerator_search
+        enc = Encseq.load(args.pck)
+        # forward-trie DFS over the packed index = FM over the REVERSED
+        # codes (like the reference's `packedindex mkindex -dir rev`)
+        fm = fmindex_from_codes(enc.codes[::-1].copy())
+        n = enc.total_length
+        search = lambda tagc, dist: pck_tagerator_search(fm, tagc, dist, n)
+    print(f"# queryfile={args.q}")
+    print("# for each match show: " + " ".join(outkeys) + " ")
+    tags = read_seqfile(args.q)
+    comp = enc.alphabet.complement_table()
+    for tagnum, raw in enumerate(tags.seqs):
+        codes = enc.alphabet.encode(raw)
+        if is_special(codes).any():
+            raise SystemExit(f"gt-tpu tagerator: error: wildcard in tag "
+                             f"number {tagnum}")
+        tagseq = enc.alphabet.decode(codes).lower()
+        if "tagnum" in outkeys or "tagseq" in outkeys:
+            print(f"#\t{tagnum}\t{tagseq}")
+        dirs = []
+        if not args.nod:
+            dirs.append(("+", codes))
+        if not args.nop:
+            dirs.append(("-", np.where(is_special(codes[::-1]),
+                                       codes[::-1], comp[codes[::-1]])))
+        mind = 0 if args.best else e
+        for dist in range(mind, e + 1):
+            found = False
+            for strand, tagc in dirs:
+                rows = search(tagc, dist)
+                if args.maxocc:
+                    rows = rows[:args.maxocc]
+                for pos, dblen, edist in rows:
+                    found = True
+                    s = int(enc.seqnum_of_pos(pos))
+                    rel = pos - int(enc.seq_startpos(s))
+                    cols = []
+                    if "dblength" in outkeys:
+                        cols.append(str(dblen))
+                    if "dbstartpos" in outkeys:
+                        if "abspos" in outkeys:
+                            cols.append(str(pos))
+                        else:
+                            cols += [str(s), str(rel)]
+                    if "dbsequence" in outkeys:
+                        cols.append(enc.alphabet.decode(
+                            enc.codes[pos:pos + dblen]).lower())
+                    if "strand" in outkeys:
+                        cols.append(strand)
+                    if "edist" in outkeys:
+                        cols.append(str(edist))
+                    print("\t".join(cols))
+            if args.best and found:
+                break
+    return 0
+
+
+def _add_tagerator(sub):
+    p = sub.add_parser("tagerator", help="map short tags approximately")
+    p.add_argument("-q", required=True, help="tag file (FASTA)")
+    p.add_argument("-e", type=int, default=None, help="max differences")
+    p.add_argument("-esa", default=None, help="enhanced suffix array index")
+    p.add_argument("-pck", default=None, help="packed index")
+    p.add_argument("-nod", action="store_true", help="no direct matches")
+    p.add_argument("-nop", action="store_true", help="no palindromic")
+    p.add_argument("-best", action="store_true")
+    p.add_argument("-maxocc", type=int, default=0)
+    p.add_argument("-output", nargs="+", default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_tagerator)
 
 
 def cmd_genomediff(args):
@@ -1805,7 +1905,7 @@ def _add_wtree(sub):
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
              _add_readjoiner, _add_ltrharvest, _add_ltrdigest,
-             _add_packedindex,
+             _add_packedindex, _add_tagerator,
              _add_genomediff, _add_uniquesub, _add_matstat, _add_seqtools,
              _add_sketch, _add_chain2dim, _add_linspace_align, _add_wtree,
              _add_convert_anno, _add_select, _add_merge, _add_uniq,

@@ -137,3 +137,222 @@ def build_fmindex(encseq: Encseq, **kw) -> FMIndex:
     """`gt packedindex mkindex` equivalent."""
     esa = build_esa(encseq, FWD, with_lcp=False)
     return FMIndex.from_esa(esa, **kw)
+
+
+# ---------------------------------------------------------------------------
+# construction straight from codes (SA-IS; no doubling engine needed) and
+# device-batched rank/search — the packedindex depth layer
+# (ref: src/match/eis-blockcomp.c block-encoded rank, eis-bwtseq.c)
+# ---------------------------------------------------------------------------
+
+def fmindex_from_codes(codes: np.ndarray, sigma: int = 4,
+                       block_size: int = 128,
+                       sample_rate: int = 32) -> FMIndex:
+    """Build an FMIndex over raw uint8 codes via the linear-time SA-IS
+    constructor (native), including the sentinel suffix — so intervals
+    match the ESA searcher exactly.  Keeps `codes` on the index for
+    special-context walks (tagerator) and extraction."""
+    from ..core.chardef import is_special
+    from ..core.native import sais_native
+    n = codes.size
+    keys = np.where(is_special(codes),
+                    sigma + np.arange(n, dtype=np.int64),
+                    codes.astype(np.int64))
+    keys = np.concatenate([keys, [sigma + n]])
+    if keys[-1] < 2 ** 31 - 1:
+        sa = sais_native(keys.astype(np.int32))
+        if sa is None:
+            import jax
+            from .suffix import build_suffix_array
+            sa, _ = build_suffix_array(keys.astype(np.int32),
+                                       with_lcp=False)
+            sa = np.asarray(sa)
+        sa = sa.astype(np.int64)
+    else:
+        raise NotImplementedError("fmindex >2^31: use index.parts")
+    n1 = sa.size
+    prev = sa - 1
+    bwt = np.where(prev >= 0, codes[np.maximum(prev, 0)],
+                   np.uint8(255)).astype(np.uint8)
+    sym = np.where(bwt >= 250, sigma, bwt).astype(np.int64)
+    # specials in the BWT are one class for occ, but locate needs their
+    # LF — handled by the sampled-SA fallback walk
+    counts = np.bincount(sym, minlength=sigma + 1)
+    counts_less = np.zeros(sigma + 2, np.int64)
+    np.cumsum(counts, out=counts_less[1:])
+    nblocks = (n1 + block_size - 1) // block_size
+    occ = np.zeros((sigma, nblocks + 1), np.int64)
+    for c in range(sigma):
+        hits = (sym == c).astype(np.int64)
+        block_sums = np.add.reduceat(hits, np.arange(0, n1, block_size))
+        occ[c, 1:] = np.cumsum(block_sums)
+    samples = sa[::sample_rate].copy()
+    fm = FMIndex(bwt, counts_less, occ[:, :-1], samples, sample_rate,
+                 block_size, sigma)
+    fm.codes = codes
+    fm.sa_full = sa          # retained for locate fallback/verification
+    return fm
+
+
+class FMDeviceRank:
+    """Device-resident batched rank/backward-search over an FMIndex:
+    the BWT travels as one-hot bitplanes (uint32 words) plus the
+    checkpoint matrix; occ(c, pos) for a whole batch of (c, pos) lanes
+    is a gather of checkpoints + a masked popcount over one block —
+    vectorized across lanes (the TPU analog of the reference's
+    block-compressed rank, eis-blockcomp.c)."""
+
+    def __init__(self, fm: FMIndex):
+        import jax.numpy as jnp
+        self.fm = fm
+        n1 = fm.bwt.size
+        self.n1 = n1
+        bs = fm.block_size
+        assert bs % 32 == 0
+        self.wpb = bs // 32                      # words per block
+        nblocks = (n1 + bs - 1) // bs
+        npad = nblocks * bs
+        sym = np.where(fm.bwt >= 250, fm.sigma, fm.bwt).astype(np.uint8)
+        sympad = np.full(npad, fm.sigma, np.uint8)
+        sympad[:n1] = sym
+        planes = []
+        for c in range(fm.sigma):
+            bits = (sympad == c)
+            planes.append(np.packbits(
+                bits, bitorder="little").view(np.uint32))
+        self.planes = jnp.asarray(np.stack(planes))      # (sigma, words)
+        self.ckpt = jnp.asarray(fm.occ_checkpoints.astype(np.int32))
+        self.counts_less = jnp.asarray(fm.counts_less.astype(np.int32))
+
+    def occ_batch(self, c, pos):
+        """int32[len] occurrences of code c[i] in bwt[0:pos[i]]."""
+        import jax.numpy as jnp
+        bs = self.fm.block_size
+        b = pos // bs
+        base = self.ckpt[c, b]
+        w0 = b * self.wpb
+        r = pos - b * bs
+        words = jnp.arange(self.wpb, dtype=jnp.int32)
+        w = self.planes[c[:, None], w0[:, None] + words[None, :]]
+        nbits = jnp.clip(r[:, None] - words[None, :] * 32, 0, 32)
+        mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1)
+        pc = jax.lax.population_count(w & mask).astype(jnp.int32)
+        return base + pc.sum(axis=1)
+
+    def backward_search_batch(self, patterns: np.ndarray):
+        """suftab intervals of a (B, m) uint8 pattern batch (255-padded
+        on the LEFT for shorter patterns): one lax.scan over symbols,
+        every step a batched occ — count for thousands of tags per
+        dispatch."""
+        import jax
+        import jax.numpy as jnp
+        pats = jnp.asarray(patterns.astype(np.int32))
+        B = pats.shape[0]
+        lo0 = jnp.zeros(B, jnp.int32)
+        hi0 = jnp.full(B, self.n1, jnp.int32)
+
+        def step(carry, syms):
+            lo, hi = carry
+            valid = (syms >= 0) & (syms < self.fm.sigma) & (lo < hi)
+            c = jnp.maximum(syms, 0)
+            nlo = self.counts_less[c] + self.occ_batch(c, lo)
+            nhi = self.counts_less[c] + self.occ_batch(c, hi)
+            lo = jnp.where(valid, nlo, jnp.where(syms >= 0, hi, lo))
+            hi = jnp.where(valid, nhi, hi)
+            return (lo, hi), None
+
+        import functools
+        scan = jax.jit(lambda l, h, p: jax.lax.scan(
+            step, (l, h), p.T[::-1])[0])
+        lo, hi = scan(lo0, hi0, jnp.where(pats == 255, -1, pats))
+        return np.asarray(lo), np.asarray(hi)
+
+
+import jax  # noqa: E402  (deferred: fmindex stays importable w/o device)
+
+
+def pck_tagerator_search(fm_rev: FMIndex, tag: np.ndarray, max_edits: int,
+                         totallength: int, nowildcards: bool = True):
+    """tagerator DFS over the packed index: the index is built over the
+    REVERSED codes (like `gt packedindex mkindex -dir rev`), so
+    extending the tag path on the right is one backward-search step
+    (ref: pck_splitandprocess, idx-limdfs.c); a reported occurrence at
+    reverse-position q with depth d maps to forward start
+    totallength - (q + d) (ref: gen_pck_overinterval, idx-limdfs.c:440).
+    Special-context continuation walks locate the (few) suffixes whose
+    next char is special and continue on the raw codes.
+    Returns (dbpos, dblen, dist) rows; the match set equals
+    querysearch.tagerator_search over the forward ESA."""
+    m = len(tag)
+    out = []
+    if m == 0:
+        return out
+    e = int(max_edits)
+    maxdepth = m + e
+    init = np.arange(m + 1, dtype=np.int64)
+    rcodes = fm_rev.codes
+    n = rcodes.size
+
+    def step_row(row, sym_matches):
+        new = np.empty(m + 1, np.int64)
+        new[0] = row[0] + 1
+        cost = 1 - sym_matches.astype(np.int64)
+        cand = np.minimum(row[:-1] + cost, row[1:] + 1)
+        prev = new[0]
+        for j in range(1, m + 1):
+            prev = min(int(cand[j - 1]), prev + 1)
+            new[j] = prev
+        return new
+
+    def locate_all(lo, hi):
+        return [int(fm_rev.sa_full[r]) for r in range(lo, hi)]
+
+    def context_walk(q, depth, row):
+        d, r = depth, row
+        while d <= maxdepth:
+            if r[m] <= e:
+                out.append((totallength - (q + d), d, int(r[m])))
+                return
+            if r.min() > e or q + d >= n:
+                return
+            cc = int(rcodes[q + d])
+            if cc == 255:
+                return
+            r = step_row(r, tag == cc)
+            d += 1
+
+    def dfs(lo, hi, depth, row):
+        if lo >= hi or depth > maxdepth:
+            return
+        if row[m] <= e:
+            dist = int(row[m])
+            for q in locate_all(lo, hi):
+                out.append((totallength - (q + depth), depth, dist))
+            return
+        if row.min() > e:
+            return
+        covered_hi = lo
+        for sym in range(fm_rev.sigma):
+            l2 = int(fm_rev.counts_less[sym]) + fm_rev.occ(sym, lo)
+            h2 = int(fm_rev.counts_less[sym]) + fm_rev.occ(sym, hi)
+            if l2 < h2:
+                dfs(l2, h2, depth + 1, step_row(row, tag == sym))
+                covered_hi += h2 - l2
+        # suffixes whose next char is special (or end): locate + walk
+        # (only with -withwildcards; the reference's default nowildcards
+        # excludes specials from matches, gt_tagerator.c:170-196)
+        nregular = covered_hi - lo
+        if nowildcards:
+            return
+        if nregular < hi - lo:
+            for q in locate_all(lo, hi):
+                if q + depth >= n:
+                    continue
+                cc = int(rcodes[q + depth])
+                if cc < 4:
+                    continue
+                context_walk(q, depth + 1, step_row(row, tag == cc))
+
+    dfs(0, fm_rev.bwt.size, 0, init)
+    return out

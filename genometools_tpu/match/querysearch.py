@@ -202,3 +202,98 @@ def approximate_search(esa: EnhancedSuffixArray, pattern: np.ndarray,
         dmin = min(d for _, _, d in out)
         out = [r for r in out if r[2] == dmin]
     return out
+
+
+def tagerator_search(esa: EnhancedSuffixArray, tag: np.ndarray,
+                     max_edits: int, nowildcards: bool = True):
+    """Complete-tag approximate matching with the reference tagerator's
+    accept-and-prune semantics (ref: src/match/tagerator.c +
+    idx-limdfs.c runlimdfs/esa_splitandprocess): DFS over suffix-array
+    intervals carrying a full edit-distance column; a branch ACCEPTS at
+    the earliest depth d where the whole tag aligns within
+    ``max_edits`` (row[m] <= e) — every position of the interval is
+    reported with dblength d — and the branch is pruned there, so an
+    exact occurrence shadowed by a shorter accepting prefix is never
+    re-reported (matches the reference's output sets).  Suffixes whose
+    next character is special continue as per-suffix context walks
+    (ref: esa_overcontext) — specials never match a tag character but
+    may be absorbed as differences.
+
+    Returns rows (dbpos, dblen, dist) in DFS report order.
+    """
+    searcher = SuffixArraySearcher(esa)
+    m = len(tag)
+    out: list[tuple[int, int, int]] = []
+    if m == 0:
+        return out
+    e = int(max_edits)
+    init = np.arange(m + 1, dtype=np.int64)
+    maxdepth = m + e
+    codes = searcher.codes
+    n = searcher.n
+
+    def step_row(row, sym_matches):
+        new = np.empty(m + 1, np.int64)
+        new[0] = row[0] + 1
+        cost = 1 - sym_matches.astype(np.int64)
+        cand = np.minimum(row[:-1] + cost, row[1:] + 1)
+        prev = new[0]
+        for j in range(1, m + 1):
+            prev = min(int(cand[j - 1]), prev + 1)
+            new[j] = prev
+        return new
+
+    def context_walk(pos, depth, row):
+        """Per-suffix continuation once off the shared trie (specials
+        or singleton intervals)."""
+        d = depth
+        r = row
+        while d <= maxdepth:
+            if r[m] <= e:
+                out.append((int(pos), d, int(r[m])))
+                return
+            if r.min() > e:
+                return
+            idx = pos + d
+            if idx >= n:
+                return
+            cc = int(codes[idx])
+            if cc == 255:                # separator ends the context
+                return
+            r = step_row(r, tag == cc)
+            d += 1
+        return
+
+    def dfs(lo, hi, depth, row):
+        if lo >= hi or depth > maxdepth:
+            return
+        if row[m] <= e:
+            dist = int(row[m])
+            for p in searcher.sa[lo:hi]:
+                out.append((int(p), depth, dist))
+            return                       # accept-and-prune
+        if row.min() > e:
+            return
+        firstspecial = lo
+        for sym in range(4):
+            l2, h2 = searcher._narrow(lo, hi, depth, sym)
+            if l2 >= h2:
+                continue
+            dfs(l2, h2, depth + 1, step_row(row, tag == sym))
+            firstspecial = h2
+        if nowildcards:
+            return
+        # suffixes with a wildcard at this depth: per-suffix context
+        # walks (ref: esa_overcontext; only with -withwildcards)
+        for b in range(firstspecial, hi):
+            p = int(searcher.sa[b])
+            idx = p + depth
+            if idx >= n:
+                continue
+            cc = int(codes[idx])
+            if cc < 4 or cc == 255:      # covered by a child / separator
+                continue
+            context_walk(p, depth + 1, step_row(row, tag == cc))
+
+    dfs(0, len(searcher.sa), 0, init)
+    return out
