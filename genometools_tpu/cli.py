@@ -1902,6 +1902,441 @@ def _add_wtree(sub):
 # main dispatch
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# long-tail utility tools (ref registry: src/gtt.c:186-265)
+# ---------------------------------------------------------------------------
+
+def cmd_splitfasta(args):
+    """ref: src/tools/gt_splitfasta.c — split a FASTA file at sequence
+    boundaries into <file>.<N> pieces of ~targetsize, or one file per
+    description with -splitdesc."""
+    import gzip
+    import os
+    fn = args.file
+    gz = fn.endswith(".gz")
+    op = (lambda p, m: gzip.open(p, m)) if gz else open
+    raw = op(fn, "rb").read()
+    if not raw:
+        raise SystemExit(f'gt-tpu splitfasta: error: file "{fn}" is empty')
+    if not raw.startswith(b">"):
+        raise SystemExit("gt-tpu splitfasta: error: file is not in "
+                         "FASTA format")
+    recs = []
+    start = 0
+    for i in range(1, len(raw)):
+        if raw[i:i + 1] == b">" and raw[i - 1:i] == b"\n":
+            recs.append(raw[start:i])
+            start = i
+    recs.append(raw[start:])
+
+    def xopen(path):
+        if os.path.exists(path) and not args.force:
+            raise SystemExit(f'gt-tpu splitfasta: error: file "{path}" '
+                             f'exists already')
+        return op(path, "wb")
+
+    if args.splitdesc:
+        suffix = os.path.splitext(fn[:-3] if gz else fn)[1]
+        for rec in recs:
+            desc = rec.split(b"\n", 1)[0][1:].split()[0].decode()
+            out = xopen(os.path.join(args.splitdesc, desc + suffix))
+            out.write(rec)
+            out.close()
+        return 0
+    if args.numfiles:
+        maxsize = max(1, len(raw) // args.numfiles)
+    else:
+        maxsize = args.targetsize << 20
+    base = fn[:-3] if gz else fn
+    ext = ".gz" if gz else ""
+    filenum, count = 0, 0
+    cur = None
+    for rec in recs:
+        if cur is None or (count + len(rec) > maxsize and count > 0
+                           and filenum < (args.numfiles or 1 << 30)):
+            if cur:
+                cur.close()
+            filenum += 1
+            cur = xopen(f"{base}.{filenum}{ext}")
+            count = 0
+        cur.write(rec)
+        count += len(rec)
+    if cur:
+        cur.close()
+    return 0
+
+
+def _add_splitfasta(sub):
+    p = sub.add_parser("splitfasta", help="split FASTA file")
+    p.add_argument("file")
+    p.add_argument("-numfiles", type=int, default=0)
+    p.add_argument("-targetsize", type=int, default=50, help="in MB")
+    p.add_argument("-splitdesc", default=None,
+                   help="directory for per-description files")
+    p.add_argument("-width", type=int, default=0)
+    p.add_argument("-force", action="store_true")
+    p.set_defaults(func=cmd_splitfasta)
+
+
+def cmd_clean(args):
+    """ref: src/tools/gt_clean.c — remove gt-generated index files in
+    the current directory."""
+    import glob
+    import os
+    for suf in (".esq", ".ssp", ".des", ".sds", ".ois", ".md5"):
+        for f in glob.glob("*" + suf):
+            os.remove(f)
+    return 0
+
+
+def _add_clean(sub):
+    p = sub.add_parser("clean", help="remove gt-created files in cwd")
+    p.set_defaults(func=cmd_clean)
+
+
+def cmd_mmapandread(args):
+    """ref: src/tools/gt_mmapandread.c."""
+    import mmap
+    import os
+    for fn in args.files:
+        size = os.path.getsize(fn)
+        if size == 0:
+            print(f'file "{fn}" is empty')
+            continue
+        with open(fn, "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+            byte = 0
+            for off in range(0, size, 1 << 20):
+                byte ^= mm[off]
+            mm.close()
+    return 0
+
+
+def _add_mmapandread(sub):
+    p = sub.add_parser("mmapandread",
+                       help="map files into memory and read them")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_mmapandread)
+
+
+def cmd_template(args):
+    """ref: src/tools/gt_template.c (the developer demo tool)."""
+    if args.bool:
+        print("argc=?, parsed_args=?")
+    print(f"argv[0]={args.file or 'template'}")
+    return 0
+
+
+def _add_template(sub):
+    p = sub.add_parser("template", help="development template tool")
+    p.add_argument("file", nargs="?", default=None)
+    p.add_argument("-bool", action="store_true")
+    p.set_defaults(func=cmd_template)
+
+
+def cmd_dot(args):
+    """ref: src/tools/gt_dot.c — print feature graphs in dot format."""
+    from .anno.gff3 import parse_gff3
+    print("digraph {")
+    print("  ratio=compress;")
+    print("  node [shape=box];")
+    n = 0
+    for pth in args.files:
+        for node in parse_gff3(open(pth).read()):
+            if not hasattr(node, "children"):
+                continue
+            stack = [(node, None)]
+            while stack:
+                cur, parent = stack.pop()
+                nid = f"n{n}"
+                n += 1
+                label = f"{cur.type} {cur.range.start}-{cur.range.end}" \
+                    if hasattr(cur, "type") else str(cur)
+                print(f'  {nid} [label="{label}"];')
+                if parent is not None:
+                    print(f"  {parent} -> {nid};")
+                for ch in getattr(cur, "children", []) or []:
+                    stack.append((ch, nid))
+    print("}")
+    return 0
+
+
+def _add_dot(sub):
+    p = sub.add_parser("dot", help="print feature graphs in dot format")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_dot)
+
+
+def cmd_convertseq(args):
+    """ref: src/tools/gt_convertseq.c — read sequence files, write
+    FASTA (optionally reverse-complemented)."""
+    from .core.seqio import read_seqfile
+    import numpy as np
+    comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+    for fn in args.files:
+        ss = read_seqfile(fn)
+        if args.showfilelengthvalues:
+            import os
+            print(f"# file \"{fn}\" {os.path.getsize(fn)} bytes")
+        for desc, seq in zip(ss.descs, ss.seqs):
+            if args.noseq:
+                continue
+            s = bytes(seq)
+            if args.r:
+                s = s[::-1].translate(comp)
+            print(f">{desc}")
+            w = args.fastawidth or 60
+            for i in range(0, len(s), w):
+                print(s[i:i + w].decode("latin-1"))
+    return 0
+
+
+def _add_convertseq(sub):
+    p = sub.add_parser("convertseq", help="parse and convert sequences")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-r", action="store_true", help="reverse complement")
+    p.add_argument("-noseq", action="store_true")
+    p.add_argument("-showfilelengthvalues", action="store_true")
+    p.add_argument("-fastawidth", type=int, default=0)
+    p.add_argument("-v", action="store_true")
+    p.set_defaults(func=cmd_convertseq)
+
+
+def cmd_seq(args):
+    """ref: src/tools/gt_seq.c — bioseq access tool."""
+    from .core.seqio import read_seqfile
+    for fn in args.files:
+        ss = read_seqfile(fn)
+        if args.stat:
+            total = sum(len(s) for s in ss.seqs)
+            print(f"# number of sequences: {len(ss.seqs)}")
+            print(f"# total length: {total}")
+            if ss.seqs:
+                print(f"# mean size: {total / len(ss.seqs):.2f}")
+        elif args.showseqnum is not None:
+            i = args.showseqnum - 1
+            if not 0 <= i < len(ss.seqs):
+                raise SystemExit(
+                    f"gt-tpu seq: error: sequence number {args.showseqnum} "
+                    f"out of range")
+            print(f">{ss.descs[i]}")
+            s = bytes(ss.seqs[i]).decode("latin-1")
+            for j in range(0, len(s), args.width or 60):
+                print(s[j:j + (args.width or 60)])
+        else:
+            for desc, seq in zip(ss.descs, ss.seqs):
+                if args.showfasta:
+                    print(f">{desc}")
+                    s = bytes(seq).decode("latin-1")
+                    for j in range(0, len(s), args.width or 60):
+                        print(s[j:j + (args.width or 60)])
+                else:
+                    print(f"{desc}: {len(seq)}")
+    return 0
+
+
+def _add_seq(sub):
+    p = sub.add_parser("seq", help="bioseq access tool")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-showfasta", action="store_true")
+    p.add_argument("-showseqnum", type=int, default=None)
+    p.add_argument("-stat", action="store_true")
+    p.add_argument("-width", type=int, default=0)
+    p.set_defaults(func=cmd_seq)
+
+
+def cmd_shulengthdist(args):
+    """ref: src/tools/gt_shulen.c — without -q: the pairwise
+    sum-of-shulen matrix over the index's units (print format of
+    esa-shulen.c:341 shulengthdist_print); with -q: one total of the
+    query files against the index (gt_esa2shulengthqueryfiles)."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import build_esa
+    from .match.querysearch import SuffixArraySearcher
+    enc = Encseq.load(args.ii)
+    if args.q:
+        from .core.seqio import read_seqfiles
+        searcher = SuffixArraySearcher(build_esa(enc, with_lcp=False))
+        total = 0
+        qs = read_seqfiles(args.q)
+        for seq in qs.seqs:
+            qc = enc.alphabet.encode(seq)
+            for qpos in range(qc.size):
+                if qc[qpos] >= 4:
+                    continue
+                total += searcher.longest_prefix_match(qc[qpos:]) + 1
+        print(total)
+        return 0
+    # units: one per sequence (the multi-file index maps each input to
+    # one unit; our encseq keeps per-sequence units)
+    units = [enc.codes[int(enc.seq_startpos(i)):
+                       int(enc.seq_endpos(i)) + 1]
+             for i in range(enc.num_sequences)]
+    n = len(units)
+    searchers = []
+    for u in units:
+        e = Encseq(u.copy(), np.zeros(0, np.int64), [""], enc.alphabet)
+        searchers.append(SuffixArraySearcher(build_esa(e, with_lcp=False)))
+    dist = np.zeros((n, n), np.int64)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            total = 0
+            u = units[i]
+            for qpos in range(u.size):
+                if u[qpos] >= 4:
+                    continue
+                total += searchers[j].longest_prefix_match(u[qpos:]) + 1
+            dist[i, j] = total
+    print("# sum of shulen")
+    print(n)
+    for idx2 in range(n):
+        row = "".join(
+            (f"{dist[idx1, idx2]}\t" if idx1 != idx2 else "0.000000\t")
+            for idx1 in range(n))
+        print(f"{idx2}\t{row}")
+    return 0
+
+
+def _add_shulengthdist(sub):
+    p = sub.add_parser("shulengthdist",
+                       help="pairwise sum of shortest unique substrings")
+    p.add_argument("-ii", required=True)
+    p.add_argument("-q", nargs="+", default=None)
+    p.add_argument("-scan", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_shulengthdist)
+
+
+def cmd_encseq2spm(args):
+    """ref: src/tools/gt_encseq2spm.c — suffix-prefix matches of an
+    encoded read set (the firstcodes engine as a standalone tool)."""
+    _force_platform(args)
+    from .assembly.readjoiner import ReadSet, find_spms
+    from .core.encseq import Encseq
+    enc = Encseq.load(args.ii)
+    reads = [enc.codes[int(enc.seq_startpos(i)):int(enc.seq_endpos(i)) + 1]
+             for i in range(enc.num_sequences)]
+    spm = find_spms(ReadSet(reads), args.l, singlestrand=args.singlestrand)
+    if args.spm == "show":
+        for line in spm.lines():
+            print(line)
+    else:
+        print(f"number of suffix-prefix matches: {spm.length.size}")
+    return 0
+
+
+def _add_encseq2spm(sub):
+    p = sub.add_parser("encseq2spm", help="compute suffix-prefix matches")
+    p.add_argument("-ii", required=True)
+    p.add_argument("-l", type=int, required=True, help="minimum SPM length")
+    p.add_argument("-spm", default="count", choices=["count", "show"])
+    p.add_argument("-singlestrand", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_encseq2spm)
+
+
+def cmd_prebwt(args):
+    """ref: src/tools/gt_prebwt.c — precompute BWT prefix-code bucket
+    boundaries of a packed index (.pbt)."""
+    _force_platform(args)
+    import itertools
+    import json as _json
+    from .core.encseq import Encseq
+    from .index.fmindex import fmindex_from_codes
+    enc = Encseq.load(args.pck)
+    fm = fmindex_from_codes(enc.codes[::-1].copy())
+    bounds = {}
+    for depth in range(1, args.maxdepth + 1):
+        for code in itertools.product(range(4), repeat=depth):
+            import numpy as np
+            lo, hi = fm.backward_search(np.asarray(code, np.uint8))
+            if hi > lo:
+                bounds["".join(map(str, code))] = [int(lo), int(hi)]
+    with open(args.pck + ".pbt", "w") as f:
+        _json.dump({"maxdepth": args.maxdepth, "bounds": bounds}, f)
+    return 0
+
+
+def _add_prebwt(sub):
+    p = sub.add_parser("prebwt", help="precompute BWT bucket boundaries")
+    p.add_argument("-pck", required=True)
+    p.add_argument("-maxdepth", type=int, default=4)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_prebwt)
+
+
+def cmd_mkfmindex(args):
+    """ref: src/tools/gt_mkfmindex.c (legacy fmindex builder) — by
+    design one FM implementation backs both mkfmindex and packedindex."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.fmindex import build_fmindex
+    enc = Encseq.load(args.ii[0])
+    fm = build_fmindex(enc)
+    fm.save(args.fmout)
+    enc.save(args.fmout)
+    return 0
+
+
+def _add_mkfmindex(sub):
+    p = sub.add_parser("mkfmindex", help="construct an FM index")
+    p.add_argument("-ii", nargs="+", required=True)
+    p.add_argument("-fmout", required=True)
+    p.add_argument("-noindexpos", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_mkfmindex)
+
+
+def cmd_mkfeatureindex(args):
+    """ref: src/tools/gt_mkfeatureindex.c — persist GFF3 features into
+    an SQLite-backed feature index."""
+    from .anno.anno_db import AnnoDB
+    from .anno.gff3 import parse_gff3
+    db = AnnoDB(args.filename)
+    for pth in args.input:
+        db.add_gff3(parse_gff3(open(pth).read()))
+    db.conn.commit()
+    return 0
+
+
+def _add_mkfeatureindex(sub):
+    p = sub.add_parser("mkfeatureindex",
+                       help="create persistent feature index")
+    p.add_argument("-filename", required=True)
+    p.add_argument("input", nargs="+")
+    p.set_defaults(func=cmd_mkfeatureindex)
+
+
+def cmd_featureindex(args):
+    """ref: src/tools/gt_featureindex.c — query a persistent feature
+    index, GFF3 output."""
+    from .anno.anno_db import AnnoDB
+    from .anno.gff3 import GFF3Writer
+    db = AnnoDB(args.filename)
+    seqid = args.seqid or (db.seqids()[0] if db.seqids() else None)
+    if seqid is None:
+        return 0
+    if args.range:
+        lo, hi = (int(x) for x in args.range)
+    else:
+        lo, hi = 0, 1 << 60
+    feats = db.features_for_range(seqid, lo, hi)
+    sys.stdout.write(GFF3Writer(retainids=True).render(list(feats)))
+    return 0
+
+
+def _add_featureindex(sub):
+    p = sub.add_parser("featureindex",
+                       help="retrieve features from a feature index")
+    p.add_argument("-filename", required=True)
+    p.add_argument("-seqid", default=None)
+    p.add_argument("-range", nargs=2, default=None)
+    p.set_defaults(func=cmd_featureindex)
+
+
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
              _add_readjoiner, _add_ltrharvest, _add_ltrdigest,
@@ -1915,7 +2350,11 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqtransform, _add_fastq_sample, _add_seqids,
              _add_loccheck, _add_gff3validator, _add_inlineseq_split,
              _add_inlineseq_add, _add_hop, _add_matchtool,
-             _add_mergeesa, _add_compreads, _add_sambam, _add_sain]
+             _add_mergeesa, _add_compreads, _add_sambam, _add_sain,
+             _add_splitfasta, _add_clean, _add_mmapandread, _add_template,
+             _add_dot, _add_convertseq, _add_seq, _add_shulengthdist,
+             _add_encseq2spm, _add_prebwt, _add_mkfmindex,
+             _add_mkfeatureindex, _add_featureindex]
 
 
 def main(argv=None):
@@ -1926,7 +2365,12 @@ def main(argv=None):
     for add in _REGISTER:
         add(sub)
     args = parser.parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except BrokenPipeError:
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":

@@ -257,3 +257,99 @@ class TestSambam:
         rc, out = run_cli(["sambam", str(testdata / "example_1.bam")])
         assert rc == 0
         assert out == (testdata / "example_1.sam.extract").read_text()
+
+
+def _run_raw(args, cwd):
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    return subprocess.run(
+        [sys.executable, "-m", "genometools_tpu"] + args, cwd=cwd,
+        capture_output=True, text=True,
+        env={"PYTHONPATH": str(repo), "PATH": "/usr/bin:/bin",
+             "HOME": "/root"})
+
+
+def _run(args, cwd):
+    r = _run_raw(args, cwd)
+    assert r.returncode == 0, r.stderr[-1500:]
+    return r.stdout
+
+
+class TestLongTailTools:
+    """ref registry src/gtt.c:186-265 long tail: splitfasta, seq,
+    convertseq, clean, mmapandread, template, dot, shulengthdist,
+    encseq2spm, prebwt, mkfmindex, mkfeatureindex, featureindex."""
+
+    def test_splitfasta_numfiles_and_force(self, tmp_path):
+        import shutil
+        src = "/root/reference/testdata/U89959_ests.fas"
+        f = tmp_path / "U89959_ests.fas"
+        shutil.copy(src, f)
+        out = _run(["splitfasta", "-numfiles", "8", str(f)], tmp_path)
+        assert (tmp_path / "U89959_ests.fas.1").exists()
+        assert (tmp_path / "U89959_ests.fas.8").exists()
+        assert not (tmp_path / "U89959_ests.fas.9").exists()
+        # file exists -> error without -force (ref testsuite behaviour)
+        r = _run_raw(["splitfasta", str(f)], tmp_path)
+        assert r.returncode != 0 and "exists already" in r.stderr
+        # pieces concatenate back to the original
+        cat = b"".join((tmp_path / f"U89959_ests.fas.{i}").read_bytes()
+                       for i in range(1, 9))
+        assert cat == f.read_bytes()
+
+    def test_seq_convertseq_clean_mmap(self, tmp_path):
+        src = "/root/reference/testdata/Duplicate.fna"
+        out = _run(["seq", "-stat", src], tmp_path)
+        assert "# number of sequences: 2" in out
+        out = _run(["convertseq", "-r", src], tmp_path)
+        from genometools_tpu.core.seqio import read_seqfile
+        ss = read_seqfile(src)
+        comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+        want = bytes(ss.seqs[0])[::-1].translate(comp).decode()
+        got = "".join(out.splitlines()[1:1 + (len(want) + 59) // 60])
+        assert got == want
+        (tmp_path / "x.esq").write_bytes(b"z")
+        _run(["clean"], tmp_path)
+        assert not (tmp_path / "x.esq").exists()
+        out = _run(["mmapandread", src], tmp_path)
+
+    def test_encseq2spm_matches_spmtest(self, tmp_path):
+        (tmp_path / "reads.fna").write_text(
+            ">r0\nacgtacgtgg\n>r1\ngtggcattca\n>r2\nttcacaacgt\n")
+        _run(["suffixerator", "-db", "reads.fna", "-indexname", "rds",
+              "-tis", "--cpu"], tmp_path)
+        out = _run(["encseq2spm", "-ii", "rds", "-l", "4", "-spm", "show",
+                    "--cpu"], tmp_path)
+        assert "0 + 1 + 4" in out and "1 + 2 + 4" in out
+
+    def test_prebwt_bounds_consistent(self, tmp_path):
+        import json
+        (tmp_path / "reads.fna").write_text(
+            ">r0\nacgtacgtgg\n>r1\ngtggcattca\n")
+        _run(["packedindex", "mkindex", "-db", "reads.fna", "-indexname",
+              "pck", "--cpu"], tmp_path)
+        _run(["prebwt", "-pck", "pck", "-maxdepth", "2", "--cpu"],
+             tmp_path)
+        d = json.loads((tmp_path / "pck.pbt").read_text())
+        b = d["bounds"]
+        # single-symbol buckets tile the regular range in order
+        assert b["0"][1] == b["1"][0] and b["1"][1] == b["2"][0]
+
+    def test_featureindex_roundtrip(self, tmp_path):
+        g = "/root/reference/testdata/Scaffold_102.gff3"
+        _run(["mkfeatureindex", "-filename", "f.db", g], tmp_path)
+        out = _run(["featureindex", "-filename", "f.db"], tmp_path)
+        assert "gene" in out and "##gff-version 3" in out
+        out2 = _run(["dot", g], tmp_path)
+        assert out2.startswith("digraph {") and "->" in out2
+
+    def test_shulengthdist_matrix(self, tmp_path):
+        (tmp_path / "g.fna").write_text(
+            ">a\nacgtacgtacgtaaacccgg\n>b\nacgtacgttttgggcaacgt\n")
+        _run(["suffixerator", "-db", "g.fna", "-indexname", "idx", "-tis",
+              "--cpu"], tmp_path)
+        out = _run(["shulengthdist", "-ii", "idx", "--cpu"], tmp_path)
+        lines = out.splitlines()
+        assert lines[0] == "# sum of shulen" and lines[1] == "2"
