@@ -48,16 +48,28 @@ class ReadSet:
         return len(self.reads)
 
     @classmethod
-    def from_files(cls, paths: list[str]) -> "ReadSet":
-        return cls.from_seqset(read_seqfiles(paths))
+    def from_files(cls, paths: list[str], maxlow: int | None = None,
+                   lowqual: int = 0, phredbase: int = 33) -> "ReadSet":
+        return cls.from_seqset(read_seqfiles(paths), maxlow=maxlow,
+                               lowqual=lowqual, phredbase=phredbase)
 
     @classmethod
-    def from_seqset(cls, seqset: SeqSet) -> "ReadSet":
+    def from_seqset(cls, seqset: SeqSet, maxlow: int | None = None,
+                    lowqual: int = 0, phredbase: int = 33) -> "ReadSet":
         """prefilter step 1: encode, reject reads with non-ACGT chars
-        (ref: reads2twobit.c skips reads with ambiguities)."""
+        (ref: reads2twobit.c skips reads with ambiguities) and, for
+        FASTQ with -maxlow, reads with more than ``maxlow`` positions of
+        phred quality <= ``lowqual`` (ref: reads2twobit.c:573
+        gt_reads2twobit_apply_quality_filter)."""
         alpha = dna_alphabet()
         reads = []
-        for seq in seqset.seqs:
+        quals = seqset.quals if maxlow is not None else None
+        for i, seq in enumerate(seqset.seqs):
+            if quals is not None and i < len(quals) \
+                    and quals[i] is not None:
+                q = np.asarray(quals[i], np.int64) - phredbase
+                if int((q <= lowqual).sum()) > maxlow:
+                    continue
             codes = alpha.encode(seq)
             if codes.size and (codes < 4).all():
                 reads.append(codes)
@@ -212,6 +224,54 @@ class SpmList:
                        f"{'+' if ps else '-'} {l}")
         return out
 
+    def write_bin(self, path: str, bits: int = 32) -> None:
+        """Reference binary .spm format (ref: rdj-spmlist.c:37-125):
+        one header byte (GT_SPMLIST_BIN32=2 / BIN64=3), then per match
+        three little-endian words (suffix_seqnum, prefix_seqnum,
+        length << 2 | suffix_direct << 1 | prefix_direct)."""
+        dt = np.uint32 if bits == 32 else np.uint64
+        packed = (self.length.astype(np.uint64) << 2) \
+            | (self.suf_strand.astype(np.uint64) << 1) \
+            | self.pref_strand.astype(np.uint64)
+        tri = np.stack([self.suf_read.astype(np.uint64),
+                        self.pref_read.astype(np.uint64),
+                        packed], axis=1).astype(dt)
+        with open(path, "wb") as f:
+            f.write(bytes([2 if bits == 32 else 3]))
+            tri.tofile(f)
+
+    @classmethod
+    def read(cls, path: str, min_length: int = 0) -> "SpmList":
+        """Auto-detecting reader: binary 32/64 (header byte 2/3,
+        ref: rdj-spmlist.c:270-285) or plain text."""
+        with open(path, "rb") as f:
+            first = f.read(1)
+            if first and first[0] in (2, 3):
+                dt = np.uint32 if first[0] == 2 else np.uint64
+                tri = np.fromfile(f, dtype=dt).reshape(-1, 3)
+                length = (tri[:, 2] >> 2).astype(np.int64)
+                keep = length >= min_length
+                return cls(tri[keep, 0].astype(np.int64),
+                           (tri[keep, 2] & 2) != 0,
+                           tri[keep, 1].astype(np.int64),
+                           (tri[keep, 2] & 1) != 0,
+                           length[keep])
+        sr, ss, pr, ps, ln = [], [], [], [], []
+        for line in open(path):
+            parts = line.split()
+            if len(parts) != 5:
+                continue
+            if int(parts[4]) < min_length:
+                continue
+            sr.append(int(parts[0]))
+            ss.append(parts[1] == "+")
+            pr.append(int(parts[2]))
+            ps.append(parts[3] == "+")
+            ln.append(int(parts[4]))
+        return cls(np.asarray(sr, np.int64), np.asarray(ss, bool),
+                   np.asarray(pr, np.int64), np.asarray(ps, bool),
+                   np.asarray(ln, np.int64))
+
 
 def find_spms(readset: ReadSet, minlen: int,
               singlestrand: bool = False) -> SpmList:
@@ -348,7 +408,8 @@ class StringGraph:
         self.edges = [e for e in self.edges if e not in removed]
         return len(removed)
 
-    def spell_contigs(self, min_depth: int = 1, min_length: int = 0):
+    def spell_contigs(self, min_depth: int = 1, min_length: int = 0,
+                      return_paths: bool = False):
         """Unitig spelling (ref: gt_strgraph_spell, rdj-strgraph.c:2760):
         follow maximal paths through vertices with unique continuation.
         Returns list of (seq_str, depth, path_desc)."""
@@ -400,7 +461,11 @@ class StringGraph:
             desc = f"{path[0][0]}{'E' if path[0][1] else 'B'}-->" \
                    f"{path[-1][0]}{'E' if path[-1][1] else 'B'}"
             if len(path) >= min_depth and seq.size >= min_length:
-                contigs.append((alpha.decode(seq), len(path), desc))
+                if return_paths:
+                    contigs.append((alpha.decode(seq), len(path), desc,
+                                    list(path)))
+                else:
+                    contigs.append((alpha.decode(seq), len(path), desc))
         return contigs
 
 
@@ -422,6 +487,101 @@ def assemble(paths: list[str], minlen: int = 5,
         out.append((f"contig_{i} length={len(seq)} depth={depth} {desc}",
                     seq))
     return out
+
+
+# ---------------------------------------------------------------------------
+# contigs graph (ref: src/match/rdj-contigs-graph.c, `gt readjoiner
+# cgraph`): a higher-level graph whose nodes are the spelled contigs and
+# whose edges are the junction links the unitig spelling stopped at
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ContigsGraph:
+    """Nodes: contigs (sequence + read path); edges: (ci, cj, L) —
+    contig ci's end read links into contig cj's start read with overlap
+    L in the reduced string graph. The reference builds this from the
+    contig-junction link files the assembly phase writes
+    (rdj-contigs-graph.c gt_contigs_graph_new); here it is built
+    directly from the reduced string graph + contig paths."""
+
+    seqs: list
+    paths: list
+    edges: list
+    deleted: set = field(default_factory=set)
+
+    @classmethod
+    def from_assembly(cls, readset: ReadSet, spms: SpmList,
+                      min_depth: int = 1) -> "ContigsGraph":
+        g = StringGraph.from_spms(readset, spms)
+        g.reduce_self()
+        g.reduce_transitive()
+        contigs = g.spell_contigs(min_depth=min_depth, return_paths=True)
+        seqs = [c[0] for c in contigs]
+        paths = [c[3] for c in contigs]
+        first = {p[0]: i for i, p in enumerate(paths)}
+        last = {p[-1]: i for i, p in enumerate(paths)}
+        edges = []
+        for a, sa, b, sb, l in g.edges:
+            ci = last.get((a, sa))
+            cj = first.get((b, sb))
+            if ci is not None and cj is not None and ci != cj:
+                edges.append((ci, cj, int(l)))
+        return cls(seqs, paths, sorted(set(edges)))
+
+    def simplify(self) -> int:
+        """Extend contigs through unambiguous junctions (the
+        capability of gt_contigs_graph_simplify + extend_contigs):
+        an edge ci->cj that is ci's only outgoing and cj's only
+        incoming merges cj into ci. Returns the number of merges."""
+        merges = 0
+        changed = True
+        while changed:
+            changed = False
+            outdeg = {}
+            indeg = {}
+            for ci, cj, l in self.edges:
+                if ci in self.deleted or cj in self.deleted:
+                    continue
+                outdeg[ci] = outdeg.get(ci, 0) + 1
+                indeg[cj] = indeg.get(cj, 0) + 1
+            for ci, cj, l in list(self.edges):
+                if ci in self.deleted or cj in self.deleted or ci == cj:
+                    continue
+                if outdeg.get(ci) == 1 and indeg.get(cj) == 1:
+                    self.seqs[ci] = self.seqs[ci] + self.seqs[cj][l:]
+                    self.paths[ci] = self.paths[ci] + self.paths[cj]
+                    self.edges = [
+                        (a if a != cj else ci, b if b != cj else ci, L)
+                        for a, b, L in self.edges
+                        if not (a == ci and b == cj and L == l)]
+                    self.deleted.add(cj)
+                    merges += 1
+                    changed = True
+                    break
+        return merges
+
+    def show_dot(self) -> str:
+        out = ["digraph ContigsGraph {"]
+        for i, s in enumerate(self.seqs):
+            if i in self.deleted:
+                continue
+            out.append(f'  c{i} [label="c{i} ({len(s)}bp, '
+                       f'{len(self.paths[i])} reads)"];')
+        for ci, cj, l in self.edges:
+            if ci in self.deleted or cj in self.deleted:
+                continue
+            out.append(f'  c{ci} -> c{cj} [label="{l}"];')
+        out.append("}")
+        return "\n".join(out) + "\n"
+
+    def output_paths(self) -> list[str]:
+        out = []
+        for i, p in enumerate(self.paths):
+            if i in self.deleted:
+                continue
+            out.append(f"contig_{i}: " + " ".join(
+                f"{r}{'E' if s else 'B'}" for r, s in p))
+        return out
 
 
 # ---------------------------------------------------------------------------

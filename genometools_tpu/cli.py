@@ -521,7 +521,9 @@ def cmd_readjoiner(args):
     from .assembly import readjoiner as rj
     from .core.seqio import write_fasta
     if args.sub == "prefilter":
-        rs = rj.ReadSet.from_files(args.db)
+        rs = rj.ReadSet.from_files(
+            args.db, maxlow=args.maxlow, lowqual=args.lowqual,
+            phredbase=64 if args.phred64 else 33)
         contained = rj.find_contained(rs)
         keep = [r for r, c in zip(rs.reads, contained) if not c]
         import numpy as _np
@@ -532,13 +534,38 @@ def cmd_readjoiner(args):
     elif args.sub == "overlap":
         rs = _load_readset(args.readset)
         spms = rj.find_spms(rs, args.l, singlestrand=args.singlestrand)
-        with open(args.readset + ".spm", "w") as f:
-            for line in spms.lines():
-                f.write(line + "\n")
+        if args.spmformat in ("bin32", "bin64"):
+            spms.write_bin(args.readset + ".spm",
+                           bits=32 if args.spmformat == "bin32" else 64)
+        else:
+            with open(args.readset + ".spm", "w") as f:
+                for line in spms.lines():
+                    f.write(line + "\n")
         print(f"# {spms.length.size} SPMs", file=sys.stderr)
-    elif args.sub == "assembly":
+    elif args.sub == "cgraph":
+        import os
         rs = _load_readset(args.readset)
-        spms = rj.find_spms(rs, args.l)
+        if os.path.exists(args.readset + ".spm"):
+            spms = rj.SpmList.read(args.readset + ".spm")
+        else:
+            spms = rj.find_spms(rs, args.l)
+        cg = rj.ContigsGraph.from_assembly(rs, spms,
+                                           min_depth=args.depthcutoff)
+        merges = cg.simplify()
+        with open(args.readset + ".cgraph.dot", "w") as f:
+            f.write(cg.show_dot())
+        with open(args.readset + ".paths", "w") as f:
+            for line in cg.output_paths():
+                f.write(line + "\n")
+        print(f"# cgraph: {len(cg.seqs) - len(cg.deleted)} contigs after "
+              f"{merges} junction merges", file=sys.stderr)
+    elif args.sub == "assembly":
+        import os
+        rs = _load_readset(args.readset)
+        if os.path.exists(args.readset + ".spm"):
+            spms = rj.SpmList.read(args.readset + ".spm", args.l)
+        else:
+            spms = rj.find_spms(rs, args.l)
         g = rj.StringGraph.from_spms(rs, spms)
         g.reduce_self()
         g.reduce_transitive()
@@ -571,10 +598,21 @@ def _add_readjoiner(sub):
     pp_ = sp.add_parser("prefilter")
     pp_.add_argument("-db", nargs="+", required=True)
     pp_.add_argument("-readset", default="reads")
+    pp_.add_argument("-maxlow", type=int, default=None,
+                     help="max low-quality positions per FASTQ read")
+    pp_.add_argument("-lowqual", type=int, default=0,
+                     help="phred value considered low")
+    pp_.add_argument("-phred64", action="store_true")
     po = sp.add_parser("overlap")
     po.add_argument("-readset", default="reads")
     po.add_argument("-l", type=int, default=45)
     po.add_argument("-singlestrand", action="store_true")
+    po.add_argument("-spmformat", default="text",
+                    choices=["text", "bin32", "bin64"])
+    pc = sp.add_parser("cgraph")
+    pc.add_argument("-readset", default="reads")
+    pc.add_argument("-l", type=int, default=45)
+    pc.add_argument("-depthcutoff", type=int, default=1)
     pa = sp.add_parser("assembly")
     pa.add_argument("-readset", default="reads")
     pa.add_argument("-l", type=int, default=45)

@@ -214,6 +214,13 @@ def read_seqfiles(paths: list[str]) -> SeqSet:
     out = SeqSet()
     for p in paths:
         s = read_seqfile(p)
+        if s.quals is not None:
+            if out.quals is None:
+                # FASTA files read earlier contribute no qualities
+                out.quals = [None] * len(out.seqs)
+            out.quals.extend(s.quals)
+        elif out.quals is not None:
+            out.quals.extend([None] * len(s.seqs))
         out.seqs.extend(s.seqs)
         out.descs.extend(s.descs)
     return out

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from genometools_tpu.assembly.readjoiner import (ReadSet, StringGraph,
+from genometools_tpu.assembly.readjoiner import (ReadSet, SpmList, StringGraph,
                                                  assemble, find_contained,
                                                  find_spms)
 
@@ -217,3 +217,63 @@ class TestContfinderSortDesign:
                 keep[i] = True
         # every kept-first read is not contained (eqlen => dup rule only)
         assert not c[keep].any()
+
+
+class TestSpmBinaryFormat:
+    def test_bin_roundtrip_both_widths(self):
+        rng = np.random.default_rng(3)
+        reads = [rng.integers(0, 4, 40).astype(np.uint8)
+                 for _ in range(12)]
+        spm = find_spms(ReadSet(reads), 4)
+        import tempfile
+        for bits in (32, 64):
+            with tempfile.NamedTemporaryFile(suffix=".spm") as f:
+                spm.write_bin(f.name, bits=bits)
+                # header byte per rdj-spmlist.h: BIN32=2, BIN64=3
+                assert open(f.name, "rb").read(1)[0] == \
+                    (2 if bits == 32 else 3)
+                back = SpmList.read(f.name)
+                assert back.lines() == spm.lines()
+                filt = SpmList.read(f.name, min_length=6)
+                assert all(l >= 6 for l in filt.length)
+
+    def test_text_reader(self, tmp_path):
+        reads = [np.array([0, 1, 2, 3, 0, 1, 2], np.uint8),
+                 np.array([3, 0, 1, 2, 0, 0, 1], np.uint8)]
+        spm = find_spms(ReadSet(reads), 3)
+        p = tmp_path / "x.spm"
+        p.write_text("\n".join(spm.lines()) + "\n")
+        assert SpmList.read(str(p)).lines() == spm.lines()
+
+
+class TestQualityFilter:
+    def test_maxlow_rejects_lowq_reads(self, tmp_path):
+        fq = tmp_path / "r.fastq"
+        # read 1: all high quality; read 2: 5 low positions
+        fq.write_text("@r1\nacgtacgtac\n+\nIIIIIIIIII\n"
+                      "@r2\nacgtacgtac\n+\n!!!!!IIIII\n")
+        rs = ReadSet.from_files([str(fq)], maxlow=2, lowqual=0)
+        assert rs.num_reads == 1
+        rs2 = ReadSet.from_files([str(fq)], maxlow=5, lowqual=0)
+        assert rs2.num_reads == 2
+        rs3 = ReadSet.from_files([str(fq)])       # no filter
+        assert rs3.num_reads == 2
+
+
+class TestContigsGraph:
+    def test_junction_merge(self):
+        from genometools_tpu.assembly.readjoiner import ContigsGraph
+        rng = np.random.default_rng(11)
+        genome = rng.integers(0, 4, 400).astype(np.uint8)
+        # overlapping reads tiling the genome
+        reads = [genome[i:i + 50] for i in range(0, 350, 10)]
+        rs = ReadSet(reads)
+        spm = find_spms(rs, 30, singlestrand=True)
+        cg = ContigsGraph.from_assembly(rs, spm)
+        cg.simplify()
+        dot = cg.show_dot()
+        assert dot.startswith("digraph ContigsGraph {")
+        live = [i for i in range(len(cg.seqs)) if i not in cg.deleted]
+        assert live, "no contigs"
+        paths = cg.output_paths()
+        assert all(p.startswith("contig_") for p in paths)
