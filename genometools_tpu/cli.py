@@ -746,6 +746,61 @@ def _add_packedindex(sub):
     p.set_defaults(func=cmd_packedindex)
 
 
+def cmd_condenseq(args):
+    """ref: src/tools/gt_condenseq*.c — compress / extract / info /
+    search over redundancy-compressed sequence sets."""
+    from .core.alphabet import dna_alphabet
+    from .core.seqio import read_seqfiles
+    from .utils import condenseq as cq
+    if args.sub == "compress":
+        ss = read_seqfiles(args.files)
+        store = cq.compress(ss, kmersize=args.kmersize)
+        cq.save(store, args.indexname)
+        st = cq.info(store)
+        print(f"# compressed {st['number of sequences']} sequences, "
+              f"ratio {st['compression ratio']}", file=sys.stderr)
+        return 0
+    store = cq.load(args.archive)
+    alpha = dna_alphabet()
+    if args.sub == "extract":
+        idxs = ([int(x) for x in args.sequences] if args.sequences
+                else range(store.num_sequences))
+        for i in idxs:
+            print(f">{store.descs[i]}")
+            s = alpha.decode(store.extract(i))
+            for j in range(0, len(s), 60):
+                print(s[j:j + 60])
+    elif args.sub == "info":
+        for k, v in cq.info(store).items():
+            print(f"{k}: {v}")
+    elif args.sub == "search":
+        qs = read_seqfiles([args.query])
+        for qi, q in enumerate(qs.seqs):
+            enc = alpha.encode(q)
+            for seqnum, pos in cq.search(store, enc):
+                print(f"{qi}\t{seqnum}\t{pos}\t{enc.size}")
+    return 0
+
+
+def _add_condenseq(sub):
+    p = sub.add_parser("condenseq",
+                       help="redundancy-compressed sequence sets")
+    sp = p.add_subparsers(dest="sub", required=True)
+    pc = sp.add_parser("compress")
+    pc.add_argument("-indexname", required=True)
+    pc.add_argument("-kmersize", type=int, default=16)
+    pc.add_argument("files", nargs="+")
+    pe = sp.add_parser("extract")
+    pe.add_argument("-sequences", nargs="+", default=None)
+    pe.add_argument("archive")
+    pi = sp.add_parser("info")
+    pi.add_argument("archive")
+    ps = sp.add_parser("search")
+    ps.add_argument("-query", required=True)
+    ps.add_argument("archive")
+    p.set_defaults(func=cmd_condenseq)
+
+
 def cmd_tagerator(args):
     """Approximate tag mapping (ref: src/tools/gt_tagerator.c +
     src/match/tagerator.c); output columns and headers match the
@@ -1022,6 +1077,19 @@ def cmd_select(args):
     out = list(select_stream(
         nodes, seqid=args.seqid, typefilter=args.hastype,
         max_gene_length=args.maxgenelength, contain=contain))
+    if args.rule_files:
+        from .anno.script_filter import load_filter
+        preds = [load_filter(p)[1] for p in args.rule_files]
+
+        def drop(n):
+            # only feature nodes are filtered (ref: script_filter.c
+            # visits feature nodes; regions/comments pass through)
+            if not hasattr(n, "type"):
+                return False
+            return (any if args.rule_logic == "OR" else all)(
+                p(n) for p in preds)
+
+        out = [n for n in out if not drop(n)]
     sys.stdout.write(GFF3Writer().render(out))
     return 0
 
@@ -1033,7 +1101,55 @@ def _add_select(sub):
     p.add_argument("-hastype", default=None)
     p.add_argument("-maxgenelength", type=int, default=None)
     p.add_argument("-contain", nargs=2, type=int, default=None)
+    p.add_argument("-rule_files", nargs="+", default=None,
+                   help="Python filter scripts (filter(gn) -> drop)")
+    p.add_argument("-rule_logic", default="AND", choices=["AND", "OR"])
     p.set_defaults(func=cmd_select)
+
+
+def cmd_scriptfilter(args):
+    """ref: src/tools/gt_scriptfilter.c — validate filter scripts and
+    show their metadata (output format of
+    testdata/script_filter_output.txt)."""
+    from .anno.script_filter import load_filter, show_metadata
+    for pth in args.files:
+        meta, _ = load_filter(pth)
+        print(show_metadata(
+            meta, scriptname=pth if args.scriptname != "false" else None,
+            oneline=args.oneline))
+    return 0
+
+
+def _add_scriptfilter(sub):
+    p = sub.add_parser("scriptfilter",
+                       help="show metadata of select filter scripts")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-scriptname", default="true")
+    p.add_argument("-oneline", action="store_true")
+    p.set_defaults(func=cmd_scriptfilter)
+
+
+def cmd_speck(args):
+    """ref: src/tools/gt_speck.c — check annotations against a spec
+    (Python describe/it rules; see anno/speck.py)."""
+    from .anno.gff3 import parse_gff3
+    from .anno.speck import run_speck
+    nodes = []
+    for pth in args.files:
+        nodes.extend(parse_gff3(open(pth).read()))
+    res = run_speck(args.specfile, nodes)
+    print(res.report())
+    if res.failures and args.failhard:
+        raise SystemExit(1)
+    return 0
+
+
+def _add_speck(sub):
+    p = sub.add_parser("speck", help="check annotations against a spec")
+    p.add_argument("-specfile", required=True)
+    p.add_argument("-failhard", action="store_true")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(func=cmd_speck)
 
 
 def cmd_csa(args):
@@ -2392,7 +2508,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_splitfasta, _add_clean, _add_mmapandread, _add_template,
              _add_dot, _add_convertseq, _add_seq, _add_shulengthdist,
              _add_encseq2spm, _add_prebwt, _add_mkfmindex,
-             _add_mkfeatureindex, _add_featureindex]
+             _add_mkfeatureindex, _add_featureindex, _add_condenseq,
+             _add_scriptfilter, _add_speck]
 
 
 def main(argv=None):

@@ -139,3 +139,93 @@ def _make_link(uid: int, ref: np.ndarray, enc: np.ndarray, r) -> Link:
             target.extend(enc[vi:vi + c])
             vi += c
     return Link(uid, 0, eops, np.asarray(target, np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# persistence + info + search (ref: src/tools/gt_condenseq_{compress,
+# extract,info,search}.c)
+# ---------------------------------------------------------------------------
+
+def save(store: CondensedSeqSet, indexname: str) -> None:
+    import json
+    arrays = {}
+    meta = {"descs": store.descs, "entries": [], "nuniques":
+            len(store.uniques)}
+    for i, u in enumerate(store.uniques):
+        arrays[f"u{i}"] = u
+    for j, (kind, val) in enumerate(store.entries):
+        if kind == "u":
+            meta["entries"].append(["u", val])
+        else:
+            meta["entries"].append(
+                ["l", val.unique_id, val.offset,
+                 [[op, int(c)] for op, c in val.eops]])
+            arrays[f"t{j}"] = val.target
+    np.savez_compressed(indexname + ".cse", **arrays)
+    with open(indexname + ".cse.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load(indexname: str) -> CondensedSeqSet:
+    import json
+    d = np.load(indexname + ".cse.npz")
+    meta = json.load(open(indexname + ".cse.json"))
+    store = CondensedSeqSet(descs=meta["descs"])
+    store.uniques = [d[f"u{i}"] for i in range(meta["nuniques"])]
+    for j, e in enumerate(meta["entries"]):
+        if e[0] == "u":
+            store.entries.append(("u", e[1]))
+        else:
+            tgt = d[f"t{j}"] if f"t{j}" in d else np.zeros(0, np.uint8)
+            store.entries.append(("l", Link(
+                e[1], e[2], [(op, c) for op, c in e[3]], tgt)))
+    return store
+
+
+def info(store: CondensedSeqSet) -> dict:
+    """Statistics (ref: gt_condenseq_info.c)."""
+    total = sum(store.extract(i).size for i in range(store.num_sequences))
+    usize = sum(len(u) for u in store.uniques)
+    nlinks = sum(1 for e in store.entries if e[0] == "l")
+    return {
+        "number of sequences": store.num_sequences,
+        "total length": total,
+        "unique sequences": len(store.uniques),
+        "unique length": usize,
+        "links": nlinks,
+        "compressed size": store.compressed_size(),
+        "compression ratio": round(store.compressed_size() / max(total, 1),
+                                   4),
+    }
+
+
+def search(store: CondensedSeqSet, query: np.ndarray,
+           kmersize: int = 16) -> list[tuple[int, int]]:
+    """Exact-occurrence search against the compressed form (the
+    seed-level capability of gt_condenseq_search.c: hits are found on
+    the unique part only and expanded through the links): returns
+    (seqnum, startpos) of every occurrence of `query` in the
+    decompressed set, found by scanning uniques + remapping via links.
+    """
+    m = query.size
+    out = []
+    # occurrences inside unique blocks
+    uhits: dict[int, list[int]] = {}
+    for uid, u in enumerate(store.uniques):
+        hits = []
+        if u.size >= m:
+            view = np.lib.stride_tricks.sliding_window_view(u, m)
+            hits = np.flatnonzero((view == query).all(axis=1)).tolist()
+        uhits[uid] = hits
+    for i, (kind, val) in enumerate(store.entries):
+        if kind == "u":
+            out.extend((i, p) for p in uhits[val])
+        else:
+            # a linked sequence may differ from its unique reference:
+            # verify on the (lazily) extracted sequence
+            seq = store.extract(i)
+            if seq.size >= m:
+                view = np.lib.stride_tricks.sliding_window_view(seq, m)
+                for p in np.flatnonzero((view == query).all(axis=1)):
+                    out.append((i, int(p)))
+    return out

@@ -353,3 +353,88 @@ class TestLongTailTools:
         out = _run(["shulengthdist", "-ii", "idx", "--cpu"], tmp_path)
         lines = out.splitlines()
         assert lines[0] == "# sum of shulen" and lines[1] == "2"
+
+
+class TestSpeckAndScriptfilter:
+    def test_scriptfilter_metadata_golden(self, tmp_path):
+        f = tmp_path / "f1.py"
+        f.write_text('name = "name"\nauthor = "author"\n'
+                     'version = "1.0"\nemail = "email@example.com"\n'
+                     'short_descr = "short description"\n'
+                     'description = "description"\n'
+                     'def filter(gn):\n    return True\n')
+        out = _run(["scriptfilter", "-scriptname", "false", str(f)],
+                   tmp_path)
+        want = open("/root/reference/testdata/"
+                    "script_filter_output.txt").read()
+        assert out == want
+        # metadata given as functions produces identical output
+        # (ref: gt_script_filter_include.rb metadata-as-functions)
+        g = tmp_path / "f2.py"
+        g.write_text('def name(): return "name"\n'
+                     'def author(): return "author"\n'
+                     'def version(): return "1.0"\n'
+                     'def email(): return "email@example.com"\n'
+                     'short_descr = "short description"\n'
+                     'description = "description"\n'
+                     'def filter(gn):\n    return False\n')
+        assert _run(["scriptfilter", "-scriptname", "false", str(g)],
+                    tmp_path) == want
+
+    def test_select_rule_files(self, tmp_path):
+        f = tmp_path / "drop_genes.py"
+        f.write_text('name="g";author="a";version="1";email="e"\n'
+                     'description="drop genes"\n'
+                     'def filter(gn):\n    return gn.type == "gene"\n')
+        g = "/root/reference/testdata/Scaffold_102.gff3"
+        out = _run(["select", g, "-rule_files", str(f)], tmp_path)
+        assert "\tgene\t" not in out
+
+    def test_speck_rules(self, tmp_path):
+        spec = tmp_path / "spec.py"
+        spec.write_text(
+            '@feature("gene")\n'
+            'def _(gene, it):\n'
+            '    it("has a transcript",'
+            ' gene.has_child_of_supertype("transcript"))\n'
+            '    it("children in range", gene.overlaps_all_children())\n'
+            '    it("longer than 10000nt (should fail)",'
+            ' gene.range_length() > 10000)\n')
+        g = "/root/reference/testdata/Scaffold_102.gff3"
+        r = _run_raw(["speck", "-specfile", str(spec), g], tmp_path)
+        assert r.returncode == 0
+        assert "failures" in r.stdout
+        assert 'failure: "gene"' in r.stdout   # the >10000nt rule
+        r2 = _run_raw(["speck", "-specfile", str(spec), "-failhard", g],
+                      tmp_path)
+        assert r2.returncode == 1
+
+
+class TestCondenseqCLI:
+    def test_compress_extract_info_search(self, tmp_path):
+        import numpy as np
+        rng = np.random.default_rng(4)
+        base = "".join(rng.choice(list("acgt"), 400))
+        mut = list(base)
+        for p in rng.choice(400, 10, replace=False):
+            mut[p] = "acgt"[(("acgt".index(mut[p])) + 1) % 4]
+        (tmp_path / "set.fna").write_text(
+            f">s0\n{base}\n>s1\n{''.join(mut)}\n")
+        _run(["condenseq", "compress", "-indexname", "arch", "set.fna"],
+             tmp_path)
+        info = _run(["condenseq", "info", "arch"], tmp_path)
+        assert "links: 1" in info
+        out = _run(["condenseq", "extract", "arch"], tmp_path)
+        seqs = {}
+        cur = None
+        for l in out.splitlines():
+            if l.startswith(">"):
+                cur = l[1:]
+                seqs[cur] = ""
+            else:
+                seqs[cur] += l
+        assert seqs["s0"] == base and seqs["s1"] == "".join(mut)
+        (tmp_path / "q.fna").write_text(f">q\n{base[50:90]}\n")
+        hits = _run(["condenseq", "search", "-query", "q.fna", "arch"],
+                    tmp_path)
+        assert "0\t0\t50\t40" in hits
