@@ -76,6 +76,9 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int, i64p]
     lib.gt_sais.argtypes = [i32p, ctypes.c_int64, i32p]
+    lib.gt_fill_windows.argtypes = [
+        u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint8, u8p]
     _lib = lib
     return _lib
 
@@ -218,3 +221,22 @@ def maxpairs_native(sa: np.ndarray, lcp: np.ndarray, cls: np.ndarray,
         ctypes.byref(p1), ctypes.byref(p2), ctypes.byref(pl))
     return (_take_array(lib, p1, cnt), _take_array(lib, p2, cnt),
             _take_array(lib, pl, cnt))
+
+
+def fill_windows_native(flat: np.ndarray, off: np.ndarray,
+                        lens: np.ndarray, sel: np.ndarray, W: int,
+                        fill: int, out: np.ndarray) -> bool:
+    """C memcpy window fill for the device extension batch; returns
+    False when the native lib is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gt_fill_windows(
+        flat.ctypes.data_as(u8p),
+        np.ascontiguousarray(off, np.int64).ctypes.data_as(i64p),
+        np.ascontiguousarray(lens, np.int64).ctypes.data_as(i64p),
+        np.ascontiguousarray(sel, np.int64).ctypes.data_as(i64p),
+        sel.size, W, fill, out.ctypes.data_as(u8p))
+    return True

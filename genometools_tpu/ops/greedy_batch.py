@@ -455,13 +455,16 @@ class _GreedyBatchConfig:
     MAX_WAVE = 131072  # per-device-call lane cap (bounds M + state HBM)
     # single-shot fast path (tasks fitting one window run whole inside
     # the kernel — no state upload, no rebase roundtrips).  Passes are
-    # (W, D, GENS): each task starts in the first pass whose window
-    # holds both flanks; undone lanes (slot drift beyond D or GENS cap)
-    # cascade to the next eligible pass.  The cheap 32-generation first
-    # pass finishes the ~90% of lanes that die or complete early, so
-    # block-level divergence (a block runs until its slowest lane) only
-    # costs the straggler re-run.
-    FULL_PASSES = ((384, 32, 32), (768, 64, 1536), (1536, 64, 1536))
+    # (W, D, GENS): each task runs in exactly ONE pass — the first
+    # whose window holds both flanks — at full slot width and
+    # generation budget, so every wave is uploaded once and all waves
+    # dispatch asynchronously (no host sync until every wave is in
+    # flight; transfers, host packing and kernels overlap).  Length-
+    # sorted lanes keep block-level divergence low (a block runs until
+    # its slowest lane).  Undone lanes (slot drift beyond D or GENS)
+    # fall back to the chunked path.
+    FULL_PASSES = ((256, 64, 1536), (384, 64, 1536), (768, 64, 1536),
+                   (1536, 64, 1536))
 
     # kept for tests that pin a single diagonal window
     @property
@@ -487,7 +490,8 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
                         errorpercentage: float = 0.0,
                         history: int = 64, matchscore_bias: float = 1.0,
                         pol_info=None,
-                        cfg: _GreedyBatchConfig | None = None):
+                        cfg: _GreedyBatchConfig | None = None,
+                        _single_shot: bool = True):
     """Batched greedy extension of prefixes of us[i] vs vs[i].
 
     Returns a dict of int32 arrays (alignedlen, row, distance,
@@ -532,16 +536,42 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     if full_impl is None and _use_pallas():
         from .greedy_pallas import greedy_full_pallas
         full_impl = greedy_full_pallas
-    if full_impl is not None:
+    _dbg = os.environ.get("GT_TPU_EXT_DEBUG") == "1"
+    if _dbg:
+        import time as _time
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            print(f"  [ext] {label} {_time.perf_counter() - _t0:6.2f}s",
+                  flush=True)
+    else:
+        def _mark(label):
+            pass
+    if full_impl is not None and N and _single_shot:
+        # flat task pool: one concatenation up front, then C-memcpy
+        # window fills per wave
+        uoff = np.concatenate([[0], np.cumsum(ulens, dtype=np.int64)[:-1]])
+        voff = np.concatenate([[0], np.cumsum(vlens, dtype=np.int64)[:-1]])
+        uflat = np.concatenate([np.asarray(u, np.uint8) for u in us]) \
+            if int(ulens.sum()) else np.zeros(1, np.uint8)
+        vflat = np.concatenate([np.asarray(v, np.uint8) for v in vs]) \
+            if int(vlens.sum()) else np.zeros(1, np.uint8)
+        _mark("flatten")
         maxlen = np.maximum(ulens, vlens)
-        remaining = (ulens >= 1) & (vlens >= 1)
+        assigned = ~((ulens >= 1) & (vlens >= 1))
+        pending = []          # (Fs, device out, NP_) in dispatch order
         for W0, Df, Gf in cfg.FULL_PASSES:
-            fast = np.flatnonzero(remaining & (maxlen <= W0))
-            remaining[fast] = False   # re-marked below if undone
+            sel = ~assigned & (maxlen <= W0)
+            assigned |= sel
+            fast = np.flatnonzero(sel)
             fast = fast[np.argsort(ulens[fast] + vlens[fast],
                                    kind="stable")]
-            for s in range(0, fast.size, cfg.MAX_WAVE):
-                Fs = fast[s:s + cfg.MAX_WAVE]
+            W32 = W0 // 32
+            # empirical: the W=256/D=64 kernel faults the TPU worker at
+            # 131072 lanes (OK through 65536; W>=384 is fine at 131072)
+            wave = min(cfg.MAX_WAVE, 65536) if W0 <= 256 else cfg.MAX_WAVE
+            for s in range(0, fast.size, wave):
+                Fs = fast[s:s + wave]
                 NP_ = Fs.size
                 # pad to a block multiple: few distinct compile shapes,
                 # little dead-lane upload (pow2 padding wastes up to 2x)
@@ -549,12 +579,20 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
                     NP2 = max(16, 1 << (NP_ - 1).bit_length())
                 else:
                     NP2 = -(-NP_ // 4096) * 4096
-                U = np.full((NP2, W0), 254, np.uint8)
-                V = np.full((NP2, W0), 255, np.uint8)
-                for t, i in enumerate(Fs):
-                    U[t, :ulens[i]] = us[i]
-                    V[t, :vlens[i]] = vs[i]
-                W32 = W0 // 32
+
+                def window(flat, off, lens, fill):
+                    # C memcpy per lane; numpy fancy gathers are
+                    # memory-bound-pathological on small hosts
+                    from ..core.native import fill_windows_native
+                    out = np.full((NP2, W0), fill, np.uint8)
+                    if not fill_windows_native(flat, off, lens, Fs, W0,
+                                               fill, out):
+                        for t, i in enumerate(Fs):
+                            out[t, :lens[i]] = flat[off[i]:off[i] + lens[i]]
+                    return out
+
+                U = window(uflat, uoff, ulens, 254)
+                V = window(vflat, voff, vlens, 255)
                 PK = np.zeros((NP2, 6 * W32 + 3), np.uint32)
                 for ci, plane in enumerate(pack_codes(U) + pack_codes(V)):
                     PK[:, ci * W32:(ci + 1) * W32] = plane
@@ -568,21 +606,68 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
                     jnp.int32(maxalignedlendifference),
                     jnp.int32(match_score),
                     jnp.int32(difference_score),
-                    jnp.int32(history), W0, Df, Gf)
-                out = np.asarray(out)[:, :NP_]
-                best_o = out[:4].T
-                done_o = out[4] != 0
-                died_o = out[5] != 0
-                fin = Fs[done_o]
-                results["alignedlen"][fin] = best_o[done_o, 0]
-                results["row"][fin] = best_o[done_o, 1]
-                results["distance"][fin] = best_o[done_o, 2]
-                results["mismatches"][fin] = best_o[done_o, 3]
-                died[fin] = died_o[done_o]
-                todo[fin] = False
-                remaining[Fs[~done_o]] = True   # cascade to next tier
+                    jnp.int32(history), W0, Df, Gf, sync=False)
+                pending.append((Fs, out, NP_))
+                _mark(f"wave dispatched W={W0} N={NP_}")
+        for wi, (Fs, out, NP_) in enumerate(pending):
+            out = np.asarray(out)[:, :NP_]
+            _mark(f"wave fetched {wi}")
+            best_o = out[:4].T
+            done_o = out[4] != 0
+            died_o = out[5] != 0
+            fin = Fs[done_o]
+            results["alignedlen"][fin] = best_o[done_o, 0]
+            results["row"][fin] = best_o[done_o, 1]
+            results["distance"][fin] = best_o[done_o, 2]
+            results["mismatches"][fin] = best_o[done_o, 3]
+            died[fin] = died_o[done_o]
+            todo[fin] = False
 
     # ---- host generation 0: initial run from the seed ---------------
+    ntodo = int(todo.sum())
+    if ntodo == 0:
+        # the single-shot path finished every lane; skip the chunked
+        # machinery entirely (its (N, K) state arrays are ~1.5GB at
+        # 500k lanes — measurable seconds just to allocate)
+        _mark("all lanes finished by single-shot path")
+        return {
+            "alignedlen": results["alignedlen"],
+            "row": results["row"],
+            "distance": results["distance"],
+            "mismatches": results["mismatches"],
+            "died": died,
+            "fallback": np.zeros(N, bool),
+        }
+    if ntodo < N:
+        # compact the leftover lanes into a subproblem so the chunked
+        # state is sized by the stragglers, not the whole batch
+        sub = np.flatnonzero(todo)
+
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.match_score = match_score
+        shim.difference_score = difference_score
+        sub_out = greedy_extend_batch(
+            [us[i] for i in sub], [vs[i] for i in sub],
+            seedlengths=sl[sub], perc_mat_history=perc_mat_history,
+            maxalignedlendifference=maxalignedlendifference,
+            history=history, pol_info=shim, cfg=cfg, _single_shot=False)
+        for k in results:
+            results[k][sub] = sub_out[k]
+        died[sub] = sub_out["died"]
+        fallback_all = np.zeros(N, bool)
+        fallback_all[sub] = sub_out["fallback"]
+        _mark(f"chunked subproblem of {ntodo} lanes merged")
+        return {
+            "alignedlen": results["alignedlen"],
+            "row": results["row"],
+            "distance": results["distance"],
+            "mismatches": results["mismatches"],
+            "died": died & ~fallback_all,
+            "fallback": fallback_all,
+        }
     du = np.zeros(N, np.int64)        # window origin in u == min live row
     dv = np.zeros(N, np.int64)
     row = np.full((N, K), -(2 ** 30), np.int32)
@@ -756,6 +841,266 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     if pending.size:
         fallback[pending] = True
 
+    return {
+        "alignedlen": results["alignedlen"],
+        "row": results["row"],
+        "distance": results["distance"],
+        "mismatches": results["mismatches"],
+        "died": died & ~fallback,
+        "fallback": fallback,
+    }
+
+
+# ---------------------------------------------------------------------------
+# pool-resident fast path: upload the packed sequence pool ONCE and
+# build every wave's PK windows on device from int32 descriptors —
+# per-lane upload drops from ~200-600 bytes (packed windows) to 24
+# bytes, and the host stops packing windows altogether
+# ---------------------------------------------------------------------------
+
+def pack_pool(pool: np.ndarray) -> np.ndarray:
+    """(6, ceil(T/32)+2) uint32: lo/hi/special bitplanes of the pool and
+    of the REVERSED pool (so a reversed flank is a forward window in
+    rows 3..5). One trailing pad word per row stays all-special."""
+    T = pool.size
+    W32g = (T + 31) // 32 + 2
+    out = np.zeros((6, W32g), np.uint32)
+
+    def planes(x):
+        padded = np.zeros(((T + 31) // 32) * 32, np.uint8)
+        padded[:T] = x
+        padded[T:] = 255
+        lo = np.packbits(padded & 1 == 1, bitorder="little").view(np.uint32)
+        hi = np.packbits(padded & 2 == 2, bitorder="little").view(np.uint32)
+        sp = np.packbits(padded >= 4, bitorder="little").view(np.uint32)
+        return lo, hi, sp
+
+    for base, x in ((0, pool), (3, pool[::-1])):
+        lo, hi, sp = planes(x)
+        out[base + 0, :lo.size] = lo
+        out[base + 1, :hi.size] = hi
+        out[base + 2, :sp.size] = sp
+        out[base + 2, sp.size:] = 0xFFFFFFFF
+    return out
+
+
+@partial(jax.jit, static_argnames=("W0",))
+def _pk_from_pool(gp, desc, W0: int):
+    """Device window builder: desc int32[N, 6] =
+    (ustart, ulen, vstart, vlen, rev, seedlen) with starts already in
+    the coordinate system of the chosen plane set (host maps reversed
+    flanks to reversed-pool coordinates). Returns the (N, 6*W32+3) PK
+    layout of the single-shot kernel; pad symbols (beyond ulen/vlen)
+    are marked special with zero code planes — the kernel only consumes
+    planes through `ok = ~spec`, so this is result-identical to the
+    host's 254/255 fills."""
+    W32 = W0 // 32
+    N = desc.shape[0]
+    ustart, ulen, vstart, vlen, rev, sl = (desc[:, i] for i in range(6))
+    w = jnp.arange(W32, dtype=jnp.int32)
+
+    def side(start, length):
+        q = (start >> 5)[:, None] + w[None, :]
+        r = (start & 31).astype(_U32)[:, None]
+        qmax = gp.shape[1] - 2
+        q = jnp.minimum(q, qmax)
+
+        def fetch(p_fwd, p_rev):
+            w0 = jnp.where(rev[:, None] == 1, gp[p_rev][q], gp[p_fwd][q])
+            w1 = jnp.where(rev[:, None] == 1, gp[p_rev][q + 1],
+                           gp[p_fwd][q + 1])
+            hi_sh = jnp.clip(_U32(32) - r, 1, 31)
+            return jnp.where(r > 0, (w0 >> r) | (w1 << hi_sh), w0)
+
+        lo = fetch(0, 3)
+        hi = fetch(1, 4)
+        sp = fetch(2, 5)
+        nb = jnp.clip(length[:, None] - 32 * w[None, :], 0, 32)
+        live = jnp.where(nb >= 32, _U32(0xFFFFFFFF),
+                         (_U32(1) << nb.astype(_U32)) - _U32(1))
+        return lo & live, hi & live, sp | ~live
+
+    ulo, uhi, usp = side(ustart, ulen)
+    vlo, vhi, vsp = side(vstart, vlen)
+    pk = jnp.concatenate(
+        [ulo, uhi, usp, vlo, vhi, vsp,
+         sl.astype(_U32)[:, None], ulen.astype(_U32)[:, None],
+         vlen.astype(_U32)[:, None]], axis=1)
+    return pk
+
+
+def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
+                             v_len, rev, *, seedlengths,
+                             perc_mat_history: int,
+                             maxalignedlendifference: int,
+                             errorpercentage: float = 0.0,
+                             history: int = 64,
+                             matchscore_bias: float = 1.0,
+                             pol_info=None,
+                             cfg: _GreedyBatchConfig | None = None):
+    """Pool-resident batched greedy extension: task i extends
+    u = pool[u_off:u_off+u_len] vs v = pool[v_off:v_off+v_len], both
+    read REVERSED when rev[i] (left flanks). Single-shot waves upload
+    24-byte descriptors against the once-uploaded packed pool;
+    stragglers and non-TPU backends materialize their windows and take
+    the array path."""
+    import time as _time
+    _tentry = _time.perf_counter()
+    N = int(np.asarray(u_off).size)
+    u_off = np.asarray(u_off, np.int64)
+    u_len = np.asarray(u_len, np.int64)
+    v_off = np.asarray(v_off, np.int64)
+    v_len = np.asarray(v_len, np.int64)
+    rev = np.asarray(rev, bool)
+    sl = np.asarray(seedlengths, np.int64)
+    if sl.ndim == 0:
+        sl = np.full(N, int(sl), np.int64)
+
+    def slice_task(i):
+        u = pool[u_off[i]:u_off[i] + u_len[i]]
+        v = pool[v_off[i]:v_off[i] + v_len[i]]
+        if rev[i]:
+            u = u[::-1]
+            v = v[::-1]
+        return u, v
+
+    full_impl = greedy_full_impl
+    if full_impl is None and _use_pallas():
+        from .greedy_pallas import greedy_full_pallas
+        full_impl = greedy_full_pallas
+    if full_impl is None or N == 0:
+        us = [slice_task(i)[0] for i in range(N)]
+        vs = [slice_task(i)[1] for i in range(N)]
+        return greedy_extend_batch(
+            us, vs, seedlengths=sl, perc_mat_history=perc_mat_history,
+            maxalignedlendifference=maxalignedlendifference,
+            errorpercentage=errorpercentage, history=history,
+            matchscore_bias=matchscore_bias, pol_info=pol_info, cfg=cfg)
+
+    cfg = cfg or _GreedyBatchConfig()
+    if pol_info is not None:
+        match_score = pol_info.match_score
+        difference_score = pol_info.difference_score
+    else:
+        match_score = int(20.0 * errorpercentage * matchscore_bias)
+        difference_score = 1000 - match_score
+    mmp128 = (perc_mat_history * 128) // 100 + \
+        (0 if (perc_mat_history * 128) % 100 == 0 else 1)
+
+    _dbg = os.environ.get("GT_TPU_EXT_DEBUG") == "1"
+    if _dbg:
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            print(f"  [pool] {label} {_time.perf_counter() - _t0:6.2f}s",
+                  flush=True)
+        _mark(f"entry overhead was {_t0 - _tentry:.2f}s")
+    else:
+        def _mark(label):
+            pass
+    T = pool.size
+    gp = jnp.asarray(pack_pool(pool))
+    _mark("pool packed+uploaded")
+    # start in the chosen plane set's coordinates: reversed flanks are
+    # forward windows of the reversed pool at T - off - len
+    us_ = np.where(rev, T - u_off - u_len, u_off).astype(np.int32)
+    vs_ = np.where(rev, T - v_off - v_len, v_off).astype(np.int32)
+    desc_all = np.stack(
+        [us_, u_len.astype(np.int32), vs_, v_len.astype(np.int32),
+         rev.astype(np.int32), sl.astype(np.int32)], axis=1)
+
+    results = {k: np.zeros(N, np.int32) for k in
+               ("alignedlen", "row", "distance", "mismatches")}
+    died = np.zeros(N, bool)
+    todo = np.ones(N, bool)
+    maxlen = np.maximum(u_len, v_len)
+    assigned = ~((u_len >= 1) & (v_len >= 1))
+    pending = []
+    for W0, Df, Gf in cfg.FULL_PASSES:
+        sel = ~assigned & (maxlen <= W0)
+        assigned |= sel
+        fast = np.flatnonzero(sel)
+        fast = fast[np.argsort(u_len[fast] + v_len[fast], kind="stable")]
+        wave = min(cfg.MAX_WAVE, 65536) if W0 <= 256 else cfg.MAX_WAVE
+        for s in range(0, fast.size, wave):
+            Fs = fast[s:s + wave]
+            NP_ = Fs.size
+            if NP_ <= 4096:
+                NP2 = max(16, 1 << (NP_ - 1).bit_length())
+            else:
+                NP2 = -(-NP_ // 4096) * 4096
+            desc = np.zeros((NP2, 6), np.int32)
+            desc[:NP_] = desc_all[Fs]
+            pk = _pk_from_pool(gp, jnp.asarray(desc), W0)
+            out = full_impl(
+                pk, jnp.int32(mmp128),
+                jnp.int32(maxalignedlendifference),
+                jnp.int32(match_score), jnp.int32(difference_score),
+                jnp.int32(history), W0, Df, Gf, sync=False)
+            pending.append((Fs, out, NP_))
+            _mark(f"wave dispatched W={W0} N={NP_}")
+    for wi, (Fs, out, NP_) in enumerate(pending):
+        out = np.asarray(out)[:, :NP_]
+        _mark(f"wave fetched {wi}")
+        done_o = out[4] != 0
+        fin = Fs[done_o]
+        results["alignedlen"][fin] = out[0][done_o]
+        results["row"][fin] = out[1][done_o]
+        results["distance"][fin] = out[2][done_o]
+        results["mismatches"][fin] = out[3][done_o]
+        died[fin] = out[5][done_o] != 0
+        todo[fin] = False
+
+    if todo.any():
+        # rescue wave: lanes undone at their tier (slot drift beyond
+        # D=64) get one wide-slot single-shot retry before the chunked
+        # machinery — typically a handful of lanes, one cheap call
+        Fs = np.flatnonzero(todo)
+        Wr, Dr, Gr = 1536, 128, 6144
+        if int(maxlen[Fs].max()) <= Wr:
+            NP_ = Fs.size
+            NP2 = max(16, 1 << (NP_ - 1).bit_length()) if NP_ <= 4096 \
+                else -(-NP_ // 4096) * 4096
+            desc = np.zeros((NP2, 6), np.int32)
+            desc[:NP_] = desc_all[Fs]
+            pk = _pk_from_pool(gp, jnp.asarray(desc), Wr)
+            out = np.asarray(full_impl(
+                pk, jnp.int32(mmp128),
+                jnp.int32(maxalignedlendifference),
+                jnp.int32(match_score), jnp.int32(difference_score),
+                jnp.int32(history), Wr, Dr, Gr))[:, :NP_]
+            done_o = out[4] != 0
+            fin = Fs[done_o]
+            results["alignedlen"][fin] = out[0][done_o]
+            results["row"][fin] = out[1][done_o]
+            results["distance"][fin] = out[2][done_o]
+            results["mismatches"][fin] = out[3][done_o]
+            died[fin] = out[5][done_o] != 0
+            todo[fin] = False
+            _mark(f"rescue wave: {NP_} lanes, "
+                  f"{NP_ - int(todo.sum())} finished")
+
+    fallback = np.zeros(N, bool)
+    if todo.any():
+        sub = np.flatnonzero(todo)
+
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.match_score = match_score
+        shim.difference_score = difference_score
+        sub_out = greedy_extend_batch(
+            [slice_task(i)[0] for i in sub],
+            [slice_task(i)[1] for i in sub],
+            seedlengths=sl[sub], perc_mat_history=perc_mat_history,
+            maxalignedlendifference=maxalignedlendifference,
+            history=history, pol_info=shim, cfg=cfg, _single_shot=False)
+        for k in results:
+            results[k][sub] = sub_out[k]
+        died[sub] = sub_out["died"]
+        fallback[sub] = sub_out["fallback"]
+    _mark("return")
     return {
         "alignedlen": results["alignedlen"],
         "row": results["row"],

@@ -75,9 +75,11 @@ def _block_lanes(K: int, N: int) -> int:
         blk = 1024
     elif K <= 80:
         blk = 512
-    else:
+    elif K <= 160:
         blk = 256
-    return min(blk, N)
+    else:
+        blk = 128       # K=257 straggler pass (mm is W32*K*BLK words;
+    return min(blk, N)  # the lane dim must stay a multiple of 128)
 
 
 def _make_kernel(W: int, D: int, GENS: int, cut_depth: int, mmp128: int,
@@ -542,17 +544,19 @@ def greedy_full_pallas(PK, minmatchpercentage128,
                        maxalignedlendifference,
                        match_score, difference_score, hist_cap,
                        W: int, D: int, GENS: int, cut_depth: int = 15,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, sync: bool = True):
     """Single-shot whole-task extension for tasks with ulen, vlen <= W.
 
     PK: (N, 6*W32+3) uint32 — pack_codes planes for U and V plus
     seedlen/ulen/vlen columns (see greedy_batch's fast path; one array
     keeps the host->device upload to a single transfer).
 
-    Returns np (7, N) int32: best alignedlen/row/distance/mismatches,
+    Returns (7, N) int32: best alignedlen/row/distance/mismatches,
     done, died, undone — `undone` lanes touched the diagonal-slot edge
     or exhausted GENS and must be re-run through the chunked path
-    (results for them are unset)."""
+    (results for them are unset).  With sync=False the device array is
+    returned without materializing — callers dispatch many waves and
+    fetch later, overlapping host packing, transfers and kernels."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     out = _full_pallas(
@@ -561,4 +565,4 @@ def greedy_full_pallas(PK, minmatchpercentage128,
         mad=int(maxalignedlendifference), match_score=int(match_score),
         difference_score=int(difference_score), hist_cap=int(hist_cap),
         interpret=bool(interpret))
-    return np.asarray(out)
+    return np.asarray(out) if sync else out

@@ -751,3 +751,24 @@ void gt_sais(const int32_t *keys, int64_t n, int32_t *sa_out) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fill fixed-width task windows for the device extension batch:
+// out[t*W .. t*W+W) = flat[off[sel[t]] .. +len] padded with `fill`.
+// (The numpy fancy-gather formulation is memory-bound-pathological on
+// small VMs; this is a straight memcpy per lane.)
+void gt_fill_windows(const uint8_t *flat, const int64_t *off,
+                     const int64_t *lens, const int64_t *sel,
+                     int64_t nsel, int64_t W, uint8_t fill,
+                     uint8_t *out) {
+  for (int64_t t = 0; t < nsel; t++) {
+    const int64_t i = sel[t];
+    const int64_t l = lens[i] < W ? lens[i] : W;
+    uint8_t *dst = out + t * W;
+    std::memcpy(dst, flat + off[i], (size_t)l);
+    std::memset(dst + l, fill, (size_t)(W - l));
+  }
+}
+
+}  // extern "C"
