@@ -179,17 +179,29 @@ def stat_stream(stream, stats: FeatureStats) -> Iterator[GenomeNode]:
 
 
 def chseqids_stream(stream, mapping: dict[str, str]):
-    """ref: gt chseqids — substitute sequence ids per a mapping file."""
+    """ref: gt chseqids / chseqids_stream.c — substitute sequence ids per
+    a mapping file; region nodes that map onto the same new id are merged
+    into one region spanning the union of their ranges."""
+    regions: dict[str, RegionNode] = {}
+    buffered = []
     for node in stream:
-        if isinstance(node, (FeatureNode, RegionNode)) and \
-                node.seqid in mapping:
-            if isinstance(node, FeatureNode):
-                for n in node.traverse():
-                    n.seqid = mapping[n.seqid] if n.seqid in mapping \
-                        else n.seqid
+        if isinstance(node, RegionNode):
+            new = mapping.get(node.seqid, node.seqid)
+            node.seqid = new
+            if new in regions:
+                prev = regions[new]
+                prev.range = Range(min(prev.range.start, node.range.start),
+                                   max(prev.range.end, node.range.end))
             else:
-                node.seqid = mapping[node.seqid]
-        yield node
+                regions[new] = node
+                buffered.append(node)
+            continue
+        if isinstance(node, FeatureNode) and node.seqid in mapping:
+            for n in node.traverse():
+                n.seqid = mapping[n.seqid] if n.seqid in mapping \
+                    else n.seqid
+        buffered.append(node)
+    yield from buffered
 
 
 def dupfeat_stream(stream, dest_type: str, source_type: str):
@@ -209,41 +221,43 @@ def dupfeat_stream(stream, dest_type: str, source_type: str):
 
 
 def mergefeat_stream(stream):
-    """ref: gt mergefeat — merge adjacent features of the same type under
-    one parent into a single spanning feature."""
+    """ref: gt mergefeat / merge_feature_visitor.c mergefeat_in_children —
+    merge only ADJACENT (prev.end+1 == cur.start) same-type siblings that
+    both have no children; the merged feature's score is unset."""
     for node in stream:
         if isinstance(node, FeatureNode):
+            to_remove = set()
             for n in node.traverse():
-                by_type: dict[str, list] = {}
+                prev_by_type: dict[str, FeatureNode] = {}
                 for c in n.children:
-                    by_type.setdefault(c.type, []).append(c)
-                merged_children = []
-                for t, group in by_type.items():
-                    if len(group) > 1:
-                        group.sort(key=lambda f: f.range.start)
-                        rep = group[0]
-                        for g in group[1:]:
-                            rep.range = rep.range.join(g.range)
-                        merged_children.append(rep)
-                    else:
-                        merged_children.extend(group)
-                if len(merged_children) != len(n.children):
-                    n.children = sorted(merged_children,
-                                        key=lambda f: f.range.start)
+                    prev = prev_by_type.pop(c.type, None)
+                    if prev is not None and \
+                            prev.range.end + 1 == c.range.start and \
+                            not prev.children and not c.children:
+                        prev.range = Range(prev.range.start, c.range.end)
+                        prev.score = None
+                        to_remove.add(id(c))
+                    prev_by_type[c.type] = c
+            if to_remove:
+                for n in node.traverse():
+                    n.children = [c for c in n.children
+                                  if id(c) not in to_remove]
         yield node
 
 
 def id_to_md5_stream(stream, seqs: dict[str, str]):
-    """ref: gt id_to_md5 — translate seqids to md5 fingerprints."""
+    """ref: gt id_to_md5 — translate seqids to md5:<hex>:<id> fingerprints
+    (ref: src/extended/id_to_md5_visitor.c, md5_seqid.h format)."""
     import hashlib
     mapping = {sid: "md5:" + hashlib.md5(s.upper().encode()).hexdigest()
+               + ":" + sid
                for sid, s in seqs.items()}
     yield from chseqids_stream(stream, mapping)
 
 
-def md5_to_id_stream(stream, seqs: dict[str, str]):
-    """ref: gt md5_to_id — reverse translation."""
-    import hashlib
-    mapping = {"md5:" + hashlib.md5(s.upper().encode()).hexdigest(): sid
-               for sid, s in seqs.items()}
-    yield from chseqids_stream(stream, mapping)
+def md5_to_id_stream(stream, seqs: dict[str, str] | None = None):
+    """ref: gt md5_to_id — reverse translation. The new md5 seqid format
+    embeds the original id after the second ':' so no sequence lookup is
+    needed (ref: md5_to_id_visitor.c GT_MD5_SEQID_TOTAL_LEN path)."""
+    from .md5translate import md5_to_id_nodes
+    yield from md5_to_id_nodes(stream)

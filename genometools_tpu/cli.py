@@ -982,61 +982,238 @@ def _add_matstat(sub):
 # sequence utility tools
 # ---------------------------------------------------------------------------
 
+def _show_fasta(out, width: int, file=None):
+    """gt_fasta_show_entry semantics: width 0 means one line."""
+    file = file or sys.stdout
+    for desc, seq in zip(out.descs, out.seqs):
+        s = seq.tobytes().decode("latin-1") if hasattr(seq, "tobytes") \
+            else seq
+        file.write(">" + desc + "\n")
+        if width:
+            for i in range(0, len(s), width):
+                file.write(s[i:i + width] + "\n")
+            if not s:
+                file.write("\n")
+        else:
+            file.write(s + "\n")
+
+
 def cmd_seqtool(args):
-    from .core.seqio import read_seqfiles, write_fasta
+    from .core.seqio import read_seqfiles
     from .utils import seqtools
-    s = read_seqfiles(args.files)
+    files = args.files or ["-"]
+    if "-" in files:
+        import tempfile
+        data = sys.stdin.buffer.read()
+        tf = tempfile.NamedTemporaryFile(suffix=".fas", delete=False)
+        tf.write(data)
+        tf.close()
+        files = [tf.name if f == "-" else f for f in files]
+    try:
+        s = read_seqfiles(files)
+    except (ValueError, OSError) as exc:
+        print(f"gt {args.tool}: error: {exc}", file=sys.stderr)
+        return 1
+    width = getattr(args, "width", 0)
     if args.tool == "extractseq":
-        out = seqtools.extractseq(s, args.frompos, args.topos, args.match)
+        if args.keys:
+            keys_text = sys.stdin.read() if args.keys == "-" \
+                else open(args.keys).read()
+            try:
+                for header, seq in seqtools.extractseq_keys(s, keys_text):
+                    from .core.seqio import SeqSet
+                    import numpy as _np
+                    one = SeqSet(
+                        seqs=[_np.frombuffer(seq.encode("latin-1"),
+                                             _np.uint8)],
+                        descs=[header])
+                    _show_fasta(one, width)
+            except ValueError as exc:
+                print(f"gt extractseq: error: {exc}", file=sys.stderr)
+                return 1
+            return 0
+        if (args.frompos is None) != (args.topos is None):
+            print("gt extractseq: error: option \"-frompos\" requires "
+                  "option \"-topos\"", file=sys.stderr)
+            return 1
+        if args.frompos is not None and args.frompos > args.topos:
+            print("gt extractseq: error: argument to option '-frompos' "
+                  "must be <= argument to option '-topos'", file=sys.stderr)
+            return 1
+        try:
+            out = seqtools.extractseq(s, args.frompos, args.topos,
+                                      args.match)
+        except ValueError as exc:
+            print(f"gt extractseq: error: {exc}", file=sys.stderr)
+            return 1
+        except re.error as exc:
+            print(f"gt extractseq: error: invalid pattern: {exc}",
+                  file=sys.stderr)
+            return 1
     elif args.tool == "shredder":
+        if args.minlength > args.maxlength:
+            print("gt shredder: error: -minlength must be <= than "
+                  "-maxlength", file=sys.stderr)
+            return 1
         out = seqtools.shredder(s, args.minlength, args.maxlength,
-                                args.overlap, args.coverage)
+                                args.overlap, args.coverage,
+                                sample_probability=args.sample,
+                                clip_desc=args.clipdesc)
     elif args.tool == "sequniq":
-        out = seqtools.sequniq(s, rev=args.rev)
+        out, dups = seqtools.sequniq(s, rev=args.rev)
+        n = len(s.seqs)
+        print(f"# {dups} out of {n} sequences have been removed "
+              f"({dups / n * 100.0:.3f}%)", file=sys.stderr)
     elif args.tool == "seqfilter":
-        out = seqtools.seqfilter(s, args.minlength, args.maxlength,
-                                 args.maxseqnum)
+        out, filtered, total = seqtools.seqfilter(
+            s, args.minlength, args.maxlength, args.maxseqnum,
+            step=args.step, sample_prob=args.sample,
+            nowildcards=args.nowildcards)
+        print(f"# {filtered} out of {total} sequences have been removed "
+              f"({filtered / total * 100.0:.3f}%)", file=sys.stderr)
     elif args.tool == "simreads":
-        out = seqtools.simreads(s, num=args.num, length=args.length)
+        out = seqtools.simreads(s, num=args.num, length=args.length,
+                                coverage=args.coverage)
     elif args.tool == "mutate":
         out = seqtools.mutate(s, args.rate)
+        out.descs = [d + f" [mutated with rate {int(args.rate)}]"
+                     for d in out.descs]
     elif args.tool == "seqtranslate":
+        from .core.seqio import SeqSet
         for desc, seq in zip(s.descs, s.seqs):
-            for f, t in enumerate(
-                    seqtools.translate_all_frames(seq.tobytes().decode())):
+            text = seq.tobytes().decode("latin-1")
+            if len(text) < 3:
+                print(f"warning: sequence '{desc}' is shorter than codon "
+                      f"length of 3, skipping", file=sys.stderr)
+                continue
+            frames = seqtools.translate_all_frames(text)
+            for f, t in enumerate(frames):
+                if not t:
+                    continue
                 strand = "+" if f < 3 else "-"
-                print(f">{desc} ({f % 3}{strand})")
-                print(t)
+                one = SeqSet(seqs=[t], descs=[
+                    f"{desc} ({f % 3 + 1}{strand})"])
+                _show_fasta(one, args.fastawidth)
         return 0
     elif args.tool == "fingerprint":
-        for fp in seqtools.fingerprints(s):
+        fps = seqtools.fingerprints(s)
+        if args.check:
+            from collections import Counter
+            have = Counter(fps)
+            text = sys.stdin.read() if args.check == "-" \
+                else open(args.check).read()
+            failed = False
+            for line in text.splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                if have.get(line, 0) > 0:
+                    have[line] -= 1
+                else:
+                    print(f"{line} only in checklist")
+                    failed = True
+            for fp, cnt in sorted(have.items()):
+                for _ in range(cnt):
+                    print(f"{fp} only in sequence_file(s)")
+                    failed = True
+            if failed:
+                print("gt fingerprint: error: fingerprint comparison "
+                      "failed", file=sys.stderr)
+                return 1
+            return 0
+        if args.duplicates:
+            from collections import Counter
+            cnt = Counter(fps)
+            dups = 0
+            for fp, c in sorted(cnt.items()):
+                if c > 1:
+                    print(f"{fp}\t{c}")
+                    dups += c - 1
+            if dups:
+                n = len(fps)
+                print(f"gt fingerprint: error: duplicates found: {dups} "
+                      f"out of {n} ({dups / n * 100.0:.3f}%)",
+                      file=sys.stderr)
+                return 1
+            return 0
+        if args.extract:
+            from .core.seqio import SeqSet
+            hit = SeqSet()
+            for fp, seq, desc in zip(fps, s.seqs, s.descs):
+                if fp == args.extract:
+                    hit.seqs.append(seq)
+                    hit.descs.append(desc)
+            _show_fasta(hit, width)
+            return 0
+        for fp in fps:
             print(fp)
         return 0
     else:
         raise SystemExit(f"unknown tool {args.tool}")
-    write_fasta(sys.stdout, [x.tobytes().decode("latin-1")
-                             for x in out.seqs], out.descs)
+    _show_fasta(out, width)
     return 0
 
 
 def _add_seqtools(sub):
-    for name in ("extractseq", "shredder", "sequniq", "seqfilter",
-                 "simreads", "mutate", "seqtranslate", "fingerprint"):
-        p = sub.add_parser(name, help=f"{name} sequence tool")
-        p.add_argument("files", nargs="+")
-        p.add_argument("-frompos", type=int, default=None)
-        p.add_argument("-topos", type=int, default=None)
-        p.add_argument("-match", default=None)
-        p.add_argument("-minlength", type=int, default=300)
-        p.add_argument("-maxlength", type=int, default=700)
-        p.add_argument("-overlap", type=int, default=0)
-        p.add_argument("-coverage", type=int, default=1)
-        p.add_argument("-rev", action="store_true")
-        p.add_argument("-maxseqnum", type=int, default=None)
-        p.add_argument("-num", type=int, default=100)
-        p.add_argument("-length", type=int, default=100)
-        p.add_argument("-rate", type=float, default=1.0)
-        p.set_defaults(func=cmd_seqtool, tool=name)
+    common = {
+        "extractseq": "extract sequences from sequence file(s)",
+        "shredder": "shred sequences into consecutive pieces",
+        "sequniq": "filter out repeated sequences",
+        "seqfilter": "filter sequence files",
+        "simreads": "simulate sequencing reads",
+        "mutate": "mutate the given sequences",
+        "seqmutate": "mutate the given sequences",
+        "seqtranslate": "translate a nucleotide sequence",
+        "fingerprint": "compute MD5 fingerprints per sequence",
+    }
+    for name, helptext in common.items():
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("files", nargs="*")
+        if name == "extractseq":
+            p.add_argument("-frompos", type=int, default=None)
+            p.add_argument("-topos", type=int, default=None)
+            p.add_argument("-match", default=None)
+            p.add_argument("-keys", default=None)
+            p.add_argument("-width", type=int, default=0)
+        elif name == "shredder":
+            p.add_argument("-coverage", type=int, default=1)
+            p.add_argument("-minlength", type=int, default=300)
+            p.add_argument("-maxlength", type=int, default=700)
+            p.add_argument("-overlap", type=int, default=0)
+            p.add_argument("-sample", type=float, default=1.0)
+            p.add_argument("-clipdesc", action="store_true")
+            p.add_argument("-width", type=int, default=0)
+        elif name == "sequniq":
+            p.add_argument("-rev", action="store_true")
+            p.add_argument("-seqit", action="store_true")
+            p.add_argument("-v", action="store_true")
+            p.add_argument("-width", type=int, default=0)
+        elif name == "seqfilter":
+            p.add_argument("-minlength", type=int, default=None)
+            p.add_argument("-maxlength", type=int, default=None)
+            p.add_argument("-maxseqnum", type=int, default=None)
+            p.add_argument("-sample", type=float, default=1.0)
+            p.add_argument("-step", type=int, default=1)
+            p.add_argument("-nowildcards", action="store_true")
+            p.add_argument("-width", type=int, default=0)
+        elif name == "simreads":
+            p.add_argument("-num", type=int, default=100)
+            p.add_argument("-length", type=int, default=100)
+            p.add_argument("-coverage", type=float, default=None)
+            p.add_argument("-width", type=int, default=0)
+        elif name in ("mutate", "seqmutate"):
+            p.add_argument("-rate", type=float, default=1.0)
+            p.add_argument("-width", type=int, default=0)
+        elif name == "seqtranslate":
+            p.add_argument("-reverse", default="yes")
+            p.add_argument("-fastawidth", type=int, default=60)
+        elif name == "fingerprint":
+            p.add_argument("-check", default=None)
+            p.add_argument("-duplicates", action="store_true")
+            p.add_argument("-extract", default=None)
+            p.add_argument("-width", type=int, default=0)
+        p.set_defaults(func=cmd_seqtool,
+                       tool="mutate" if name == "seqmutate" else name)
 
 
 # ---------------------------------------------------------------------------
@@ -1105,6 +1282,141 @@ def _add_select(sub):
                    help="Python filter scripts (filter(gn) -> drop)")
     p.add_argument("-rule_logic", default="AND", choices=["AND", "OR"])
     p.set_defaults(func=cmd_select)
+
+
+# ---------------------------------------------------------------------------
+# seqid / feature manipulation streams
+# (ref: gt_chseqids.c, gt_dupfeat.c, gt_mergefeat.c, gt_id_to_md5.c,
+#  gt_md5_to_id.c)
+# ---------------------------------------------------------------------------
+
+def _read_gff3_files(files):
+    from .anno.gff3 import parse_gff3
+    nodes = []
+    for pth in files:
+        text = sys.stdin.read() if pth == "-" else open(pth).read()
+        if not text.strip():
+            raise SystemExit(f"gt chseqids: error: GFF3 file \"{pth}\" "
+                             f"is empty")
+        nodes.extend(parse_gff3(text))
+    return nodes
+
+
+def cmd_chseqids(args):
+    from .anno.gff3 import GFF3Writer
+    from .anno.md5translate import parse_lua_mapping
+    from .anno.node_stream import chseqids_stream, sort_stream
+    try:
+        mapping = parse_lua_mapping(args.mapping_file, "chseqids")
+    except ValueError as exc:
+        print(f"gt chseqids: error: {exc}", file=sys.stderr)
+        return 1
+    nodes = _read_gff3_files(args.files or ["-"])
+    missing = [n.seqid for n in nodes
+               if getattr(n, "seqid", None) and n.seqid not in mapping]
+    if missing:
+        print(f"gt chseqids: error: chseqids[{missing[0]}] is nil "
+              f"(defined in \"{args.mapping_file}\")", file=sys.stderr)
+        return 1
+    out = chseqids_stream(iter(nodes), mapping)
+    if args.sort:
+        out = sort_stream(out)
+    text = GFF3Writer(retainids=True).render(list(out))
+    if args.o:
+        open(args.o, "w").write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def cmd_dupfeat(args):
+    from .anno.gff3 import GFF3Writer
+    from .anno.node_stream import dupfeat_stream
+    nodes = _read_gff3_files(args.files or ["-"])
+    out = list(dupfeat_stream(iter(nodes), args.dest, args.source))
+    sys.stdout.write(GFF3Writer().render(out))
+    return 0
+
+
+def cmd_mergefeat(args):
+    from .anno.gff3 import GFF3Writer
+    from .anno.node_stream import mergefeat_stream
+    nodes = _read_gff3_files(args.files or ["-"])
+    out = list(mergefeat_stream(iter(nodes)))
+    sys.stdout.write(GFF3Writer().render(out))
+    return 0
+
+
+def cmd_id_to_md5(args):
+    from .anno.gff3 import GFF3Writer
+    from .anno.md5translate import SeqCollection, id_to_md5_nodes
+    seqfiles = (args.seqfiles or []) + ([args.seqfile] if args.seqfile
+                                        else [])
+    if not seqfiles:
+        print("gt id_to_md5: error: option \"-seqfile\" or \"-seqfiles\" "
+              "is mandatory", file=sys.stderr)
+        return 1
+    seqcol = SeqCollection(seqfiles, matchdesc=args.matchdesc)
+    nodes = _read_gff3_files(args.files or ["-"])
+    try:
+        out = list(id_to_md5_nodes(iter(nodes), seqcol,
+                                   subtargetids=not args.no_subtargetids))
+    except ValueError as exc:
+        print(f"gt id_to_md5: error: {exc}", file=sys.stderr)
+        return 1
+    sys.stdout.write(GFF3Writer(retainids=True).render(out))
+    return 0
+
+
+def cmd_md5_to_id(args):
+    from .anno.gff3 import GFF3Writer
+    from .anno.md5translate import SeqCollection, md5_to_id_nodes
+    seqfiles = (args.seqfiles or []) + ([args.seqfile] if args.seqfile
+                                        else [])
+    seqcol = SeqCollection(seqfiles, matchdesc=args.matchdesc) \
+        if seqfiles else None
+    nodes = _read_gff3_files(args.files or ["-"])
+    try:
+        out = list(md5_to_id_nodes(iter(nodes), seqcol))
+    except ValueError as exc:
+        print(f"gt md5_to_id: error: {exc}", file=sys.stderr)
+        return 1
+    sys.stdout.write(GFF3Writer(retainids=True).render(out))
+    return 0
+
+
+def _add_feat_streams(sub):
+    p = sub.add_parser("chseqids",
+                       help="change sequence ids by a mapping file")
+    p.add_argument("mapping_file")
+    p.add_argument("files", nargs="*")
+    p.add_argument("-sort", action="store_true")
+    p.add_argument("-v", action="store_true")
+    p.add_argument("-o", default=None)
+    p.set_defaults(func=cmd_chseqids)
+
+    p = sub.add_parser("dupfeat",
+                       help="duplicate internal feature nodes")
+    p.add_argument("files", nargs="*")
+    p.add_argument("-dest", required=True)
+    p.add_argument("-source", required=True)
+    p.set_defaults(func=cmd_dupfeat)
+
+    p = sub.add_parser("mergefeat",
+                       help="merge adjacent features of the same type")
+    p.add_argument("files", nargs="*")
+    p.set_defaults(func=cmd_mergefeat)
+
+    for name, fn in (("id_to_md5", cmd_id_to_md5),
+                     ("md5_to_id", cmd_md5_to_id)):
+        p = sub.add_parser(
+            name, help=f"{name.replace('_', ' ')} seqid translation")
+        p.add_argument("files", nargs="*")
+        p.add_argument("-seqfile", default=None)
+        p.add_argument("-seqfiles", nargs="+", default=None)
+        p.add_argument("-matchdesc", action="store_true")
+        p.add_argument("-no_subtargetids", action="store_true")
+        p.set_defaults(func=fn)
 
 
 def cmd_scriptfilter(args):
@@ -2509,7 +2821,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_dot, _add_convertseq, _add_seq, _add_shulengthdist,
              _add_encseq2spm, _add_prebwt, _add_mkfmindex,
              _add_mkfeatureindex, _add_featureindex, _add_condenseq,
-             _add_scriptfilter, _add_speck]
+             _add_scriptfilter, _add_speck, _add_feat_streams]
 
 
 def main(argv=None):

@@ -29,31 +29,89 @@ def revcomp_str(s: str) -> str:
 # ---------------------------------------------------------------------------
 
 def extractseq(seqset: SeqSet, frompos: int | None = None,
-               topos: int | None = None, match: str | None = None,
-               keys: list[str] | None = None) -> SeqSet:
+               topos: int | None = None, match: str | None = None) -> SeqSet:
     out = SeqSet()
     if frompos is not None:
-        # 1-based positions over the concatenation of all sequences
-        total = 0
-        for seq, desc in zip(seqset.seqs, seqset.descs):
-            lo = frompos - 1 - total
-            hi = topos - total
-            total += len(seq)
+        # 1-based positions over the concatenation of all sequences; the
+        # reference emits ONE descriptionless entry spanning sequence
+        # boundaries (ref: gt_extractseq.c extractseq_pos)
+        total = seqset.total_length
+        if frompos > total or topos > total:
+            raise ValueError(
+                f"invalid position pair {frompos}-{topos} one value is "
+                f"larger than sequence length {total}")
+        buf = []
+        acc = 0
+        for seq in seqset.seqs:
+            lo = frompos - 1 - acc
+            hi = topos - acc
+            acc += len(seq)
             if hi <= 0 or lo >= len(seq):
                 continue
-            out.seqs.append(seq[max(lo, 0):min(hi, len(seq))])
-            out.descs.append(desc)
+            buf.append(seq[max(lo, 0):min(hi, len(seq))])
+        out.seqs.append(np.concatenate(buf) if buf
+                        else np.zeros(0, np.uint8))
+        out.descs.append("")
         return out
     rx = re.compile(match) if match else None
-    keyset = set(keys or [])
     for seq, desc in zip(seqset.seqs, seqset.descs):
         if rx is not None and not rx.search(desc):
-            continue
-        if keyset and desc.split()[0] not in keyset:
             continue
         out.seqs.append(seq)
         out.descs.append(desc)
     return out
+
+
+def extractseq_keys(seqset: SeqSet, keys_text: str):
+    """-keys mode (ref: src/match/giextract.c gt_extractkeysfromfastafile).
+
+    Key of a description = text between its first and second '|'.
+    Keys-file lines are ``key [frompos topos]``; emission follows the
+    sequence-file scan order, each matching query in key-sorted order.
+    Yields (header, sequence-str) pairs.
+    """
+    queries: list[tuple[str, int | None, int | None]] = []
+    for lno, line in enumerate(keys_text.splitlines(), 1):
+        if not line.strip():
+            continue
+        parts = line.split()
+        if len(parts) == 1:
+            queries.append((parts[0], None, None))
+        elif len(parts) == 3:
+            try:
+                frompos, topos = int(parts[1]), int(parts[2])
+            except ValueError:
+                raise ValueError(
+                    f"line {lno} of keys file is corrupt: {line!r}")
+            if frompos > topos:
+                raise ValueError(
+                    f"line {lno}: frompos > topos: {line!r}")
+            queries.append((parts[0], frompos, topos))
+        else:
+            raise ValueError(f"line {lno} of keys file is corrupt: {line!r}")
+    queries.sort(key=lambda q: (q[0], q[1] or 0, q[2] or 0))
+    import bisect
+    keysonly = [q[0] for q in queries]
+    hits = 0
+    for seq, desc in zip(seqset.seqs, seqset.descs):
+        if hits >= len(queries):
+            break
+        p1 = desc.find("|")
+        p2 = desc.find("|", p1 + 1) if p1 >= 0 else -1
+        if p1 < 0 or p2 < 0:
+            raise ValueError(f'Cannot find key in description "{desc}"')
+        key = desc[p1 + 1:p2]
+        i = bisect.bisect_left(keysonly, key)
+        while i < len(queries) and keysonly[i] == key:
+            _, frompos, topos = queries[i]
+            s = seq.tobytes().decode("latin-1")
+            if frompos is None:
+                yield desc, s
+            else:
+                yield (f"{key} {frompos} {topos} {desc}",
+                       s[frompos - 1:topos])
+            hits += 1
+            i += 1
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +120,11 @@ def extractseq(seqset: SeqSet, frompos: int | None = None,
 
 def shredder(seqset: SeqSet, minlength: int = 300, maxlength: int = 700,
              overlap: int = 0, coverage: int = 1, seed: int = 0,
+             sample_probability: float = 1.0,
              clip_desc: bool = False) -> SeqSet:
+    """ref: src/extended/shredder.c generate_fragment — fraglen is
+    min + rand(max-min); the LAST fragment of each sequence is truncated
+    (never dropped); otherwise advance fraglen-overlap, at least 1."""
     rng = np.random.default_rng(seed)
     out = SeqSet()
     for _ in range(coverage):
@@ -70,13 +132,27 @@ def shredder(seqset: SeqSet, minlength: int = 300, maxlength: int = 700,
             pos = 0
             n = len(seq)
             while pos < n:
-                frag = int(rng.integers(minlength, maxlength + 1))
+                frag = minlength if maxlength == minlength else \
+                    minlength + int(rng.integers(0, maxlength - minlength + 1))
+                last = pos + frag >= n
+                if last:
+                    frag = n - pos
                 piece = seq[pos:pos + frag]
-                if len(piece) >= min(minlength, n):
+                if clip_desc:
+                    d = (f"{desc.split(' ')[0]}_{pos}_{frag}"
+                         f" [shreddered fragment]")
+                else:
+                    d = desc + " [shreddered fragment]"
+                if sample_probability >= 1.0 or \
+                        rng.random() <= sample_probability:
                     out.seqs.append(piece)
-                    out.descs.append(desc if not clip_desc
-                                     else desc.split()[0])
-                pos += max(1, frag - overlap)
+                    out.descs.append(d)
+                if last:
+                    pos = n
+                elif frag > overlap:
+                    pos += frag - overlap
+                else:
+                    pos += 1
     return out
 
 
@@ -85,18 +161,28 @@ def shredder(seqset: SeqSet, minlength: int = 300, maxlength: int = 700,
 # reverse-complement duplicates)
 # ---------------------------------------------------------------------------
 
-def sequniq(seqset: SeqSet, rev: bool = False) -> SeqSet:
+def sequniq(seqset: SeqSet, rev: bool = False) -> tuple[SeqSet, int]:
+    """Returns (kept set, number of duplicates removed).
+    ref: gt_sequniq.c + extended/md5set.c gt_md5set_add_sequence — the
+    reverse complement is only probed when it differs from the forward
+    sequence (palindromes are always kept)."""
     seen = set()
     out = SeqSet()
+    dups = 0
     for seq, desc in zip(seqset.seqs, seqset.descs):
         key = seq.tobytes().upper()
-        rckey = key[::-1].translate(_COMP) if rev else None
-        if key in seen or (rev and rckey in seen):
+        if key in seen:
+            dups += 1
             continue
+        if rev:
+            rckey = key[::-1].translate(_COMP)
+            if rckey != key and rckey in seen:
+                dups += 1
+                continue
         seen.add(key)
         out.seqs.append(seq)
         out.descs.append(desc)
-    return out
+    return out, dups
 
 
 # ---------------------------------------------------------------------------
@@ -104,26 +190,50 @@ def sequniq(seqset: SeqSet, rev: bool = False) -> SeqSet:
 # -sample -step)
 # ---------------------------------------------------------------------------
 
+def _has_wildcards(seq: np.ndarray, alpha) -> bool:
+    """ref: gt_bioseq_seq_has_wildcards — wildcard per the guessed
+    alphabet (DNA: IUPAC ambiguity codes; protein: X/U/B/Z/J/O/*/-)."""
+    from ..core.chardef import WILDCARD
+    return bool((alpha.encode(seq) == WILDCARD).any())
+
+
 def seqfilter(seqset: SeqSet, minlength: int | None = None,
               maxlength: int | None = None, maxseqnum: int | None = None,
-              step: int = 1, nowildcards: bool = False) -> SeqSet:
+              step: int = 1, sample_prob: float = 1.0,
+              nowildcards: bool = False,
+              seed: int = 0) -> tuple[SeqSet, int, int]:
+    """Returns (kept set, filtered count, total count).
+    ref: gt_seqfilter.c runner — -step keeps every step-th sequence
+    (the step-th of each cycle), -maxseqnum stops considering further
+    sequences (they count as filtered)."""
+    rng = np.random.default_rng(seed)
     out = SeqSet()
-    kept = 0
+    passed = 0
+    filtered = 0
+    total = len(seqset.seqs)
+    steps = 0
+    alpha = None
+    if nowildcards:
+        from ..core.alphabet import guess_alphabet
+        alpha = guess_alphabet(
+            b"".join(s.tobytes() for s in seqset.seqs[:50]))
     for i, (seq, desc) in enumerate(zip(seqset.seqs, seqset.descs)):
-        if i % step:
-            continue
-        if minlength is not None and len(seq) < minlength:
-            continue
-        if maxlength is not None and len(seq) > maxlength:
-            continue
-        if nowildcards and not all(chr(c).lower() in "acgt" for c in seq):
-            continue
-        out.seqs.append(seq)
-        out.descs.append(desc)
-        kept += 1
-        if maxseqnum is not None and kept >= maxseqnum:
+        if maxseqnum is not None and passed >= maxseqnum:
+            filtered += total - i
             break
-    return out
+        ok = (step == 1 or steps + 1 == step) and \
+            (sample_prob >= 1.0 or rng.random() <= sample_prob) and \
+            (minlength is None or len(seq) >= minlength) and \
+            (maxlength is None or len(seq) <= maxlength) and \
+            (not nowildcards or not _has_wildcards(seq, alpha))
+        if ok:
+            out.seqs.append(seq)
+            out.descs.append(desc)
+            passed += 1
+        else:
+            filtered += 1
+        steps = 0 if steps + 1 == step else steps + 1
+    return out, filtered, total
 
 
 # ---------------------------------------------------------------------------

@@ -169,16 +169,16 @@ class TestSeqtools:
         assert out.seqs[0].tobytes() == b"tttt"
 
     def test_sequniq(self):
-        out = seqtools.sequniq(self._set("acgt", "ACGT", "tttt"))
+        out, _ = seqtools.sequniq(self._set("acgt", "ACGT", "tttt"))
         assert out.num_sequences == 2
 
     def test_sequniq_rc(self):
-        out = seqtools.sequniq(self._set("acgt", "acgt"[::-1].translate(
+        out, _ = seqtools.sequniq(self._set("acgt", "acgt"[::-1].translate(
             str.maketrans("acgt", "tgca"))), rev=True)
         assert out.num_sequences == 1
 
     def test_seqfilter(self):
-        out = seqtools.seqfilter(self._set("a" * 10, "a" * 50), minlength=20)
+        out, _, _ = seqtools.seqfilter(self._set("a" * 10, "a" * 50), minlength=20)
         assert out.num_sequences == 1
 
     def test_shredder_covers(self):
@@ -330,7 +330,7 @@ class TestNewStreams:
             "##gff-version 3\n"
             "c\t.\tgene\t1\t100\t.\t+\t.\tID=g\n"
             "c\t.\texon\t1\t10\t.\t+\t.\tParent=g\n"
-            "c\t.\texon\t20\t30\t.\t+\t.\tParent=g\n")
+            "c\t.\texon\t11\t30\t.\t+\t.\tParent=g\n")
         out = list(mergefeat_stream(nodes))
         from genometools_tpu.anno.genome_node import FeatureNode
         g = [n for n in out if isinstance(n, FeatureNode)][0]
