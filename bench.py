@@ -1,18 +1,38 @@
 #!/usr/bin/env python
-"""Benchmark: ESA suffix-sort throughput on the reference at1MB dataset.
+"""Benchmark: genometools_tpu headline metrics on the at1MB dataset.
 
 Prints ONE JSON line:
   {"metric": "esa_suffixes_per_sec", "value": N, "unit": "suffixes/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "extra_metrics": [...], "vs_reference_gt": R2}
 
-vs_baseline is the ratio against a single-host CPU run of the same
-data-parallel engine (XLA CPU backend), cached in .bench_cache.json after
-first measurement. The reference repo publishes no numbers (see
-BASELINE.md), so the CPU run of the identical workload is the recorded
-baseline hook.
+Components (all measured LIVE on the default device each run):
+  * esa_suffixes_per_sec — prefix-doubling suffix sort of at1MB
+    (n=996,218). vs_baseline = ratio vs the same engine on XLA CPU
+    (reference repo publishes no numbers; see BASELINE.md).
+  * extra_metrics[0]: seed_extend_extensions_per_sec — the full greedy
+    flank-extension workload of `seed_extend -extendgreedy` on at1MB
+    self-comparison (both strands, diagband filter, no seed skipped:
+    530k front extensions), run on the pool-resident device batch
+    (ops/greedy_batch.py greedy_extend_batch_pool). vs_baseline = ratio
+    vs the serial C++ host engine (native/gtnative.cpp greedy_batch) on
+    the same tasks — the reference-semantics scalar loop.
+  * vs_reference_gt — wall-clock ratio gt/ours for the end-to-end
+    suffixerator job (FASTA -> encseq -> suftab+lcptab -> tables on
+    disk) vs the compiled reference binary
+    (`gt suffixerator -db at1MB -suf -lcp -tis`). The gt time is
+    measured live when /tmp/gtref/bin/gt exists (scripts/
+    regen_golden_esa.sh documents the out-of-tree build) and cached in
+    .bench_cache.json otherwise. >1.0 means we are faster.
+
+Partial-failure behavior: each component stores its result into
+.bench_cache.json the moment it is measured; the watchdog (the remote
+TPU tunnel can block for minutes acquiring the chip) prints whatever
+mix of live/cached components exists, marking cached ones in "note".
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -20,10 +40,137 @@ from pathlib import Path
 import numpy as np
 
 AT1MB = "/root/reference/testdata/at1MB"
-CACHE = Path(__file__).parent / ".bench_cache.json"
+HERE = Path(__file__).parent
+CACHE = HERE / ".bench_cache.json"
+WORKLOAD = HERE / ".bench_ext_workload.npz"
+BIG = HERE / ".bench_big.fna"          # 32Mbp synthetic (saturating size)
+GT_BIN = "/tmp/gtref/bin/gt"
 
 
-def _build_rate(keys_padded: np.ndarray, n1: int, device) -> float:
+def _ensure_big() -> str:
+    """Deterministic 32Mbp random-DNA FASTA (4 sequences, seed 42)."""
+    if BIG.exists() and BIG.stat().st_size > 30_000_000:
+        return str(BIG)
+    rng = np.random.default_rng(42)
+    n = 32 * 1024 * 1024
+    b = np.frombuffer(b"acgt", np.uint8)[
+        rng.integers(0, 4, n, dtype=np.uint8)]
+    per = n // 4
+    with open(BIG, "wb") as f:
+        for s in range(4):
+            f.write(b">synthetic_%d\n" % s)
+            chunk = b[s * per:(s + 1) * per]
+            m = per - per % 70
+            body = chunk[:m].reshape(-1, 70)
+            out = np.empty((body.shape[0], 71), np.uint8)
+            out[:, :70] = body
+            out[:, 70] = 10
+            f.write(out.tobytes())
+            tail = chunk[m:]
+            if tail.size:
+                f.write(tail.tobytes() + b"\n")
+    return str(BIG)
+
+_live: dict = {}          # component -> measured-this-run payload
+
+
+def _load_cache() -> dict:
+    if CACHE.exists():
+        try:
+            return json.loads(CACHE.read_text())
+        except json.JSONDecodeError:
+            pass
+    return {}
+
+
+def _save_component(name: str, payload):
+    _live[name] = payload
+    cache = _load_cache()
+    cache[name] = payload
+    try:
+        CACHE.write_text(json.dumps(cache))
+    except OSError:
+        pass
+
+
+def _assemble(note_missing: bool = False) -> dict:
+    """Build the single output line from live + cached components."""
+    cache = _load_cache()
+    stale = []
+
+    def get(name):
+        if name in _live:
+            return _live[name]
+        if name in cache:
+            stale.append(name)
+            return cache[name]
+        return None
+
+    suf = get("suffix") or {"rate": 0, "vs": None}
+    if suf.get("vs") is None and suf.get("rate"):
+        cpu = cache.get(f"cpu_rate_suffix_{suf.get('n')}")
+        if cpu:
+            suf = dict(suf, vs=suf["rate"] / cpu)
+    ext = get("extension")
+    ref = get("vs_reference_gt")
+    out = {
+        "metric": "esa_suffixes_per_sec",
+        "value": round(suf["rate"]),
+        "unit": "suffixes/s",
+        "n_suffixes": suf.get("n"),
+        "vs_baseline": round(suf["vs"], 3) if suf.get("vs") else None,
+    }
+    extra = []
+    suf1 = get("suffix_at1MB")
+    if suf1:
+        extra.append({
+            "metric": "esa_suffixes_per_sec_at1MB",
+            "value": round(suf1["rate"]),
+            "unit": "suffixes/s",
+            "vs_baseline": round(suf1["vs"], 3) if suf1.get("vs")
+            else None,
+        })
+    if ext:
+        extra.append({
+            "metric": "seed_extend_extensions_per_sec",
+            "value": round(ext["rate"]),
+            "unit": "extensions/s",
+            "vs_baseline": round(ext["vs"], 3) if ext.get("vs") else None,
+            "tasks": ext.get("tasks"),
+        })
+    out["extra_metrics"] = extra
+    if suf.get("platform"):
+        out["device"] = suf["platform"]
+    if ref:
+        out["vs_reference_gt"] = round(ref["ratio"], 3)
+        out["gt_suffixerator_s"] = round(ref["gt_s"], 3)
+        out["ours_suffixerator_s"] = round(ref["ours_s"], 3)
+    if note_missing and stale:
+        out["note"] = "cached components (device claim timed out): " + \
+            ",".join(stale)
+    return out
+
+
+def _arm_watchdog(seconds: int = 520):
+    """If the device claim wedges (uninterruptible), emit the best
+    available mix of live + cached components so the caller always
+    receives its JSON line."""
+    import threading
+
+    def fire():
+        print(json.dumps(_assemble(note_missing=True)), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+# ---------------------------------------------------------------- suffix
+
+def _build_rate(keys_padded: np.ndarray, n1: int, device,
+                reps: int = 3) -> float:
     """suffixes/s for the SA build of keys (padded to pow2) on device."""
     import jax
 
@@ -40,7 +187,7 @@ def _build_rate(keys_padded: np.ndarray, n1: int, device) -> float:
         sa, _, _ = _build_sa_impl(k, npad, False)
         np.asarray(sa[:8])
         times = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             sa, _, _ = _build_sa_impl(k, npad, False)
             sa.block_until_ready()
@@ -49,94 +196,261 @@ def _build_rate(keys_padded: np.ndarray, n1: int, device) -> float:
     return n1 / min(times)
 
 
-def _arm_watchdog(seconds: int = 420):
-    """The remote TPU tunnel sometimes blocks for many minutes acquiring
-    the chip (jax.devices() is uninterruptible). If that happens, emit
-    the last known result (or a CPU-measured fallback marker) so the
-    caller always receives its JSON line."""
-    import os
-    import threading
-
-    def fire():
-        cache = {}
-        if CACHE.exists():
-            try:
-                cache = json.loads(CACHE.read_text())
-            except json.JSONDecodeError:
-                pass
-        last = cache.get("last_result")
-        if last is None:
-            last = {"metric": "esa_suffixes_per_sec", "value": 0,
-                    "unit": "suffixes/s", "vs_baseline": None,
-                    "note": "device unavailable (claim timeout)"}
-        else:
-            last = dict(last)
-            last["note"] = "cached result; device claim timed out"
-        print(json.dumps(last), flush=True)
-        os._exit(0)
-
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
-
-
-def main():
-    watchdog = _arm_watchdog()
-    import jax
-
-    from genometools_tpu.core.encseq import Encseq
+def _padded_keys(encseq):
     from genometools_tpu.index.suffix import _next_pow2
 
-    e = Encseq.from_files([AT1MB])
-    keys = e.suffix_keys()
+    keys = encseq.suffix_keys()
     n1 = keys.size
     npad = _next_pow2(n1)
     maxkey = int(keys.max())
     pad = maxkey + 1 + np.arange(npad - n1, dtype=np.int32)
-    keys_p = np.concatenate([keys, pad]).astype(np.int32)
+    return np.concatenate([keys, pad]).astype(np.int32), n1
 
-    dev = jax.devices()[0]
-    rate = _build_rate(keys_p, n1, dev)
-    print(f"# device={dev.platform} n1={n1} rate={rate:,.0f} suffixes/s",
-          file=sys.stderr)
 
-    cache = {}
-    if CACHE.exists():
-        try:
-            cache = json.loads(CACHE.read_text())
-        except json.JSONDecodeError:
-            cache = {}
-    base_key = f"cpu_rate_at1MB_{n1}"
-    if dev.platform == "cpu":
-        cpu_rate = rate
-    elif base_key in cache:
-        cpu_rate = cache[base_key]
-    else:
-        try:
-            cpu = jax.devices("cpu")[0]
-            cpu_rate = _build_rate(keys_p, n1, cpu)
+def bench_suffix(dev, enc_big, enc_small) -> None:
+    """Primary: 32Mbp synthetic (saturating size). Secondary: at1MB."""
+    import jax
+
+    cache = _load_cache()
+    for comp, enc in (("suffix", enc_big), ("suffix_at1MB", enc_small)):
+        keys_p, n1 = _padded_keys(enc)
+        reps = 1 if (dev.platform == "cpu" and n1 > 2 ** 23) else 3
+        rate = _build_rate(keys_p, n1, dev, reps=reps)
+        print(f"# {comp}: device={dev.platform} n1={n1} "
+              f"rate={rate:,.0f} suffixes/s", file=sys.stderr)
+        base_key = f"cpu_rate_{comp}_{n1}"
+        if dev.platform == "cpu":
+            cpu_rate = rate
             cache[base_key] = cpu_rate
             CACHE.write_text(json.dumps(cache))
-        except Exception as exc:  # no cpu backend reachable
-            print(f"# cpu baseline unavailable: {exc}", file=sys.stderr)
+        elif base_key in cache:
+            cpu_rate = cache[base_key]
+        elif comp == "suffix_at1MB":    # small enough to measure inline
+            try:
+                cpu = jax.devices("cpu")[0]
+                cpu_rate = _build_rate(keys_p, n1, cpu)
+                cache[base_key] = cpu_rate
+                CACHE.write_text(json.dumps(cache))
+            except Exception as exc:
+                print(f"# cpu baseline unavailable: {exc}",
+                      file=sys.stderr)
+                cpu_rate = None
+        else:                           # 32M CPU run ~4min: cache-only
             cpu_rate = None
-    print(f"# cpu baseline={cpu_rate and f'{cpu_rate:,.0f}'}", file=sys.stderr)
+            print(f"# {comp}: no cached CPU baseline (run "
+                  f"`python bench.py --cpu` once to record it)",
+                  file=sys.stderr)
+        print(f"# {comp} cpu baseline="
+              f"{cpu_rate and f'{cpu_rate:,.0f}'}", file=sys.stderr)
+        _save_component(comp, {
+            "rate": rate,
+            "vs": (rate / cpu_rate) if cpu_rate else None,
+            "n": n1,
+            "platform": dev.platform,
+        })
 
-    vs = (rate / cpu_rate) if cpu_rate else None
-    watchdog.cancel()
-    result = {
-        "metric": "esa_suffixes_per_sec",
-        "value": round(rate),
-        "unit": "suffixes/s",
-        "vs_baseline": round(vs, 3) if vs else None,
-    }
-    cache["last_result"] = result
+
+# ------------------------------------------------------------- extension
+
+def _ext_workload(encseq):
+    """(pool, u_off, u_len, v_off, v_len, rev, k, sl) for the at1MB
+    greedy workload; cached on disk (deterministic, ~30s to collect)."""
+    import jax
+    cap = int(os.environ.get("GT_BENCH_MAX_TASKS", "0")) or None
+    if cap is None and jax.devices()[0].platform == "cpu":
+        cap = 2000        # the XLA fallback path is far too slow on CPU
+    if WORKLOAD.exists():
+        z = np.load(WORKLOAD)
+        sl = slice(None, cap)
+        return (z["pool"], z["u_off"][sl], z["u_len"][sl],
+                z["v_off"][sl], z["v_len"][sl], z["rev"][sl],
+                int(z["k"]))
+    from genometools_tpu.match.ext_workload import collect_extension_pool
+    from genometools_tpu.match.seed_extend import SeedExtendParams
+    params = SeedExtendParams(extension="greedy")
+    pool, u_off, u_len, v_off, v_len, rev, k = \
+        collect_extension_pool(encseq, params, max_tasks=cap)
+    if cap is not None:
+        return pool, u_off, u_len, v_off, v_len, rev, k
     try:
-        CACHE.write_text(json.dumps(cache))
+        np.savez_compressed(
+            WORKLOAD, pool=pool, u_off=u_off.astype(np.int32),
+            u_len=u_len.astype(np.int32), v_off=v_off.astype(np.int32),
+            v_len=v_len.astype(np.int32), rev=rev, k=np.int32(k))
     except OSError:
         pass
-    print(json.dumps(result))
+    return pool, u_off, u_len, v_off, v_len, rev, k
+
+
+def bench_extension(dev, encseq) -> None:
+    from genometools_tpu.ops.greedy import PolishingInfo
+    from genometools_tpu.ops.greedy_batch import greedy_extend_batch_pool
+    from genometools_tpu.match.seed_extend import SeedExtendParams
+
+    params = SeedExtendParams(extension="greedy")
+    pmh, mad = params.greedy_params()
+    pol = PolishingInfo.new(float(params.errorpercentage), params.history)
+    kw = dict(seedlengths=None, perc_mat_history=pmh,
+              maxalignedlendifference=mad, pol_info=pol,
+              history=params.history)
+
+    t0 = time.perf_counter()
+    pool, u_off, u_len, v_off, v_len, rev, k = _ext_workload(encseq)
+    kw["seedlengths"] = k
+    n = int(u_off.size)
+    print(f"# extension workload: {n} tasks (k={k}) "
+          f"[{time.perf_counter() - t0:.1f}s]", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    res = greedy_extend_batch_pool(pool, u_off, u_len, v_off, v_len,
+                                   rev, **kw)
+    elapsed = time.perf_counter() - t0
+    rate = n / elapsed
+    checksum = int(np.asarray(res["alignedlen"], np.int64).sum())
+    print(f"# extension: device={dev.platform} {rate:,.0f} ext/s "
+          f"({elapsed:.2f}s, alignedlen sum {checksum})", file=sys.stderr)
+
+    cache = _load_cache()
+    base_key = f"cxx_ext_rate_at1MB_{n}"
+    if base_key in cache:
+        cxx_rate = cache[base_key]
+    else:
+        cxx_rate = _cxx_ext_rate(pool, u_off, u_len, v_off, v_len, rev,
+                                 k, pmh, mad, pol, params.history)
+        if cxx_rate:
+            cache = _load_cache()
+            cache[base_key] = cxx_rate
+            CACHE.write_text(json.dumps(cache))
+    print(f"# extension C++ baseline={cxx_rate and f'{cxx_rate:,.0f}'}",
+          file=sys.stderr)
+    _save_component("extension", {
+        "rate": rate,
+        "vs": (rate / cxx_rate) if cxx_rate else None,
+        "tasks": n,
+        "alignedlen_sum": checksum,
+        "platform": dev.platform,
+    })
+
+
+def _cxx_ext_rate(pool, u_off, u_len, v_off, v_len, rev, k, pmh, mad,
+                  pol, history):
+    """Serial C++ host engine on the same tasks (the reference-semantics
+    scalar loop): measured on a 30k-task sample, extrapolated per-task."""
+    try:
+        from genometools_tpu.core.native import greedy_batch_native
+    except Exception as exc:
+        print(f"# C++ engine unavailable: {exc}", file=sys.stderr)
+        return None
+    n = int(u_off.size)
+    m = min(n, 30000)
+    idx = np.linspace(0, n - 1, m).astype(np.int64)
+    us, vs = [], []
+    for i in idx:
+        u = pool[u_off[i]:u_off[i] + u_len[i]]
+        v = pool[v_off[i]:v_off[i] + v_len[i]]
+        if rev[i]:
+            u, v = u[::-1], v[::-1]
+        us.append(u)
+        vs.append(v)
+    t0 = time.perf_counter()
+    res = greedy_batch_native(us, vs, max_history=history,
+                              perc_mat_history=pmh,
+                              maxalignedlendifference=mad,
+                              seedlengths=np.full(m, k, np.int64),
+                              pol=pol)
+    if res is None:
+        print("# C++ engine unavailable (no shared lib)", file=sys.stderr)
+        return None
+    return m / (time.perf_counter() - t0)
+
+
+# ------------------------------------------------------- vs reference gt
+
+def bench_vs_gt(dev) -> None:
+    """End-to-end suffixerator wall clock on the 32Mbp synthetic input:
+    FASTA -> encseq -> SA+LCP -> tables on disk, ours on the live device
+    vs the compiled reference binary (same input, same outputs:
+    tis/suf/lcp)."""
+    import tempfile
+
+    big = _ensure_big()
+    cache = _load_cache()
+    gt_s = None
+    if os.path.exists(GT_BIN):
+        with tempfile.TemporaryDirectory() as w:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                subprocess.run(
+                    [GT_BIN, "suffixerator", "-db", big, "-indexname",
+                     os.path.join(w, "idx"), "-suf", "-lcp", "-tis"],
+                    check=True, capture_output=True)
+                ts.append(time.perf_counter() - t0)
+            gt_s = min(ts)
+        cache = _load_cache()
+        cache["gt_suffixerator_32M_s"] = gt_s
+        try:
+            CACHE.write_text(json.dumps(cache))
+        except OSError:
+            pass
+    elif "gt_suffixerator_32M_s" in cache:
+        gt_s = cache["gt_suffixerator_32M_s"]
+    if gt_s is None:
+        print("# vs_reference_gt skipped: no gt binary and no cached "
+              "time (scripts/regen_golden_esa.sh documents the build)",
+              file=sys.stderr)
+        return
+    print(f"# gt suffixerator: {gt_s:.3f}s", file=sys.stderr)
+
+    import jax
+
+    from genometools_tpu.core.encseq import Encseq
+    from genometools_tpu.core.esq import write_all
+    from genometools_tpu.index.esa import build_esa, write_esa
+
+    with jax.default_device(dev), tempfile.TemporaryDirectory() as w:
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            e = Encseq.from_files([big])
+            write_all(e, os.path.join(w, "idx"))        # = gt -tis
+            esa = build_esa(e, with_lcp=True)
+            write_esa(esa, os.path.join(w, "idx"), suf=True, lcp=True)
+            ts.append(time.perf_counter() - t0)
+        ours_s = min(ts)
+    print(f"# ours suffixerator (end-to-end, {dev.platform}): "
+          f"{ours_s:.3f}s", file=sys.stderr)
+    _save_component("vs_reference_gt", {
+        "ratio": gt_s / ours_s, "gt_s": gt_s, "ours_s": ours_s,
+    })
+
+
+def main():
+    cpu_mode = "--cpu" in sys.argv
+    if cpu_mode:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    # CPU runs exist to record baselines: give them room
+    watchdog = _arm_watchdog(3600 if cpu_mode else 520)
+    import jax
+
+    from genometools_tpu.core.encseq import Encseq
+
+    dev = jax.devices()[0]
+    enc_small = Encseq.from_files([AT1MB])
+    enc_big = Encseq.from_files([_ensure_big()])
+
+    for step in (lambda: bench_suffix(dev, enc_big, enc_small),
+                 lambda: bench_extension(dev, enc_small),
+                 lambda: bench_vs_gt(dev)):
+        try:
+            step()
+        except Exception as exc:
+            print(f"# component failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
+    watchdog.cancel()
+    print(json.dumps(_assemble()))
 
 
 if __name__ == "__main__":

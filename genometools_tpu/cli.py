@@ -2803,6 +2803,65 @@ def _add_featureindex(sub):
     p.set_defaults(func=cmd_featureindex)
 
 
+def cmd_snpper(args):
+    """gt snpper (ref: src/tools/gt_snpper.c)."""
+    from .anno.cds import RegionMapping
+    from .anno.gff3 import GFF3Writer, parse_gff3
+    from .anno.node_stream import sort_stream
+    from .anno.snpper import snp_annotator_stream
+    from .core.trans_table import TransTable
+
+    try:
+        tt = TransTable(args.trans_table)
+    except ValueError as e:
+        print(f"gt snpper: error: {e}", file=sys.stderr)
+        return 1
+    gff_nodes = list(sort_stream(parse_gff3(open(args.gff3_file).read())))
+    gvf_text = open(args.gvf_file).read() if args.gvf_file != "-" \
+        else sys.stdin.read()
+    gvf_nodes = list(sort_stream(parse_gff3(gvf_text)))
+    try:
+        if args.encseq:
+            rmap = RegionMapping.from_encseq(args.encseq,
+                                             matchdesc=args.matchdesc,
+                                             usedesc=args.usedesc)
+        elif args.seqfile:
+            rmap = RegionMapping.from_file(args.seqfile,
+                                           matchdesc=args.matchdesc,
+                                           usedesc=args.usedesc)
+        else:
+            print("gt snpper: error: option \"-seqfile\" or \"-encseq\" "
+                  "is mandatory", file=sys.stderr)
+            return 1
+        out = list(snp_annotator_stream(gvf_nodes, gff_nodes, rmap, tt))
+    except ValueError as e:
+        print(f"gt snpper: error: {e}", file=sys.stderr)
+        return 1
+    text = GFF3Writer().render(out)
+    if args.o:
+        with open(args.o, "w") as fp:
+            fp.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def _add_snpper(sub):
+    p = sub.add_parser(
+        "snpper", help="annotate SNPs according to their effect on the "
+        "genome as given by a genomic annotation")
+    p.add_argument("gff3_file")
+    p.add_argument("gvf_file", nargs="?", default="-")
+    p.add_argument("-trans_table", type=int, default=1,
+                   help="NCBI translation table number")
+    p.add_argument("-seqfile", default=None)
+    p.add_argument("-encseq", default=None)
+    p.add_argument("-matchdesc", action="store_true")
+    p.add_argument("-usedesc", action="store_true")
+    p.add_argument("-o", default=None)
+    p.set_defaults(func=cmd_snpper)
+
+
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
              _add_readjoiner, _add_ltrharvest, _add_ltrdigest,
@@ -2821,7 +2880,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_dot, _add_convertseq, _add_seq, _add_shulengthdist,
              _add_encseq2spm, _add_prebwt, _add_mkfmindex,
              _add_mkfeatureindex, _add_featureindex, _add_condenseq,
-             _add_scriptfilter, _add_speck, _add_feat_streams]
+             _add_scriptfilter, _add_speck, _add_feat_streams,
+             _add_snpper]
 
 
 def main(argv=None):

@@ -114,12 +114,14 @@ class SpecialRanges:
 
 def _runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Run-length starts/lengths of True runs in a boolean mask."""
-    if mask.size == 0:
+    pos = np.flatnonzero(mask)
+    if pos.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    m = mask.astype(np.int8)
-    d = np.diff(m, prepend=0, append=0)
-    starts = np.flatnonzero(d == 1).astype(np.int64)
-    ends = np.flatnonzero(d == -1).astype(np.int64)
+    # True positions are sparse in practice: derive runs from gaps in the
+    # position list instead of diffing the whole mask
+    brk = np.flatnonzero(pos[1:] != pos[:-1] + 1)
+    starts = pos[np.concatenate([[0], brk + 1])].astype(np.int64)
+    ends = pos[np.concatenate([brk, [pos.size - 1]])].astype(np.int64) + 1
     return starts, ends - starts
 
 
@@ -279,9 +281,9 @@ class Encseq:
         if n + self.alphabet.num_chars >= 2 ** 31:
             raise NotImplementedError("int64 index path not yet wired")
         keys = np.empty(n + 1, np.int32)
-        pos = np.arange(n, dtype=np.int32)
-        special = is_special(c)
-        keys[:n] = np.where(special, self.alphabet.num_chars + pos, c.astype(np.int32))
+        keys[:n] = c                       # uint8 -> int32, one pass
+        sp = np.flatnonzero(is_special(c)).astype(np.int32)
+        keys[sp] = self.alphabet.num_chars + sp
         keys[n] = self.alphabet.num_chars + n
         return keys
 

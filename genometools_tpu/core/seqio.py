@@ -80,7 +80,10 @@ def parse_fasta_bytes(data: bytes) -> SeqSet:
     ]
 
     # payload mask: not newline/CR/space/tab and not inside a header line
-    keep = (buf != _NL) & (buf != ord("\r")) & (buf != ord(" ")) & (buf != ord("\t"))
+    # (single table gather instead of four whole-buffer compares)
+    table = np.ones(256, bool)
+    table[[_NL, ord("\r"), ord(" "), ord("\t")]] = False
+    keep = table[buf]
     # mask header bytes directly (their trailing newlines are already
     # excluded): header bytes are a tiny fraction of the file, so an
     # explicit index list beats a whole-buffer interval cumsum
@@ -91,14 +94,16 @@ def parse_fasta_bytes(data: bytes) -> SeqSet:
                 + np.arange(int(hlen.sum()), dtype=np.int64))
         keep[hidx] = False
 
-    payload_idx = np.flatnonzero(keep)
-    # which record each payload byte belongs to
-    rec = np.searchsorted(header_starts, payload_idx, side="right") - 1
-    payload = buf[payload_idx]
-    seqs = []
-    bounds = np.searchsorted(rec, np.arange(len(descs) + 1))
-    for i in range(len(descs)):
-        seqs.append(payload[bounds[i]:bounds[i + 1]])
+    # record boundaries via counts of kept bytes before each header:
+    # dropped positions (newlines/ws/header bytes) are sparse, so count
+    # them with a searchsorted over their positions instead of a
+    # whole-buffer cumsum
+    payload = buf[keep]
+    dropped = np.flatnonzero(~keep)
+    bounds = np.empty(len(descs) + 1, np.int64)
+    bounds[:-1] = header_starts - np.searchsorted(dropped, header_starts)
+    bounds[-1] = payload.size
+    seqs = [payload[bounds[i]:bounds[i + 1]] for i in range(len(descs))]
     return SeqSet(seqs=seqs, descs=descs)
 
 
