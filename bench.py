@@ -112,7 +112,9 @@ def _assemble(note_missing: bool = False) -> dict:
         if cpu:
             suf = dict(suf, vs=suf["rate"] / cpu)
     ext = get("extension")
-    ref = get("vs_reference_gt")
+    # key namespaced by input size: the round-2 cache held an at1MB
+    # measurement under the unqualified name (ADVICE.md round 2)
+    ref = get("vs_reference_gt_32M")
     out = {
         "metric": "esa_suffixes_per_sec",
         "value": round(suf["rate"]),
@@ -420,7 +422,7 @@ def bench_vs_gt(dev) -> None:
         ours_s = min(ts)
     print(f"# ours suffixerator (end-to-end, {dev.platform}): "
           f"{ours_s:.3f}s", file=sys.stderr)
-    _save_component("vs_reference_gt", {
+    _save_component("vs_reference_gt_32M", {
         "ratio": gt_s / ours_s, "gt_s": gt_s, "ours_s": ours_s,
     })
 
@@ -450,7 +452,7 @@ def main():
                   file=sys.stderr)
 
     watchdog.cancel()
-    print(json.dumps(_assemble()))
+    print(json.dumps(_assemble(note_missing=True)))
 
 
 if __name__ == "__main__":

@@ -99,39 +99,49 @@ def _annotate_snp(snp: FeatureNode, gene: FeatureNode,
         if not mrnaseq:
             continue
         reverse = mrna.strand == "-"
-        pos = 0
+        # walk the CDS segments in order, accumulating the lengths of the
+        # ones upstream of the SNP so `pos` is the SNP's offset inside the
+        # spliced mRNA (ref: snp_annotator_visitor.c:216 — non-overlapping
+        # CDS add gt_range_length(&cds_rng) to mrnasnppos)
+        pos = None
+        acc = 0
         for node in mrna.traverse():
             if node.type != "CDS":
                 continue
             cds_rng = Range(node.start, node.end)
-            if not snp_rng.overlaps(cds_rng):
+            if snp_rng.overlaps(cds_rng):
+                pos = acc + snp.start - node.start
+                break
+            acc += node.end - node.start + 1
+        if pos is None:
+            continue
+        if reverse:
+            pos = len(mrnaseq) - pos - 1
+        if not 0 <= pos < len(mrnaseq):
+            continue
+        origchar = mrnaseq[pos]
+        variant = snp.get_attribute("Variant_seq") or ""
+        idx = 0
+        for ch in variant:
+            if ch == ";":
+                break
+            if ch == ",":
                 continue
-            # reference accumulates only the offset inside the hit CDS
-            # (snp_annotator_visitor.c:216), mirrored for parity
-            pos += snp.start - node.start
-            if reverse:
-                pos = len(mrnaseq) - pos - 1
-            if not 0 <= pos < len(mrnaseq):
-                continue
-            origchar = mrnaseq[pos]
-            variant = snp.get_attribute("Variant_seq") or ""
-            idx = 0
-            for ch in variant:
-                if ch == ";":
-                    break
-                if ch == "," or ch == origchar:
-                    continue
-                vch = ch.translate(_COMPLEMENT) if reverse else ch
-                effect = _classify(tt, mrnaseq, pos, vch)
-                if effect is None:
-                    idx += 1
-                    continue
-                entry = (f"{effect} {idx} {mrna.type} "
-                         f"{mrna.get_attribute('ID')}")
-                prev = snp.get_attribute("Variant_effect")
-                snp.set_attribute("Variant_effect",
-                                  f"{prev},{entry}" if prev else entry)
+            if ch == origchar:
+                # ref: `else if (*variantchars == origchar) i++;`
                 idx += 1
+                continue
+            vch = ch.translate(_COMPLEMENT) if reverse else ch
+            effect = _classify(tt, mrnaseq, pos, vch)
+            if effect is None:
+                idx += 1
+                continue
+            entry = (f"{effect} {idx} {mrna.type} "
+                     f"{mrna.get_attribute('ID')}")
+            prev = snp.get_attribute("Variant_effect")
+            snp.set_attribute("Variant_effect",
+                              f"{prev},{entry}" if prev else entry)
+            idx += 1
 
 
 def snp_annotator_stream(gvf_nodes, gff_nodes, rmap,

@@ -90,6 +90,42 @@ class TestSnpAnnotator:
         assert out[0].get_attribute("Variant_effect") == \
             "stop_retained_variant 0 mRNA m"
 
+    def test_multi_exon_cds_offset(self):
+        # SNP in the 2nd CDS: upstream CDS lengths must accumulate into
+        # the mRNA position (ref: snp_annotator_visitor.c — non-hit CDS
+        # add gt_range_length to mrnasnppos).
+        # spliced mRNA = ATGGCT + TCATAA = ATG GCT TCA TAA (M A S *)
+        gff = ("##gff-version 3\n"
+               "chr1\t.\tgene\t1\t21\t.\t+\t.\tID=g\n"
+               "chr1\t.\tmRNA\t1\t21\t.\t+\t.\tID=m;Parent=g\n"
+               "chr1\t.\tCDS\t1\t6\t.\t+\t0\tParent=m\n"
+               "chr1\t.\tCDS\t16\t21\t.\t+\t0\tParent=m\n")
+        # genomic pos 17 = 'C' (mRNA pos 7, codon TCA); C->G gives TGA
+        gvf = ("##gff-version 3\n"
+               "chr1\t.\tSNV\t17\t17\t.\t+\t.\t"
+               "ID=s;Reference_seq=C;Variant_seq=G\n")
+        rmap = RegionMapping(["chr1"], [GENOME])
+        out = [n for n in snp_annotator_stream(
+            list(sort_stream(parse_gff3(gvf))),
+            list(sort_stream(parse_gff3(gff))), rmap)
+            if getattr(n, "type", None) == "SNV"]
+        assert out[0].get_attribute("Variant_effect") == \
+            "stop_gained 0 mRNA m"
+
+    def test_variant_index_after_matching_allele(self):
+        # 'G,A' where G equals the reference base: the A allele must be
+        # reported with index 1 (ref increments i for matching alleles).
+        gvf_text = GVF.replace("ID=snp1;Reference_seq=G;Variant_seq=A",
+                               "ID=snp1;Reference_seq=G;Variant_seq=G,A")
+        rmap = RegionMapping(["chr1"], [GENOME])
+        out = [n for n in snp_annotator_stream(
+            list(sort_stream(parse_gff3(gvf_text))),
+            list(sort_stream(parse_gff3(GFF))), rmap)
+            if getattr(n, "type", None) == "SNV"]
+        snp1 = next(n for n in out if n.get_attribute("ID") == "snp1")
+        assert snp1.get_attribute("Variant_effect") == \
+            "non_conservative_missense_variant 1 mRNA mRNA1"
+
 
 class TestTransTable:
     def test_standard(self):
