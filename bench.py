@@ -173,12 +173,13 @@ def _arm_watchdog(seconds: int = 520):
 
 def _build_rate(keys_padded: np.ndarray, n1: int, device,
                 reps: int = 3) -> float:
-    """suffixes/s for the SA build of keys (padded to pow2) on device."""
+    """suffixes/s for the SA build of keys (padded to pow2) on device
+    (the packed-bootstrap engine, index/suffix._sa_pipeline)."""
     import jax
 
-    from genometools_tpu.index.suffix import _build_sa_impl
+    from genometools_tpu.index.suffix import _sa_pipeline
 
-    npad = keys_padded.size
+    sigma = int(keys_padded[n1 - 1]) - (n1 - 1)
     with jax.default_device(device):
         k = jax.device_put(jax.numpy.asarray(keys_padded), device)
         # force a host round trip first: on the remote (axon tunnel)
@@ -186,12 +187,12 @@ def _build_rate(keys_padded: np.ndarray, n1: int, device,
         # transfer handshake has happened
         np.asarray(k[:8])
         # warmup / compile
-        sa, _, _ = _build_sa_impl(k, npad, False)
+        sa, _ = _sa_pipeline(k, n1, sigma, False)
         np.asarray(sa[:8])
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            sa, _, _ = _build_sa_impl(k, npad, False)
+            sa, _ = _sa_pipeline(k, n1, sigma, False)
             sa.block_until_ready()
             np.asarray(sa[:8])  # sync via tiny fetch
             times.append(time.perf_counter() - t0)
@@ -303,12 +304,26 @@ def bench_extension(dev, encseq) -> None:
     print(f"# extension workload: {n} tasks (k={k}) "
           f"[{time.perf_counter() - t0:.1f}s]", file=sys.stderr)
 
+    # warmup: first call pays every kernel-tier compile (the round-2
+    # driver run timed one cold call and recorded 28x below the warm
+    # rate); the timed reps then follow the same min-of-N protocol as
+    # bench_suffix
     t0 = time.perf_counter()
     res = greedy_extend_batch_pool(pool, u_off, u_len, v_off, v_len,
                                    rev, **kw)
-    elapsed = time.perf_counter() - t0
-    rate = n / elapsed
     checksum = int(np.asarray(res["alignedlen"], np.int64).sum())
+    print(f"# extension warmup (compiles): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = greedy_extend_batch_pool(pool, u_off, u_len, v_off, v_len,
+                                       rev, **kw)
+        np.asarray(res["alignedlen"]).sum()      # host sync
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    rate = n / elapsed
+    assert int(np.asarray(res["alignedlen"], np.int64).sum()) == checksum
     print(f"# extension: device={dev.platform} {rate:,.0f} ext/s "
           f"({elapsed:.2f}s, alignedlen sum {checksum})", file=sys.stderr)
 
@@ -429,9 +444,17 @@ def bench_vs_gt(dev) -> None:
 
 def main():
     cpu_mode = "--cpu" in sys.argv
+    import jax
     if cpu_mode:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeat driver runs skip XLA compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(HERE / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     # CPU runs exist to record baselines: give them room
     watchdog = _arm_watchdog(3600 if cpu_mode else 520)
     import jax

@@ -251,7 +251,8 @@ def determine_sat(enc: Encseq, nfiles: int, lenfn: int,
     src/core/encseq_access_type.c:97)."""
     total = enc.total_length
     nseq = enc.num_sequences
-    wstarts, wlens = _runs(enc.codes == WILDCARD)
+    wstarts, wlens = (enc.wildcard_ranges.starts,
+                      enc.wildcard_ranges.lengths)
     eqlen = _equal_length(enc) is not None and wstarts.size == 0
     if eqlen:
         return SAT_EQUALLENGTH
@@ -288,7 +289,6 @@ def _equal_length(enc: Encseq) -> int | None:
 def _specialcharinfo(enc: Encseq, sat: int) -> list[int]:
     codes = enc.codes
     n = codes.size
-    sp = is_special(codes)
     sstarts, slens = enc.special_ranges.starts, enc.special_ranges.lengths
     wstarts, wlens = enc.wildcard_ranges.starts, enc.wildcard_ranges.lengths
     # stored range counts depend on the chosen representation; non-table
@@ -301,9 +301,15 @@ def _specialcharinfo(enc: Encseq, sat: int) -> list[int]:
     lwpre = int(wlens[0]) if wstarts.size and wstarts[0] == 0 else 0
     lwsuf = int(wlens[-1]) if wstarts.size \
         and wstarts[-1] + wlens[-1] == n else 0
-    # longest nonspecial stretch
-    nsstarts, nslens = _runs(~sp)
-    longest = int(nslens.max()) if nslens.size else 0
+    # longest nonspecial stretch = largest gap between special runs
+    # (deriving it from the run table avoids materializing the ~33M
+    # position list flatnonzero(~sp) would produce on big inputs)
+    if sstarts.size:
+        stretch = np.concatenate([sstarts, [n]]) - \
+            np.concatenate([[0], sstarts + slens])
+        longest = int(stretch.max())
+    else:
+        longest = n if n else 0
     return [int(slens.sum()) if slens.size else 0,
             _stored_ranges(slens, maxval),
             int(sstarts.size),
@@ -363,7 +369,8 @@ def write_esq(enc: Encseq, indexname: str, sat: int | None = None) -> int:
     else:
         sepval = wcval = lpc
     w.add(_twobit_encode(enc.codes, sepval, wcval).tobytes())
-    wstarts, wlens = _runs(enc.codes == WILDCARD)
+    wstarts, wlens = (enc.wildcard_ranges.starts,
+                      enc.wildcard_ranges.lengths)
     if sat == SAT_BITACCESS:
         if wstarts.size > 0 or nseq > 1:
             nwords = (total + 64 + 63) // 64

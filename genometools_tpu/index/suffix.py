@@ -141,6 +141,267 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+# ---------------------------------------------------------------------------
+# packed-bootstrap engine (the round-3 fast path)
+#
+# Design (replaces the ab-initio doubling above on the product path):
+#   * pack the first m symbols of every suffix into two int32 words
+#     (b bits per slot: regular symbol -> code, first special -> sigma,
+#     everything after the first special -> 0, so packed-key order is a
+#     refinable coarsening of the reference suffix order contract),
+#   * ONE multi-key `lax.sort` then ranks m symbols deep at once — for
+#     DNA m = 20, so random-like data is fully resolved after a single
+#     device sort instead of log2(n) doubling rounds,
+#   * windows containing a special are finished inside the bootstrap by
+#     a position tiebreak (specials compare by absolute position, see
+#     Encseq.suffix_keys),
+#   * surviving ties (true repeats >= m symbols) are refined by
+#     prefix-doubling restricted to the tied subset only: each round
+#     sorts just the unresolved elements (head-rank convention keeps
+#     rank updates group-local), so refinement cost is proportional to
+#     repeat mass, not to n,
+#   * LCP: because every tie group shares identical packed words, the
+#     bootstrap's SORTED packed arrays are valid in final suftab order,
+#     so sub-m lcp residues are one elementwise XOR+clz pass with zero
+#     gathers; only the (few) pairs with lcp >= m descend the per-round
+#     full-rank snapshots, as a compacted subset.
+# ---------------------------------------------------------------------------
+
+_FSBITS = 5                                  # fs field: offsets 0..m <= 31
+
+
+def _pack_plan(sigma: int):
+    """(slot_bits, hi_slots, lo_slots, window_m) for alphabet size
+    sigma. lo keeps its bottom _FSBITS bits for the first-special
+    offset so (hi, lo) comparison already covers it."""
+    b = max(2, int(sigma).bit_length())      # holds 0..sigma (sigma = special)
+    per_hi = 30 // b                         # keep int32 sign bit clear
+    per_lo = (30 - _FSBITS) // b
+    return b, per_hi, per_lo, per_hi + per_lo
+
+
+@partial(jax.jit, static_argnames=("b", "per_hi", "per_lo", "sigma"))
+def _pack_windows(keysx: jnp.ndarray, b: int, per_hi: int, per_lo: int,
+                  sigma: int):
+    """Pack the m = per_hi+per_lo symbol window at every position into
+    (hi, lo) int32 words: b-bit slots (regular -> code, first special ->
+    sigma, after first special -> 0), with lo's low _FSBITS bits holding
+    fs = offset of the first special (m if none). Lexicographic order of
+    (hi, lo) == window order because fs is a function of the slots.
+    keysx must carry m extra special-valued pad entries."""
+    m = per_hi + per_lo
+    n1p = keysx.shape[0] - m
+    hi = jnp.zeros(n1p, jnp.int32)
+    lo = jnp.zeros(n1p, jnp.int32)
+    fs = jnp.full(n1p, m, jnp.int32)
+    seen = jnp.zeros(n1p, jnp.bool_)
+    for j in range(m):
+        kj = jax.lax.dynamic_slice_in_dim(keysx, j, n1p)
+        spec = kj >= sigma
+        slot = jnp.where(seen, 0, jnp.where(spec, sigma, kj))
+        fs = jnp.where(jnp.logical_and(spec, jnp.logical_not(seen)), j, fs)
+        seen = jnp.logical_or(seen, spec)
+        if j < per_hi:
+            hi = (hi << b) | slot
+        else:
+            lo = (lo << b) | slot
+    return hi, (lo << _FSBITS) | fs
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _bootstrap_rank(hi, lo, m: int):
+    """Sort by (hi, lo, position-if-special-window); return head ranks
+    (rank = suftab slot of the first member of the tie group), the tied
+    mask (packed to bits for a cheap host fetch), the tied count, and
+    the sorted packed words (valid in FINAL suftab order: tie-group
+    members share identical packed words)."""
+    n1p = hi.shape[0]
+    idx = jnp.arange(n1p, dtype=jnp.int32)
+    fs = lo & ((1 << _FSBITS) - 1)
+    tb = jnp.where(fs < m, idx, jnp.int32(n1p))
+    shi, slo, stb, order = jax.lax.sort((hi, lo, tb, idx), num_keys=3)
+    starts = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]) | (stb[1:] != stb[:-1])])
+    head = jax.lax.cummax(jnp.where(starts, idx, 0))
+    rank = jnp.zeros(n1p, jnp.int32).at[order].set(head)
+    starts_next = jnp.concatenate([starts[1:], jnp.ones(1, jnp.bool_)])
+    tied_sorted = jnp.logical_not(starts & starts_next)
+    tied = jnp.zeros(n1p, jnp.bool_).at[order].set(tied_sorted)
+    return rank, jnp.packbits(tied), tied_sorted.sum(), shi, slo
+
+
+@jax.jit
+def _refine_subset(rank, s, valid, h):
+    """One doubling round on the tied subset only. rank uses the
+    head-rank convention, so splitting a group assigns ranks that stay
+    inside the group's suftab slot range — no global re-ranking."""
+    n1p = rank.shape[0]
+    kcap = s.shape[0]
+    j = jnp.arange(kcap, dtype=jnp.int32)
+    big = jnp.int32(2 ** 31 - 1)
+    key1 = jnp.where(valid, rank[jnp.minimum(s, n1p - 1)], big)
+    s2 = jnp.minimum(s + jnp.minimum(h, n1p), n1p - 1)
+    key2 = jnp.where(valid, rank[s2], j)       # pads: distinct singletons
+    k1, k2, ss, vs = jax.lax.sort(
+        (key1, key2, s, valid.astype(jnp.int32)), num_keys=2)
+    startg = jnp.concatenate([jnp.ones(1, jnp.bool_), k1[1:] != k1[:-1]])
+    startp = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])])
+    grp_start = jax.lax.cummax(jnp.where(startg, j, 0))
+    pair_start = jax.lax.cummax(jnp.where(startp, j, 0))
+    new_rank = k1 + (pair_start - grp_start)
+    tgt = jnp.where(vs.astype(jnp.bool_), ss, jnp.int32(n1p))
+    rank = rank.at[tgt].set(new_rank, mode="drop")
+    startp_next = jnp.concatenate([startp[1:], jnp.ones(1, jnp.bool_)])
+    still = jnp.logical_not(startp & startp_next) & vs.astype(jnp.bool_)
+    return rank, ss, still
+
+
+def _lead_slots(d1, d2s, b: int, per_hi: int, per_lo: int):
+    """Leading equal slot count from XORed hi words and (fs-stripped)
+    lo slot fields."""
+    lead1 = jnp.where(d1 == 0, per_hi,
+                      jax.lax.clz(d1 << (32 - b * per_hi)) // b)
+    lead2 = jnp.where(d2s == 0, per_lo,
+                      jax.lax.clz(d2s << (32 - b * per_lo)) // b)
+    return jnp.where(d1 != 0, lead1, per_hi + lead2)
+
+
+@partial(jax.jit, static_argnames=("b", "per_hi", "per_lo", "n1"))
+def _lcp_base(shi, slo, b: int, per_hi: int, per_lo: int, n1: int):
+    """lcp for every adjacent suftab pair with lcp < m, elementwise on
+    the bootstrap-sorted packed words (NO gathers: tie groups share
+    identical packed words, so the bootstrap sort order's word stream
+    equals the final suftab order's). Pairs with lcp >= m ("deep") are
+    flagged for the level descent; their lcp slot holds m meanwhile."""
+    m = per_hi + per_lo
+    fsmask = (1 << _FSBITS) - 1
+    ax, ay = shi[:n1 - 1], shi[1:n1]
+    bx, by = slo[:n1 - 1], slo[1:n1]
+    d1 = ax ^ ay
+    d2s = (bx ^ by) >> _FSBITS
+    lead = _lead_slots(d1, d2s, b, per_hi, per_lo)
+    fsx = bx & fsmask
+    fsy = by & fsmask
+    res = jnp.minimum(lead, jnp.minimum(fsx, fsy))
+    deep = (d1 == 0) & (d2s == 0) & (fsx == m)
+    lcp = jnp.concatenate([jnp.zeros(1, jnp.int32), res])
+    deepmask = jnp.concatenate([jnp.zeros(1, jnp.bool_), deep])
+    return lcp, jnp.packbits(deepmask), deep.sum()
+
+
+@partial(jax.jit, static_argnames=("m", "b", "per_hi", "per_lo", "n1"))
+def _lcp_deep(lcp, pidx, valid, sa, ranks_stack, hi, lo,
+              m: int, b: int, per_hi: int, per_lo: int, n1: int):
+    """Exact lcp for the deep pairs (lcp >= m): descend the refinement
+    rank snapshots (advance m*2^t while level-t ranks agree), then one
+    packed-word residue at the advanced positions. pidx are lcp-array
+    indices (pair = suffixes sa[p-1], sa[p]); scatters results into
+    lcp and returns it."""
+    n1p = hi.shape[0]
+    fsmask = (1 << _FSBITS) - 1
+    levels = ranks_stack.shape[0] - 1
+    ps = jnp.clip(pidx, 1, n1 - 1)
+    x = sa[ps - 1]
+    y = sa[ps]
+    l = jnp.zeros(pidx.shape[0], jnp.int32)
+    for t in range(levels, -1, -1):
+        h = jnp.int32(m) << t
+        rt = ranks_stack[t]
+        xs = jnp.minimum(x, n1p - 1)
+        ys = jnp.minimum(y, n1p - 1)
+        ok = (x < n1) & (y < n1) & (rt[xs] == rt[ys])
+        step = jnp.where(ok, h, 0)
+        l = l + step
+        x = x + step
+        y = y + step
+    xs = jnp.minimum(x, n1p - 1)
+    ys = jnp.minimum(y, n1p - 1)
+    d1 = hi[xs] ^ hi[ys]
+    dlo = lo[xs] ^ lo[ys]
+    lead = _lead_slots(d1, dlo >> _FSBITS, b, per_hi, per_lo)
+    fsx = lo[xs] & fsmask
+    fsy = lo[ys] & fsmask
+    res = jnp.minimum(jnp.minimum(lead, m),
+                      jnp.minimum(fsx, fsy))
+    l = l + jnp.where((x < n1) & (y < n1), res, 0)
+    tgt = jnp.where(valid, ps, jnp.int32(lcp.shape[0]))
+    return lcp.at[tgt].set(l, mode="drop")
+
+
+def _sa_pipeline(keys_j: jnp.ndarray, n1: int, sigma: int,
+                 with_lcp: bool):
+    """Device pipeline on padded int32 keys (length npad, plus the
+    caller guarantees keys[n1-1] is the unique sentinel). Returns
+    (sa_full_device, lcp_device_or_None). Host-orchestrated: the
+    bootstrap resolves everything except true >= m-symbol repeats;
+    each refinement round re-sorts only the still-tied subset."""
+    npad = int(keys_j.shape[0])
+    b, per_hi, per_lo, m = _pack_plan(sigma)
+    maxkey = sigma + npad                  # pack pad: strictly special
+    keysx = jnp.concatenate([
+        keys_j,
+        maxkey + jnp.arange(m, dtype=jnp.int32)])
+    hi, lo = _pack_windows(keysx, b, per_hi, per_lo, sigma)
+    rank, tiedbits, tiedcount, shi, slo = _bootstrap_rank(hi, lo, m)
+    levels = [rank]
+    counts = []
+    if int(tiedcount) > 0:
+        # one host fetch for the tied subset, then every refinement
+        # round is dispatched asynchronously with NO host round trip:
+        # the subset stays fixed (resolved members keep their unique
+        # (key1,key2) and are no-op updates), rounds run up to the
+        # worst-case count, and the per-round still-tied counts are
+        # fetched once at the end to trim the LCP level stack. This
+        # keeps remote-device latency off the critical path.
+        tied = np.unpackbits(np.asarray(tiedbits))[:npad].astype(bool)
+        s_np = np.flatnonzero(tied).astype(np.int32)
+        kcap = _next_pow2(int(s_np.size))
+        s_pad = np.zeros(kcap, np.int32)
+        s_pad[:s_np.size] = s_np
+        valid = np.zeros(kcap, bool)
+        valid[:s_np.size] = True
+        s_j = jnp.asarray(s_pad)
+        v_j = jnp.asarray(valid)
+        rmax = max(1, math.ceil(math.log2(max(n1 / m, 2))) + 1)
+        h = m
+        for _ in range(rmax):
+            rank, _, still = _refine_subset(
+                rank, s_j, v_j, jnp.int32(min(h, npad)))
+            if with_lcp:
+                levels.append(rank)
+                counts.append(still.sum())
+            h *= 2
+        if with_lcp:
+            counts_np = np.asarray(jnp.stack(counts))
+            live = np.flatnonzero(counts_np == 0)
+            if live.size == 0:
+                raise AssertionError(
+                    "suffix refinement failed to converge")
+            rstar = int(live[0]) + 1      # rounds that did real work
+            rank = levels[rstar]
+            levels = levels[:rstar + 1]
+    idx = jnp.arange(npad, dtype=jnp.int32)
+    sa = jnp.zeros(npad, jnp.int32).at[rank].set(idx)
+    if not with_lcp:
+        return sa, None
+    lcp, deepbits, deepcount = _lcp_base(shi, slo, b, per_hi, per_lo, n1)
+    if int(deepcount) > 0:
+        deepmask = np.unpackbits(np.asarray(deepbits))[:n1].astype(bool)
+        p_np = np.flatnonzero(deepmask).astype(np.int32)
+        kcap = _next_pow2(int(p_np.size))
+        p_pad = np.zeros(kcap, np.int32)
+        p_pad[:p_np.size] = p_np
+        pvalid = np.zeros(kcap, bool)
+        pvalid[:p_np.size] = True
+        lcp = _lcp_deep(lcp, jnp.asarray(p_pad), jnp.asarray(pvalid),
+                        sa, jnp.stack(levels), hi, lo,
+                        m, b, per_hi, per_lo, n1)
+    return sa, lcp
+
+
 def build_suffix_array(keys, with_lcp: bool = True):
     """Build (sa, lcp) from int32 suffix keys.
 
@@ -175,6 +436,24 @@ def build_suffix_array(keys, with_lcp: bool = True):
     else:
         keys_p = keys
     keys_j = jnp.asarray(keys_p)
+    # Fast path eligibility: the packed-bootstrap engine assumes every
+    # key >= sigma equals sigma + position (the canonical suffix_keys
+    # contract, sentinel last). Then all such keys are distinct and
+    # position order == numeric order, which is exactly what the
+    # in-window position tiebreak exploits. Inputs carrying UNDEFCHAR
+    # symbols (value 253, position-independent) or synthetic key arrays
+    # fail the check and take the exact general-purpose doubling path.
+    sigma = int(keys[-1]) - (n1 - 1)
+    if 1 <= sigma < 2 ** 24:
+        arange = np.arange(n1, dtype=np.int64)
+        canonical = bool(np.all((keys < sigma) |
+                                (keys == sigma + arange)))
+    else:
+        canonical = False
+    if canonical:
+        sa, lcp = _sa_pipeline(keys_j, n1, sigma, with_lcp)
+        sa = sa[:n1]
+        return (sa, lcp) if with_lcp else (sa, None)
     sa, rank, ranks_all = _build_sa_impl(keys_j, npad, with_lcp)
     sa = sa[:n1]
     if not with_lcp:

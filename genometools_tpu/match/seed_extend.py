@@ -395,7 +395,7 @@ def _seq_codes(enc: Encseq, s: int, revcomp: bool) -> np.ndarray:
     return seq
 
 
-def _batch_greedy_extensions(cands, k, greedy_ctx):
+def _batch_greedy_extensions(cands, k, greedy_ctx, belowscore=None):
     """Speculative device-batched extension of every candidate seed
     (the reference extends seeds one by one and skips seeds inside
     previous match rectangles; the skip decision never needs the
@@ -404,19 +404,30 @@ def _batch_greedy_extensions(cands, k, greedy_ctx):
     left results — preserves the exact sequential semantics).
 
     cands: list of (useq, vseq, same_seq, dbstart_rel, querystart_rel).
+    greedy_ctx set -> greedy engine; greedy_ctx None -> xdrop with the
+    given belowscore (unit scores), via ops.xdrop_batch's exact batch.
     Returns one entry per candidate: the `_extend_one_seed` tuple, or
     None for overlapping same-sequence seed instances.
     """
     from ..ops.greedy_batch import greedy_extend_batch
+    from ..ops.xdrop_batch import xdrop_extend_batch_exact
 
-    pol, pmh, mad, history = greedy_ctx
     out = [None] * len(cands)
+    if greedy_ctx is not None:
+        pol, pmh, mad, history = greedy_ctx
 
     def run_side(tasks):
-        """tasks: list of (cand_idx, u, v); fills (row, v_ext, dist, mm)
-        per task, scalar-engine fallback for lanes the device punts."""
+        """tasks: list of (cand_idx, u, v); fills (u_ext, v_ext,
+        score_or_dist, mm) per task, scalar-engine fallback for lanes
+        the device punts."""
         if not tasks:
             return {}
+        if greedy_ctx is None:
+            iv, jv, sv = xdrop_extend_batch_exact(
+                [t[1] for t in tasks], [t[2] for t in tasks],
+                belowscore)
+            return {ci: (int(iv[t]), int(jv[t]), int(sv[t]), 0)
+                    for t, (ci, _, _) in enumerate(tasks)}
         res = greedy_extend_batch(
             [t[1] for t in tasks], [t[2] for t in tasks],
             seedlengths=k, perc_mat_history=pmh,
@@ -493,13 +504,15 @@ class _WaveProvider:
 
     WAVE = 512
 
-    def __init__(self, segments, order, states, k, greedy_ctx, use_apos):
+    def __init__(self, segments, order, states, k, greedy_ctx, use_apos,
+                 belowscore=None):
         self.segments = segments
         self.order = order
         self.states = states
         self.k = k
         self.ctx = greedy_ctx
         self.use_apos = use_apos
+        self.belowscore = belowscore
         self.cache: dict = {}
         self.pos_of = {key: idx for idx, key in enumerate(order)}
 
@@ -539,7 +552,8 @@ class _WaveProvider:
             wave_keys.append(key)
             cands.append((useq, vseq, same_seq, db, qs))
         if cands:
-            exts = _batch_greedy_extensions(cands, k, self.ctx)
+            exts = _batch_greedy_extensions(cands, k, self.ctx,
+                                            self.belowscore)
             for key, ext in zip(wave_keys, exts):
                 self.cache[key] = ext
 
@@ -614,10 +628,18 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             order.append((si, int(i)))
     states = {si: [False, -1, []] for si in range(len(segments))}
     provider = None
-    if greedy_ctx_global is not None and 30 <= params.history <= 64 and \
-            len(order) >= 8 and _device_extend_enabled():
-        provider = _WaveProvider(segments, order, states, k,
-                                 greedy_ctx_global, params.use_apos)
+    if len(order) >= 8 and _device_extend_enabled():
+        if greedy_ctx_global is not None and 30 <= params.history <= 64:
+            provider = _WaveProvider(segments, order, states, k,
+                                     greedy_ctx_global, params.use_apos)
+        elif params.extension == "xdrop" and \
+                params.scores == XdropScores():
+            # xdrop with unit scores: device batch via the same wave
+            # machinery (exact; unverifiable lanes fall back per lane
+            # inside ops.xdrop_batch.xdrop_extend_batch_exact)
+            provider = _WaveProvider(segments, order, states, k,
+                                     None, params.use_apos,
+                                     belowscore=belowscore)
 
     # ---- pass 3: sequential skip/accept (reference order) ------------
     for si, (aseq, bseq, useq, vseq, same_seq, apos, bpos, sel) \

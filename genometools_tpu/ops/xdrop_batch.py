@@ -62,7 +62,12 @@ def _match_run_table(U, V, W: int, D: int):
 
 @partial(jax.jit, static_argnames=("W", "D"))
 def xdrop_extend_batch_impl(U, V, ulen, vlen, belowscore, W: int, D: int):
-    """Returns (ivalue, jvalue, score) int32[N] per pair."""
+    """Returns (ivalue, jvalue, score, unsafe) int32/bool[N] per pair.
+
+    unsafe marks lanes whose result is NOT provably equal to the
+    unbounded scalar engine: a front cell reached the u/v window end
+    (meaningful when the caller clipped the window) or the front was
+    still alive at generation D."""
     N = U.shape[0]
     K = 2 * D + 1
     karr = jnp.arange(K, dtype=jnp.int32) - D            # diagonal values
@@ -96,7 +101,7 @@ def xdrop_extend_batch_impl(U, V, ulen, vlen, belowscore, W: int, D: int):
     kk = karr[None, :]
 
     def gen(d, carry):
-        row, lb, ub, best, bigt, dead_gens = carry
+        row, lb, ub, best, bigt, touched, capped = carry
         active = lb <= ub
         dd = d - 1
         # candidate rows from previous front
@@ -200,12 +205,22 @@ def xdrop_extend_batch_impl(U, V, ulen, vlen, belowscore, W: int, D: int):
         new_ub = jnp.where(active & ~stop, new_ub, jnp.int32(-1))
         new_lb = jnp.where(active, new_lb, lb)
         new_ub = jnp.where(active, new_ub, ub)
-        return new_row, new_lb, new_ub, best, bigt, dead_gens
+        # window-edge contact: any taken cell reaching i == ulen or
+        # j == vlen (only meaningful for clipped lanes; the caller
+        # combines this with its clip mask)
+        edge = takes & ((i_ext >= ulen[:, None]) |
+                        (j_ext >= vlen[:, None]))
+        touched = touched | (active & edge.any(axis=1))
+        # still alive at the generation cap: result unverified
+        capped = capped | ((d >= D) & active & ~done_align & any_row)
+        return new_row, new_lb, new_ub, best, bigt, touched, capped
 
-    row, lb, ub, best, bigt, _ = jax.lax.fori_loop(
+    row, lb, ub, best, bigt, touched, capped = jax.lax.fori_loop(
         1, D + 1, gen, (row0, lb0, ub0, best0, bigt0,
-                        jnp.zeros(N, jnp.int32)))
-    return best[:, 0], best[:, 1], best[:, 2]
+                        jnp.zeros(N, jnp.bool_), jnp.zeros(N, jnp.bool_)))
+    # phase-0 full-window hits count as edge contact too
+    touched = touched | (init_lcp >= ulen) | (init_lcp >= vlen)
+    return best[:, 0], best[:, 1], best[:, 2], touched, capped
 
 
 def xdrop_extend_batch(us, vs, belowscore: int, W: int = 128, D: int = 48):
@@ -216,11 +231,17 @@ def xdrop_extend_batch(us, vs, belowscore: int, W: int = 128, D: int = 48):
     dies long before 48 generations, so results equal the unbounded
     scalar engine whenever ulen, vlen <= W.
     """
+    i, j, s, _ = _run_device(us, vs, belowscore, W, D)
+    return i, j, s
+
+
+def _run_device(us, vs, belowscore: int, W: int, D: int):
     N = len(us)
     U = np.full((N, W), 255, np.uint8)
     V = np.full((N, W), 255, np.uint8)
     ulen = np.zeros(N, np.int32)
     vlen = np.zeros(N, np.int32)
+    clipped = np.zeros(N, bool)
     for i, (u, v) in enumerate(zip(us, vs)):
         lu = min(len(u), W)
         lv = min(len(v), W)
@@ -228,7 +249,47 @@ def xdrop_extend_batch(us, vs, belowscore: int, W: int = 128, D: int = 48):
         V[i, :lv] = v[:lv]
         ulen[i] = lu
         vlen[i] = lv
-    i, j, s = xdrop_extend_batch_impl(
+        clipped[i] = len(u) > W or len(v) > W
+    i, j, s, touched, capped = xdrop_extend_batch_impl(
         jnp.asarray(U), jnp.asarray(V), jnp.asarray(ulen),
         jnp.asarray(vlen), jnp.int32(belowscore), W, D)
-    return np.asarray(i), np.asarray(j), np.asarray(s)
+    unsafe = (np.asarray(touched) & clipped) | np.asarray(capped)
+    return np.asarray(i), np.asarray(j), np.asarray(s), unsafe
+
+
+def xdrop_extend_batch_exact(us, vs, belowscore: int, max_w: int = 512,
+                             D: int = 64):
+    """Product-path batch: device kernel for every lane, exact host
+    engine only for lanes the device cannot verify (window clipped AND
+    a front cell reached the clip edge, or the front outlived the
+    generation cap). Output is bit-equal to running the scalar engine
+    (ref: src/match/xdrop.c:224) on every pair.
+
+    Returns (ivalue, jvalue, score) int arrays of length len(us)."""
+    N = len(us)
+    if N == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    maxlen = max(max(len(u), len(v)) for u, v in zip(us, vs))
+    W = 64
+    while W < maxlen and W < max_w:
+        W *= 2
+    iv, jv, sv, unsafe = _run_device(us, vs, belowscore, W, D)
+    iv = iv.astype(np.int64)
+    jv = jv.astype(np.int64)
+    sv = sv.astype(np.int64)
+    bad = np.flatnonzero(unsafe)
+    if bad.size:
+        from ..core.native import xdrop_batch_native
+        res = xdrop_batch_native([us[b] for b in bad],
+                                 [vs[b] for b in bad], belowscore)
+        if res is not None:
+            iv[bad] = res[:, 0]
+            jv[bad] = res[:, 1]
+            sv[bad] = res[:, 2]
+        else:
+            from .xdrop import xdrop_extend
+            for b in bad:
+                best = xdrop_extend(us[b], vs[b], belowscore)
+                iv[b], jv[b], sv[b] = best.ivalue, best.jvalue, best.score
+    return iv, jv, sv

@@ -196,6 +196,41 @@ class TestXdropBatch:
         assert (i[0], j[0]) == (80, 80)
         assert s[1] <= 4
 
+    @pytest.mark.parametrize("seed", range(3))
+    def test_exact_batch_with_long_windows(self, seed):
+        """xdrop_extend_batch_exact must equal the scalar engine even
+        when windows exceed the device clip (unsafe lanes fall back)."""
+        from genometools_tpu.ops.xdrop_batch import \
+            xdrop_extend_batch_exact
+        rng = np.random.default_rng(100 + seed)
+        us, vs, wants = [], [], []
+        for t in range(24):
+            # every third pair is a long near-identical window that
+            # must extend far beyond the device clip
+            if t % 3 == 0:
+                lu = int(rng.integers(900, 1400))
+                u = rng.integers(0, 4, lu).astype(np.uint8)
+                v = u.copy()
+                idx = rng.random(lu) < 0.02
+                v[idx] = (v[idx] + 1 + rng.integers(0, 3, idx.sum())) % 4
+            else:
+                lu = int(rng.integers(1, 120))
+                lv = int(rng.integers(1, 120))
+                u = rng.integers(0, 4, lu).astype(np.uint8)
+                if rng.random() < 0.6 and lv <= lu:
+                    v = u[:lv].copy()
+                    idx = rng.random(lv) < 0.1
+                    v[idx] = rng.integers(0, 4, idx.sum())
+                else:
+                    v = rng.integers(0, 4, lv).astype(np.uint8)
+            us.append(u)
+            vs.append(v)
+            b = xdrop_extend(u, v, 6)
+            wants.append((b.ivalue, b.jvalue, b.score))
+        i, j, s = xdrop_extend_batch_exact(us, vs, 6, max_w=256, D=48)
+        got = list(zip(i.tolist(), j.tolist(), s.tolist()))
+        assert got == wants
+
 
 class TestAt1MBScale:
     def test_seedpair_list_matches_golden(self, testdata):
