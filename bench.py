@@ -419,20 +419,13 @@ def bench_vs_gt(dev) -> None:
         return
     print(f"# gt suffixerator: {gt_s:.3f}s", file=sys.stderr)
 
-    import jax
+    from genometools_tpu.index.fastpipe import suffixerator_e2e
 
-    from genometools_tpu.core.encseq import Encseq
-    from genometools_tpu.core.esq import write_all
-    from genometools_tpu.index.esa import build_esa, write_esa
-
-    with jax.default_device(dev), tempfile.TemporaryDirectory() as w:
+    with tempfile.TemporaryDirectory() as w:
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            e = Encseq.from_files([big])
-            write_all(e, os.path.join(w, "idx"))        # = gt -tis
-            esa = build_esa(e, with_lcp=True)
-            write_esa(esa, os.path.join(w, "idx"), suf=True, lcp=True)
+            suffixerator_e2e([big], os.path.join(w, "idx"), device=dev)
             ts.append(time.perf_counter() - t0)
         ours_s = min(ts)
     print(f"# ours suffixerator (end-to-end, {dev.platform}): "
@@ -456,14 +449,34 @@ def main():
     except Exception:
         pass
     # CPU runs exist to record baselines: give them room
-    watchdog = _arm_watchdog(3600 if cpu_mode else 520)
+    watchdog = _arm_watchdog(3600 if cpu_mode else 900)
+    import threading
+
     import jax
 
     from genometools_tpu.core.encseq import Encseq
 
     dev = jax.devices()[0]
+
+    # the remote tunnel's first host transfer handshake can take minutes
+    # (observed 50-290s); start it NOW on a thread so it overlaps the
+    # host-side encseq loads instead of stalling the first component
+    def _handshake():
+        try:
+            x = jax.device_put(jax.numpy.arange(8, dtype=jax.numpy.int32),
+                               dev)
+            np.asarray(x)
+        except Exception as exc:               # noqa: BLE001
+            print(f"# handshake failed: {exc}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    hs = threading.Thread(target=_handshake, daemon=True)
+    hs.start()
     enc_small = Encseq.from_files([AT1MB])
     enc_big = Encseq.from_files([_ensure_big()])
+    hs.join()
+    print(f"# handshake+load: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     for step in (lambda: bench_suffix(dev, enc_big, enc_small),
                  lambda: bench_extension(dev, enc_small),

@@ -198,13 +198,18 @@ def _twobit_encode(codes: np.ndarray, sepval: int, wcval: int) -> np.ndarray:
     determineleastprobablecharacter encseq.c:4468)."""
     n = codes.size
     units = _units_of_twobitencoding(n)
-    sym = np.where(codes == SEPARATOR, sepval,
-                   np.where(codes == WILDCARD, wcval, codes)).astype(np.uint64)
-    padded = np.zeros(units * 32, np.uint64)
+    sym = np.where(codes == SEPARATOR, np.uint8(sepval),
+                   np.where(codes == WILDCARD, np.uint8(wcval), codes))
+    padded = np.zeros(units * 32, np.uint8)
     padded[:n] = sym
-    padded = padded.reshape(units, 32)
-    shifts = (62 - 2 * np.arange(32, dtype=np.uint64)).astype(np.uint64)
-    return (padded << shifts).sum(axis=1, dtype=np.uint64)
+    # pack 4 symbols/byte (first in the high bits), then flip each
+    # 8-byte group so the little-endian uint64 view yields words with
+    # the first symbol in the MSBs — all uint8 passes, ~20x faster than
+    # the uint64 broadcast-shift formulation at 32Mbp
+    q = padded.reshape(-1, 4)
+    b = ((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3])
+    return np.ascontiguousarray(
+        b.reshape(-1, 8)[:, ::-1]).reshape(-1).view(np.uint64)
 
 
 def _twobit_decode(words: np.ndarray, total: int) -> np.ndarray:
@@ -359,7 +364,7 @@ def write_esq(enc: Encseq, indexname: str, sat: int | None = None) -> int:
     else:
         flt = np.asarray([[total, total]], np.uint64)
     w.add(flt.tobytes())
-    dist = np.bincount(enc.codes[~is_special(enc.codes)], minlength=4)[:4]
+    dist = np.bincount(enc.codes, minlength=256)[:4]   # specials are >= 253
     w.add(dist.astype(np.uint64).tobytes())
 
     # sequence body

@@ -1,0 +1,273 @@
+"""End-to-end suffixerator fast path for accelerator backends.
+
+The complete `gt suffixerator -db X -indexname idx -suf -lcp -tis` job
+(ref: src/match/sfx-run.c:428 gt_runsuffixerator): FASTA -> encseq ->
+SA+LCP -> reference-format tables on disk — engineered around the two
+real bottlenecks of a remote accelerator:
+
+  * host<->device bandwidth: the input travels as 2-bit packed words
+    (16 symbols per uint32, ~n/4 bytes) and the suffix table comes back
+    split-plane packed (low 16 bits as uint16 + three 10-bit high parts
+    per uint32, 26 bits/position total ~= its entropy); the LCP table
+    returns as the final on-disk u8 plane plus the (rare) overflow
+    pairs, so the device ships ~3.4 bytes/suffix instead of 8;
+  * latency hiding: the .esq/.ssp/.des/.sds/.md5 writers run on a host
+    thread while the device sorts; the LCP kernels are dispatched
+    before the suffix-table fetch so they compute during the transfer;
+    .suf conversion+write runs on a thread while the LCP plane is in
+    flight.
+
+Output files are byte-identical to the slow path (index.esa.write_esa /
+core.esq.write_all), which is itself byte-parity-tested against the
+compiled reference binary (tests/test_esa_refparity.py).
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+from ..core.chardef import WILDCARD, is_special
+from ..core.encseq import FWD, Encseq
+from .esa import (EnhancedSuffixArray, LCP_OVERFLOW,
+                  recommended_prefixlength)
+from .suffix import _next_pow2
+
+
+def _pack2(codes: np.ndarray, npad: int) -> np.ndarray:
+    """Host: 2-bit pack regular symbols (specials as 0) into uint32
+    words, 16 symbols each, first symbol in the MSBs."""
+    n = codes.size
+    sym = np.where(codes >= 4, 0, codes).astype(np.uint8)
+    padded = np.zeros(npad, np.uint8)
+    padded[:n] = sym
+    q = padded.reshape(-1, 4)
+    b = ((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3])
+    return np.ascontiguousarray(
+        b.reshape(-1, 4)[:, ::-1]).reshape(-1).view(np.uint32)
+
+
+def _special_word_mask(codes: np.ndarray, npad: int) -> np.ndarray:
+    """Host: one bit per position (1 = special), packed 16/uint32 word
+    aligned with _pack2 (bit 2*(15-(i%16))+1 unused; we use a plain
+    16-bit lane: bit (15-(i%16)) of word i//16)."""
+    n = codes.size
+    bits = np.zeros(npad, bool)
+    bits[:n] = codes >= 4
+    return np.packbits(bits).view(">u2").astype(np.uint32).reshape(-1)
+
+
+def _device_jits(npad: int, n1: int, sigma: int, pl: int):
+    """Build the jitted device stages for a given padded size."""
+    import jax
+    import jax.numpy as jnp
+
+    nw = npad // 16
+
+    @jax.jit
+    def build_keys(words, specbits):
+        # unpack 2-bit symbols and the special mask; canonical key map:
+        # regular -> code, special/pad/sentinel at p -> sigma + p
+        i = jnp.arange(npad, dtype=jnp.int32)
+        w = words[i >> 4]
+        sh = (15 - (i & 15)) * 2
+        code = (w >> sh) & 3
+        sb = (specbits[i >> 4] >> (15 - (i & 15))) & 1
+        special = (sb == 1) | (i >= n1 - 1)      # sentinel + pad
+        return jnp.where(special, sigma + i, code).astype(jnp.int32)
+
+    @jax.jit
+    def pack_sa(sa):
+        # split-plane: low 16 bits (uint16) + 10-bit highs packed 3/word
+        low = (sa[:n1] & 0xFFFF).astype(jnp.uint16)
+        h = sa[:n1] >> 16
+        hpad = (n1 + 2) // 3 * 3
+        h = jnp.concatenate(
+            [h, jnp.zeros(hpad - n1, jnp.int32)]).reshape(-1, 3)
+        hp = h[:, 0] | (h[:, 1] << 10) | (h[:, 2] << 20)
+        return low, hp
+
+    @jax.jit
+    def lcp_planes(lcp, sa, keys):
+        small = jnp.minimum(lcp[:n1], LCP_OVERFLOW).astype(jnp.uint8)
+        novf = (lcp[:n1] >= LCP_OVERFLOW).sum()
+        maxbd = lcp[:n1].max()
+        # averagelcp numerator: lcp values of suffixes whose full
+        # prefixlength window is special-free (ref: sfx-lcpvalues.c:414;
+        # see index.esa.write_esa) — chunked int32 partial sums so the
+        # host can reduce in int64
+        spec = (keys[:n1] >= sigma).astype(jnp.int32)
+        spc = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(spec)])
+        sav = sa[:n1]
+        valid = sav + pl <= n1 - 1
+        cnt = jnp.where(valid,
+                        spc[jnp.minimum(sav + pl, n1)] - spc[sav], 1)
+        contrib = jnp.where(valid & (cnt == 0), lcp[:n1], 0)
+        csize = -(-n1 // 1024)
+        cpad = jnp.concatenate(
+            [contrib, jnp.zeros(csize * 1024 - n1, jnp.int32)])
+        sums = cpad.reshape(1024, -1).sum(axis=1)
+        longest = jnp.argmax(sa[:n1] == 0).astype(jnp.int32)
+        return small, novf, maxbd, sums, longest
+
+    return build_keys, pack_sa, lcp_planes
+
+
+def _overflow_pairs(lcp_dev, n1: int, count: int):
+    import jax
+    import jax.numpy as jnp
+    k = max(1, _next_pow2(count))
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def grab(lcp, kk):
+        idx = jnp.nonzero(lcp[:n1] >= LCP_OVERFLOW, size=kk,
+                          fill_value=0)[0]
+        return idx.astype(jnp.int32), lcp[idx]
+
+    idx, val = grab(lcp_dev, k)
+    return np.asarray(idx)[:count], np.asarray(val)[:count]
+
+
+def suffixerator_e2e(fasta_paths: list[str], indexname: str,
+                     device=None) -> None:
+    """FASTA -> .esq/.ssp/.des/.sds/.md5 + .suf/.lcp/.llv/.prj, overlap-
+    scheduled for a remote accelerator (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    if device is None:
+        device = jax.devices()[0]
+
+    enc = Encseq.from_files(fasta_paths)
+    n = enc.total_length
+    n1 = n + 1
+    sigma = enc.alphabet.num_chars
+    npad = max(16, _next_pow2(n1))
+    if npad > 2 ** 26:
+        raise NotImplementedError("split-plane packing assumes n < 2^26")
+    pl = recommended_prefixlength(sigma, n)
+
+    errs: list[BaseException] = []
+
+    def _guard(fn):
+        def run():
+            try:
+                fn()
+            except BaseException as exc:      # noqa: BLE001
+                errs.append(exc)
+        return run
+
+    # host writers for the encseq family run while the device sorts
+    def write_encseq_side():
+        from ..core.esq import write_all
+        write_all(enc, indexname)
+
+    w1 = threading.Thread(target=_guard(write_encseq_side))
+    w1.start()
+
+    build_keys, pack_sa, lcp_planes = _device_jits(npad, n1, sigma, pl)
+    words = _pack2(enc.codes, npad)
+    specb = _special_word_mask(enc.codes, npad)
+    with jax.default_device(device):
+        wdev = jax.device_put(jnp.asarray(words), device)
+        sdev = jax.device_put(jnp.asarray(specb), device)
+        keys = build_keys(wdev, sdev)
+
+        from .suffix import _sa_pipeline
+        sa, lcp = _sa_pipeline(keys, n1, sigma, True)
+
+        low, hp = pack_sa(sa)
+        small, novf, maxbd, sums, longest = lcp_planes(lcp, sa, keys)
+
+        # fetch the suffix planes first (the LCP kernels above are
+        # dispatched and compute during this transfer)
+        low_np = np.asarray(low)
+        hp_np = np.asarray(hp)
+
+        suf_path = Path(indexname + ".suf")
+
+        def write_suf():
+            h = np.empty((hp_np.size, 3), np.int32)
+            h[:, 0] = hp_np & 1023
+            h[:, 1] = (hp_np >> 10) & 1023
+            h[:, 2] = (hp_np >> 20) & 1023
+            out = np.zeros((n1, 2), np.uint32)
+            out[:, 0] = low_np.astype(np.uint32) \
+                | (h.reshape(-1)[:n1].astype(np.uint32) << 16)
+            out.tofile(suf_path)
+
+        w2 = threading.Thread(target=_guard(write_suf))
+        w2.start()
+
+        small_np = np.asarray(small)
+        novf_i = int(np.asarray(novf))
+        maxbd_i = int(np.asarray(maxbd))
+        lcpsum = int(np.asarray(sums).astype(np.int64).sum())
+        longest_i = int(np.asarray(longest))
+
+        small_np.tofile(indexname + ".lcp")
+        if novf_i:
+            idx, val = _overflow_pairs(lcp, n1, novf_i)
+            llv = np.empty((novf_i, 2), np.uint64)
+            llv[:, 0] = idx.astype(np.uint64)
+            llv[:, 1] = val.astype(np.uint64)
+            llv.tofile(indexname + ".llv")
+        else:
+            Path(indexname + ".llv").write_bytes(b"")
+
+        esa = EnhancedSuffixArray(
+            encseq=enc, readmode=FWD,
+            suftab=np.zeros(0, np.int64), prefixlength=pl)
+        _write_prj_fast(esa, indexname, novf_i, lcpsum / n1, maxbd_i,
+                        longest_i, n1)
+        w2.join()
+    w1.join()
+    if errs:
+        raise errs[0]
+
+
+def _write_prj_fast(esa, indexname: str, numoflargelcps: int,
+                    averagelcp: float, maxbranchdepth: int,
+                    longest: int, numsorted: int) -> None:
+    """Identical .prj content to index.esa._write_prj without touching
+    esa.suftab (longest is passed in from the device)."""
+    import sys as _sys
+    enc = esa.encseq
+    codes = enc.codes
+    sp = is_special(codes)
+    nn = codes.size
+    lpre = int(np.argmin(sp)) if not sp.all() else nn
+    lsuf = int(np.argmin(sp[::-1])) if not sp.all() else nn
+    wc = codes == WILDCARD
+    wpre = int(np.argmin(wc)) if not wc.all() else nn
+    wsuf = int(np.argmin(wc[::-1])) if not wc.all() else nn
+    lines = [
+        f"totallength={nn}",
+        f"specialcharacters={enc.special_ranges.total}",
+        f"specialranges={enc.special_ranges.count}",
+        f"realspecialranges={enc.special_ranges.count}",
+        f"lengthofspecialprefix={lpre if sp.size and sp[0] else 0}",
+        f"lengthofspecialsuffix={lsuf if sp.size and sp[-1] else 0}",
+        f"wildcards={enc.wildcard_ranges.total}",
+        f"wildcardranges={enc.wildcard_ranges.count}",
+        f"realwildcardranges={enc.wildcard_ranges.count}",
+        f"lengthofwildcardprefix={wpre if wc.size and wc[0] else 0}",
+        f"lengthofwildcardsuffix={wsuf if wc.size and wc[-1] else 0}",
+        f"numofsequences={enc.num_sequences}",
+        f"numofdbsequences={enc.num_sequences}",
+        "numofquerysequences=0",
+        f"numberofallsortedsuffixes={numsorted}",
+        f"longest={longest}",
+        f"prefixlength={esa.prefixlength}",
+        f"largelcpvalues={numoflargelcps}",
+        f"averagelcp={averagelcp:.2f}",
+        f"maxbranchdepth={maxbranchdepth}",
+        "integersize=64",
+        f"littleendian={'1' if _sys.byteorder == 'little' else '0'}",
+        "readmode=0",
+        f"mirrored={'1' if enc.mirrored else '0'}",
+    ]
+    Path(indexname + ".prj").write_text("\n".join(lines) + "\n")

@@ -178,10 +178,273 @@ def sharded_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
                          out_specs=P("shard"), check_vma=False)(keys)
 
 
-def sharded_suffix_array(keys, mesh: Mesh) -> np.ndarray:
+
+# ---------------------------------------------------------------------------
+# sample-sort exchange (the round-3 default): splitter broadcast + two-hop
+# balanced all_to_all of bucketed tuples, with an invertible return path
+#
+# The block-bitonic network above moves C items per device on EVERY
+# merge-split step — log2(P)*(log2(P)+1)/2 steps per round, so per-device
+# traffic GROWS with the mesh. Here each distributed sort becomes:
+#
+#   local sort -> P regular samples/device -> all_gather(P^2 samples) ->
+#   P-1 splitters -> route rows to the splitter's bucket owner -> local
+#   sort of the ~C received rows,
+#
+# i.e. the classic PSRS sample sort expressed as JAX collectives — the
+# same role the reference's threaded radix parts + GtRadixreader merge
+# play on one host (ref: src/core/radix_sort.c:463-530).
+#
+# Two design points beyond textbook PSRS:
+#
+#   * **Two-hop balanced routing.** XLA's tiled all_to_all needs a static
+#     per-(src,dst) capacity, but a single hop cannot bound it below C:
+#     already-sorted regions (e.g. the pad tail, or rank plateaus on
+#     repetitive data) put a whole C-block into one splitter interval.
+#     Routing each (src, final-dest) class round-robin over P
+#     intermediates first caps BOTH hops at ceil(rows/P) + P rows per
+#     pair BY CONSTRUCTION (hop 1: a source spreads every class evenly;
+#     hop 2: an intermediate holds <= ceil(m_ik/P)+1 rows of any class),
+#     so there is no data-dependent overflow for ANY input — the skew
+#     immunity of the bitonic network at ~1/P of its traffic. An
+#     overflow flag is still computed and checked (belt and braces).
+#   * **Invertible return path.** Positions never travel: the two
+#     forward all_to_alls define a slot-level permutation, and tiled
+#     all_to_all over the (P, K) block layout is an involution, so the
+#     receiver returns each row's new dense rank through the same
+#     buffers (one int32 plane) and the source unscatters it straight
+#     into its position block. Per-round traffic: forward (rank, r2)
+#     planes + one return plane ~= 5C int32 per device, independent of P
+#     (vs 5C * log^2(P)/2 for the bitonic engine).
+# ---------------------------------------------------------------------------
+
+_SENTINEL = jnp.int32(2 ** 31 - 1)
+
+
+def _route(cols, dest, valid, K: int, nP: int, axis: str):
+    """One-hop bucket route at per-(src,dst) capacity K.
+
+    Returns (recv_cols [nP*K] each, recv_valid, overflow, ctx); ctx lets
+    _route_back deliver one int32 plane from receivers back to this
+    call's input rows."""
+    S = dest.shape[0]
+    d = jnp.where(valid, dest, jnp.int32(nP))
+    order = jnp.argsort(d, stable=True)
+    d_s = d[order]
+    counts = jnp.zeros(nP + 1, jnp.int32).at[d_s].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    within = jnp.arange(S, dtype=jnp.int32) - starts[d_s]
+    overflow = jnp.any((d_s < nP) & (within >= K))
+    row = jnp.where(within < K, d_s, jnp.int32(nP))   # ghost row drops
+    col = jnp.minimum(within, K - 1)
+    recv = []
+    for c in list(cols) + [jnp.ones(S, jnp.int32)]:   # last: validity
+        buf = jnp.full((nP + 1, K), _SENTINEL, jnp.int32)
+        buf = buf.at[row, col].set(c[order])
+        got = jax.lax.all_to_all(buf[:nP], axis, 0, 0, tiled=True)
+        recv.append(got.reshape(-1))
+    rvalid = recv[-1] == 1
+    return recv[:-1], rvalid, overflow, (order, row, col, S)
+
+
+def _route_back(vals, ctx, K: int, nP: int, axis: str):
+    """Return one int32 plane from receiver slots to the matching
+    _route call's input rows (undefined where that input was invalid)."""
+    order, row, col, S = ctx
+    ret = jax.lax.all_to_all(vals.reshape(nP, K), axis, 0, 0,
+                             tiled=True).reshape(-1)
+    idx = jnp.minimum(row, nP - 1) * K + col
+    picked = jnp.where(row < nP, ret[idx], jnp.int32(0))
+    return jnp.zeros(S, jnp.int32).at[order].set(picked)
+
+
+def _cap(rows: int, nP: int) -> int:
+    """Per-pair capacity covering the two-hop worst case with margin."""
+    return -(-rows // nP) + 2 * nP
+
+
+def _route2(cols, dest, valid, src_max: int, dst_max: int, nP: int,
+            axis: str):
+    """Two-hop balanced route (see module comment). Worst-case per-pair
+    rows: hop1 <= src_max/P + P, hop2 <= dst_max/P + P + small — both
+    inside _cap. Returns (recv_cols, recv_valid, overflow, ctx)."""
+    S = dest.shape[0]
+    d = jnp.where(valid, dest, jnp.int32(nP))
+    order0 = jnp.argsort(d, stable=True)
+    d0 = d[order0]
+    counts0 = jnp.zeros(nP + 1, jnp.int32).at[d0].add(1)
+    starts0 = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts0)[:-1]])
+    within0 = jnp.arange(S, dtype=jnp.int32) - starts0[d0]
+    inter = within0 % nP                   # round-robin per dest class
+    cols0 = [c[order0] for c in cols] + [d0]
+    valid0 = d0 < nP
+    K1 = _cap(src_max, nP)
+    recv1, v1, o1, ctx1 = _route(cols0, inter, valid0, K1, nP, axis)
+    fdest = recv1[-1]
+    K2 = _cap(dst_max, nP)
+    recv2, v2, o2, ctx2 = _route(recv1[:-1], fdest, v1, K2, nP, axis)
+    return recv2, v2, o1 | o2, (order0, ctx1, ctx2, K1, K2, S)
+
+
+def _route2_back(vals, ctx, nP: int, axis: str):
+    order0, ctx1, ctx2, K1, K2, S = ctx
+    mid = _route_back(vals, ctx2, K2, nP, axis)      # at intermediates
+    src = _route_back(mid, ctx1, K1, nP, axis)       # at sources (d-order)
+    return jnp.zeros(S, jnp.int32).at[order0].set(src)
+
+
+def _splitters(sorted_cols, nP: int, axis: str, C: int):
+    """P-1 splitter tuples from P regular samples per device (classic
+    PSRS regular sampling); sorted_cols are fully-valid sorted C-blocks
+    whose trailing column makes rows globally distinct."""
+    idxs = (jnp.arange(nP, dtype=jnp.int32) * C) // nP
+    gath = [jax.lax.all_gather(s[idxs], axis).reshape(-1)
+            for s in sorted_cols]
+    ss = jax.lax.sort(tuple(gath), num_keys=len(gath))
+    spl_idx = jnp.arange(1, nP, dtype=jnp.int32) * nP
+    return [s[spl_idx] for s in ss]
+
+
+def _dest_lex(cols, spl, nspl: int):
+    """dest[i] = number of splitter tuples <=_lex row i (unrolled over
+    the nP-1 splitters; elementwise, no gathers)."""
+    S = cols[0].shape[0]
+    dest = jnp.zeros(S, jnp.int32)
+    for j in range(nspl):
+        eq = jnp.ones(S, jnp.bool_)
+        gt = jnp.zeros(S, jnp.bool_)
+        for c, s in zip(cols, spl):
+            sj = s[j]
+            gt = gt | (eq & (c > sj))
+            eq = eq & (c == sj)
+        dest = dest + (gt | eq).astype(jnp.int32)
+    return dest
+
+
+def _dense_rank_ragged(skeys, svalid, nP: int, axis: str):
+    """Dense 0-based global ranks over ragged sorted blocks (valid rows
+    form a prefix; empty devices allowed). skeys: group-defining key
+    columns. Returns (ranks_in_sorted_order, global distinct count)."""
+    M = svalid.shape[0]
+    my = jax.lax.axis_index(axis)
+    neq = jnp.zeros(M, jnp.bool_)
+    for s in skeys:
+        neq = neq.at[1:].set(neq[1:] | (s[1:] != s[:-1]))
+    R = svalid.sum().astype(jnp.int32)
+    last = [jnp.where(R > 0, s[jnp.maximum(R - 1, 0)], jnp.int32(-1))
+            for s in skeys]
+    lasts = [jax.lax.all_gather(x, axis) for x in last]
+    counts = jax.lax.all_gather(R, axis)
+    idxs = jnp.arange(nP, dtype=jnp.int32)
+    jl = jnp.max(jnp.where((idxs < my) & (counts > 0), idxs, -1))
+    first_differs = jl < 0                 # no earlier non-empty device
+    for s, l in zip(skeys, lasts):
+        first_differs = first_differs | (s[0] != l[jnp.maximum(jl, 0)])
+    starts = neq.at[0].set(first_differs) & svalid
+    local_cum = jnp.cumsum(starts.astype(jnp.int32))
+    totals = jax.lax.all_gather(local_cum[-1], axis)
+    offset = jnp.where(idxs < my, totals, 0).sum()
+    return offset + local_cum - 1, totals.sum()
+
+
+def _exchange_rank_roundtrip(keycols, pos, nP: int, axis: str, C: int):
+    """One distributed ranking step: sample-sort-route the key tuples,
+    dense-rank them at the receivers, return each row's rank to its
+    (stationary) position owner. Returns (rank_blk, distinct, ovf)."""
+    nk = len(keycols)
+    loc = jax.lax.sort(tuple(keycols) + (pos,), num_keys=nk + 1)
+    spl = _splitters(list(loc), nP, axis, C)
+    dest = _dest_lex(keycols + [pos], spl, nP - 1)
+    recv, rvalid, ovf, ctx = _route2(
+        keycols, dest, jnp.ones(C, jnp.bool_), C, 2 * C + 2 * nP, nP,
+        axis)
+    M = recv[0].shape[0]
+    slot = jnp.arange(M, dtype=jnp.int32)
+    srt = jax.lax.sort(
+        (jnp.logical_not(rvalid).astype(jnp.int32),) + tuple(recv)
+        + (slot,), num_keys=1 + nk)
+    svalid = srt[0] == 0
+    ranks_sorted, distinct = _dense_rank_ragged(
+        list(srt[1:1 + nk]), svalid, nP, axis)
+    vals = jnp.zeros(M, jnp.int32).at[srt[-1]].set(ranks_sorted)
+    rank_blk = _route2_back(vals, ctx, nP, axis)
+    return rank_blk, distinct, ovf
+
+
+@partial(jax.jit, static_argnames=("n1", "mesh"))
+def sharded_build_sa_sample(keys: jnp.ndarray, n1: int, mesh: Mesh):
+    """Position-sharded prefix doubling with sample-sort exchanges.
+
+    Same contract as sharded_build_sa, plus a replicated overflow flag
+    (int32 0/1): nonzero would mean an exchange dropped rows — made
+    impossible by the two-hop capacity bounds, but verified anyway; the
+    host wrapper falls back to the bitonic engine if it ever fires."""
+    nP = mesh.devices.size
+    assert nP > 1 and n1 % nP == 0
+    C = n1 // nP
+    levels = max(1, math.ceil(math.log2(max(n1 / _BOOT, 2))))
+
+    def stage(keys_blk):
+        keys_blk = keys_blk.reshape(C)
+        my = jax.lax.axis_index("shard")
+        pos = (my * C + jnp.arange(C, dtype=jnp.int32)).astype(jnp.int32)
+
+        # bootstrap: rank by the first _BOOT symbol keys
+        kcols = [keys_blk]
+        for j in range(1, _BOOT):
+            kcols.append(_shifted_fetch(keys_blk, j, nP, "shard", C,
+                                        jnp.int32(-1)))
+        rank_blk, _, ovf = _exchange_rank_roundtrip(kcols, pos, nP,
+                                                    "shard", C)
+
+        done = jnp.zeros((), jnp.bool_)
+
+        def round_body(rank_blk, ovf, h: int):
+            r2 = _shifted_fetch(rank_blk, h, nP, "shard", C, jnp.int32(-1))
+            nrank, distinct, o = _exchange_rank_roundtrip(
+                [rank_blk, r2], pos, nP, "shard", C)
+            return nrank, ovf | o, distinct == n1
+
+        for t in range(levels):
+            h = _BOOT << t
+            if h >= n1:
+                break
+            rank_blk, ovf, done = jax.lax.cond(
+                done,
+                lambda r, o: (r, o, jnp.bool_(True)),
+                lambda r, o: round_body(r, o, h),
+                rank_blk, ovf)
+
+        # SA: rank is a permutation; deliver pos to the rank's owner slot
+        dest = jnp.minimum(rank_blk // C, nP - 1)
+        recv, rvalid, o3, _ = _route2(
+            [rank_blk, pos], dest, jnp.ones(C, jnp.bool_), C,
+            C + 2 * nP, nP, "shard")
+        rrank, rpos = recv
+        slot = jnp.where(rvalid, rrank - my * C, jnp.int32(C))
+        sa_blk = jnp.zeros(C, jnp.int32).at[slot].set(rpos, mode="drop")
+        ovf = ovf | o3
+        return sa_blk, jax.lax.pmax(ovf.astype(jnp.int32), "shard")
+
+    sa, ovf = jax.shard_map(stage, mesh=mesh, in_specs=(P("shard"),),
+                            out_specs=(P("shard"), P()),
+                            check_vma=False)(keys)
+    return sa, ovf
+
+
+def sharded_suffix_array(keys, mesh: Mesh,
+                         engine: str = "sample") -> np.ndarray:
     """Host wrapper: pad to a power of two (pad keys sort last, as in
     index.suffix.build_suffix_array), run the sharded engine, return the
-    unpadded suffix array as numpy."""
+    unpadded suffix array as numpy.
+
+    engine="sample" (default) uses the two-hop sample-sort exchange
+    (~1/P per-device traffic per round, skew-immune by construction);
+    engine="bitonic" forces the block-bitonic path. Any overflow-flagged
+    sample run (provably unreachable, checked anyway) falls back to the
+    bitonic engine."""
     keys = np.asarray(keys, np.int32)
     n1 = keys.size
     nP = mesh.devices.size
@@ -191,5 +454,9 @@ def sharded_suffix_array(keys, mesh: Mesh) -> np.ndarray:
     if npad > n1:
         pad = int(keys.max()) + 1 + np.arange(npad - n1, dtype=np.int32)
         keys = np.concatenate([keys, pad])
+    if engine == "sample" and nP > 1:
+        sa, ovf = sharded_build_sa_sample(jnp.asarray(keys), npad, mesh)
+        if not int(np.asarray(ovf)):
+            return np.asarray(sa)[:n1]
     sa = np.asarray(sharded_build_sa(jnp.asarray(keys), npad, mesh))
     return sa[:n1]
