@@ -75,6 +75,12 @@ def get_lib():
         u8p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int, i64p]
+    lib.gt_maxpairs_stream_new.restype = ctypes.c_void_p
+    lib.gt_maxpairs_stream_new.argtypes = [ctypes.c_int32, ctypes.c_uint8]
+    lib.gt_maxpairs_stream_feed.argtypes = [
+        ctypes.c_void_p, i32p, i32p, u8p, ctypes.c_int64]
+    lib.gt_maxpairs_stream_finish.restype = ctypes.c_int64
+    lib.gt_maxpairs_stream_finish.argtypes = [ctypes.c_void_p, pp, pp, pp]
     lib.gt_sais.argtypes = [i32p, ctypes.c_int64, i32p]
     lib.gt_fill_windows.argtypes = [
         u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
@@ -240,3 +246,56 @@ def fill_windows_native(flat: np.ndarray, off: np.ndarray,
         np.ascontiguousarray(sel, np.int64).ctypes.data_as(i64p),
         sel.size, W, fill, out.ctypes.data_as(u8p))
     return True
+
+
+class MaxpairsStream:
+    """Streaming maximal-pairs walker (Sequentialsuffixarrayreader
+    consumer model, ref: src/match/esa-seqread.h:27): feed (sa, lcp,
+    cls) chunks in rank order, finish() returns the pair arrays. Memory
+    is bounded by positions inside open intervals of depth >=
+    searchlength (arena recycling in native/gtnative.cpp). Falls back
+    to the pure-Python walker when the native lib is unavailable."""
+
+    def __init__(self, searchlength: int, sigma: int):
+        self.searchlength = searchlength
+        self.sigma = sigma
+        lib = get_lib()
+        self._lib = lib
+        if lib is not None:
+            self._h = lib.gt_maxpairs_stream_new(searchlength, sigma)
+            self._chunks = None
+        else:
+            self._h = None
+            self._chunks = []          # python fallback buffers
+
+    def feed(self, sa, lcp, cls):
+        sa = _as_i32(sa)
+        lcp = _as_i32(lcp)
+        cls = np.ascontiguousarray(cls, np.uint8)
+        if self._h is not None:
+            self._lib.gt_maxpairs_stream_feed(
+                self._h, _i32ptr(sa), _i32ptr(lcp),
+                cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                sa.size)
+        else:
+            self._chunks.append((sa.copy(), lcp.copy(), cls.copy()))
+
+    def finish(self):
+        if self._h is not None:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            p1, p2, pl = i32p(), i32p(), i32p()
+            cnt = self._lib.gt_maxpairs_stream_finish(
+                self._h, ctypes.byref(p1), ctypes.byref(p2),
+                ctypes.byref(pl))
+            self._h = None
+            return (_take_array(self._lib, p1, cnt),
+                    _take_array(self._lib, p2, cnt),
+                    _take_array(self._lib, pl, cnt))
+        from ..match.maxpairs import _maxpairs_py
+        sa = np.concatenate([c[0] for c in self._chunks]) \
+            if self._chunks else np.zeros(0, np.int32)
+        lcp = np.concatenate([c[1] for c in self._chunks]) \
+            if self._chunks else np.zeros(0, np.int32)
+        cls = np.concatenate([c[2] for c in self._chunks]) \
+            if self._chunks else np.zeros(0, np.uint8)
+        return _maxpairs_py(sa, lcp, cls, self.searchlength, self.sigma)

@@ -165,3 +165,26 @@ def maxpairs_bruteforce(encseq: Encseq, searchlength: int,
             ln.append(l)
     return MaxPairs(np.asarray(p1, np.int32), np.asarray(p2, np.int32),
                     np.asarray(ln, np.int32))
+
+
+def enumerate_maxpairs_stream(reader, encseq: Encseq, searchlength: int,
+                              readmode: int = 0) -> MaxPairs:
+    """Maximal pairs from a SequentialSuffixArrayReader — bounded
+    memory: only the open >= searchlength intervals' position lists are
+    held (ref model: gt_enumeratemaxpairs over a
+    Sequentialsuffixarrayreader, src/match/esa-maxpairs.c:477 +
+    esa-seqread.h:27). Output identical to enumerate_maxpairs."""
+    from ..core.native import MaxpairsStream
+    sigma = encseq.alphabet.num_chars
+    codes = encseq.codes_view(readmode)
+    nc = codes.size
+    ms = MaxpairsStream(searchlength, sigma)
+    for suf, lcp in reader.chunks():
+        prev = suf - 1
+        cls = np.full(suf.size, sigma, np.uint8)
+        ok = prev >= 0
+        pv = codes[np.clip(prev, 0, max(nc - 1, 0))]
+        reg = ok & ~is_special(pv)
+        cls[reg] = pv[reg]
+        ms.feed(suf, lcp, cls)
+    return MaxPairs(*ms.finish())

@@ -36,9 +36,23 @@ def _format_rows(encseq: Encseq, p1: np.ndarray, p2: np.ndarray,
 
 
 def repfind_self(encseq: Encseq, minlength: int,
-                 esa: EnhancedSuffixArray | None = None) -> np.ndarray:
+                 esa: EnhancedSuffixArray | None = None,
+                 parts_memlimit: int | None = None) -> np.ndarray:
     """Forward self maximal repeats (gt repfind -l). Returns int rows
-    (len, seq1, rel1, len, seq2, rel2)."""
+    (len, seq1, rel1, len, seq2, rel2).
+
+    parts_memlimit (max suffixes resident at once) switches to the
+    memory-bounded streamed execution: the code-range parts engine
+    produces (suf, lcp) segments that feed the streaming bottom-up
+    walker — the suffix table never exists whole in RAM (ref model:
+    -parts/-memlimit sfx-partssuf.c:172 + esa-seqread.h:27)."""
+    if parts_memlimit is not None:
+        from ..index.seqread import SequentialSuffixArrayReader
+        from .maxpairs import enumerate_maxpairs_stream
+        rd = SequentialSuffixArrayReader.from_parts(
+            encseq.codes, parts_memlimit, encseq.alphabet.num_chars)
+        mp = enumerate_maxpairs_stream(rd, encseq, minlength)
+        return _format_rows(encseq, mp.pos1, mp.pos2, mp.length, "F")
     if esa is None:
         esa = build_esa(encseq, FWD)
     mp = enumerate_maxpairs(esa, minlength)

@@ -224,3 +224,85 @@ def occratio(esa: EnhancedSuffixArray, minmersize: int, maxmersize: int):
         nonunique = int((mi.counts > 1).sum())
         out[k] = (unique, nonunique, mi.num_mers)
     return out
+
+
+def mkindex_stream(reader, encseq: Encseq, mersize: int,
+                   minocc: int = 1, maxocc: int | None = None,
+                   readmode: int = 0) -> MerIndex:
+    """`tallymer mkindex` from a SequentialSuffixArrayReader: one pass
+    over (suf, lcp) chunks with a run carry across chunk boundaries, so
+    memory is bounded by the chunk size + the emitted mer list (the
+    reference's streamed enumeratelcpintervals model,
+    ref: src/match/tyr-mkindex.c:514 over esa-seqread). Output identical
+    to mkindex()."""
+    codes = encseq.codes_view(readmode)
+    n = codes.size
+    k = mersize
+    if n < k:
+        return MerIndex(k, np.zeros(0, np.int64), np.zeros(0, np.int64))
+    mers: list[np.ndarray] = []
+    counts: list[np.ndarray] = []
+    # open run carry: current run's mer code (or -1) and count so far
+    cur_code = -1
+    cur_count = 0
+
+    def win_codes(pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(packed k-mer code, window-valid) for suffix start positions."""
+        ok = pos <= n - k
+        code = np.zeros(pos.size, np.int64)
+        base = np.clip(pos, 0, max(n - 1, 0))
+        for j in range(k):
+            c = codes[np.minimum(base + j, n - 1)]
+            ok &= ~is_special(c)
+            code = (code << 2) | np.where(is_special(c), 0, c)
+        return code, ok
+
+    for suf, lcp in reader.chunks():
+        newrun = lcp < k
+        code, ok = win_codes(suf)
+        # runs within this chunk: boundary indices where newrun
+        bnd = np.flatnonzero(newrun)
+        # contributions per segment [prev_bnd, next_bnd)
+        seg = np.cumsum(newrun) - newrun            # 0-based local run id
+        # continue the carried run with the pre-first-boundary entries
+        first_b = bnd[0] if bnd.size else suf.size
+        head_ok = ok[:first_b]
+        cur_count += int(head_ok.sum())
+        if cur_code < 0 and head_ok.any():
+            cur_code = int(code[:first_b][head_ok][0])
+        if bnd.size:
+            if cur_count > 0 and cur_code >= 0:
+                mers.append(np.asarray([cur_code], np.int64))
+                counts.append(np.asarray([cur_count], np.int64))
+            # middle runs: start at bnd[i], end before bnd[i+1]
+            run_id = np.cumsum(newrun) - 1
+            okm = ok.copy()
+            okm[:first_b] = False
+            rid = run_id[okm]
+            nruns = int(run_id[-1]) + 1
+            ccnt = np.bincount(rid, minlength=nruns)
+            first_idx = np.full(nruns, -1, np.int64)
+            idx_ok = np.nonzero(okm)[0]
+            first_idx[rid[::-1]] = idx_ok[::-1]
+            # all complete runs except the last (it may continue into
+            # the next chunk)
+            last_run = nruns - 1
+            present = (ccnt > 0) & (np.arange(nruns) < last_run) \
+                & (np.arange(nruns) >= run_id[first_b])
+            if present.any():
+                mers.append(code[first_idx[present]])
+                counts.append(ccnt[present].astype(np.int64))
+            # carry the last run
+            tail_sel = okm & (run_id == last_run)
+            cur_count = int(tail_sel.sum())
+            cur_code = int(code[np.nonzero(tail_sel)[0][0]]) \
+                if cur_count else -1
+    if cur_count > 0 and cur_code >= 0:
+        mers.append(np.asarray([cur_code], np.int64))
+        counts.append(np.asarray([cur_count], np.int64))
+    mc = np.concatenate(mers) if mers else np.zeros(0, np.int64)
+    cc = np.concatenate(counts) if counts else np.zeros(0, np.int64)
+    sel = cc >= minocc
+    if maxocc is not None:
+        sel &= cc <= maxocc
+    return MerIndex(k, mc[sel], cc[sel])

@@ -108,83 +108,117 @@ int64_t gt_enum_lcp_intervals(const int32_t *lcp, int64_t n1, int32_t mindepth,
 // attach, completed-child-vs-accumulated on merge. Per-class position
 // lists are singly linked for O(1) concatenation (the reference uses the
 // same trick, ref: esa-maxpairs.c position lists).
-int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
-                    int64_t n1, int32_t searchlength, uint8_t sigma,
-                    int32_t **out_p1, int32_t **out_p2, int32_t **out_len) {
-  const int nclasses = sigma + 1;
+// Stateful streaming variant (Sequentialsuffixarrayreader consumer model,
+// ref: src/match/esa-seqread.h:27): the caller feeds (sa, lcp, cls)
+// chunks in rank order — lcp[j] is the lcp between the PREVIOUS fed
+// entry and entry j (the global .lcp convention) — and memory stays
+// bounded by the positions inside currently-open intervals of depth
+// >= searchlength: position list cells live in a recycled arena, and
+// lists falling into intervals shallower than searchlength are dropped
+// (they can never be emitted again: ancestors only get shallower).
+struct GtMaxpairsStream {
+  int32_t searchlength;
+  uint8_t sigma;
+  int nclasses;
   std::vector<int32_t> rp1, rp2, rlen;
-  std::vector<int64_t> nxt(n1, -1);  // linked-list next per SA rank
-
+  // arena linked list of positions: cell = (pos, next); free list recycles
+  std::vector<int32_t> apos;
+  std::vector<int64_t> anext;
+  int64_t freehead = -1;
   struct Node {
     int32_t depth;
-    std::vector<int64_t> head, tail;  // per class, SA-rank indices; -1 empty
+    std::vector<int64_t> head, tail;  // per class arena indices; -1 empty
     explicit Node(int32_t d, int nc)
         : depth(d), head(nc, -1), tail(nc, -1) {}
   };
   std::vector<Node> stack;
-  stack.emplace_back(0, nclasses);
+  int32_t prev_sa = 0;
+  uint8_t prev_cls = 0;
+  bool has_prev = false;
 
-  auto emit_vs_node = [&](Node &node, int64_t rank, int32_t depth) {
-    // pairs between leaf `rank` and all positions already in `node`
+  GtMaxpairsStream(int32_t sl, uint8_t sg)
+      : searchlength(sl), sigma(sg), nclasses(sg + 1) {
+    stack.emplace_back(0, nclasses);
+  }
+
+  int64_t cell(int32_t pos) {
+    if (freehead != -1) {
+      int64_t c = freehead;
+      freehead = anext[c];
+      apos[c] = pos;
+      anext[c] = -1;
+      return c;
+    }
+    apos.push_back(pos);
+    anext.push_back(-1);
+    return (int64_t)apos.size() - 1;
+  }
+  void drop_list(int64_t head, int64_t tail) {
+    if (head == -1) return;
+    anext[tail] = freehead;
+    freehead = head;
+  }
+  void emit_vs_node(Node &node, int32_t pos, uint8_t pcls, int32_t depth) {
     if (depth < searchlength) return;
-    int cb = cls[rank];
     for (int ca = 0; ca < nclasses; ca++) {
-      if (ca == cb && ca != sigma) continue;  // left-maximality
-      for (int64_t r = node.head[ca]; r != -1; r = nxt[r]) {
-        rp1.push_back(sa[r]);
-        rp2.push_back(sa[rank]);
+      if (ca == pcls && ca != sigma) continue;  // left-maximality
+      for (int64_t r = node.head[ca]; r != -1; r = anext[r]) {
+        rp1.push_back(apos[r]);
+        rp2.push_back(pos);
         rlen.push_back(depth);
       }
     }
-  };
-  auto emit_child_vs_node = [&](Node &node, Node &child, int32_t depth) {
+  }
+  void emit_child_vs_node(Node &node, Node &child, int32_t depth) {
     if (depth < searchlength) return;
     for (int ca = 0; ca < nclasses; ca++) {
       for (int cb = 0; cb < nclasses; cb++) {
         if (ca == cb && ca != sigma) continue;
-        for (int64_t ra = node.head[ca]; ra != -1; ra = nxt[ra])
-          for (int64_t rb = child.head[cb]; rb != -1; rb = nxt[rb]) {
-            rp1.push_back(sa[ra]);
-            rp2.push_back(sa[rb]);
+        for (int64_t ra = node.head[ca]; ra != -1; ra = anext[ra])
+          for (int64_t rb = child.head[cb]; rb != -1; rb = anext[rb]) {
+            rp1.push_back(apos[ra]);
+            rp2.push_back(apos[rb]);
             rlen.push_back(depth);
           }
       }
     }
-  };
-  auto add_leaf = [&](Node &node, int64_t rank) {
-    int c = cls[rank];
-    if (node.head[c] == -1) {
-      node.head[c] = node.tail[c] = rank;
+  }
+  void add_leaf(Node &node, int32_t pos, uint8_t pcls) {
+    if (node.depth < searchlength) return;  // never emittable: skip
+    int64_t c = cell(pos);
+    if (node.head[pcls] == -1) {
+      node.head[pcls] = node.tail[pcls] = c;
     } else {
-      nxt[node.tail[c]] = rank;
-      node.tail[c] = rank;
+      anext[node.tail[pcls]] = c;
+      node.tail[pcls] = c;
     }
-  };
-  auto merge_child = [&](Node &node, Node &child) {
+  }
+  void merge_child(Node &node, Node &child) {
     for (int c = 0; c < nclasses; c++) {
       if (child.head[c] == -1) continue;
+      if (node.depth < searchlength) {  // lists die below the threshold
+        drop_list(child.head[c], child.tail[c]);
+        continue;
+      }
       if (node.head[c] == -1) {
         node.head[c] = child.head[c];
         node.tail[c] = child.tail[c];
       } else {
-        nxt[node.tail[c]] = child.head[c];
+        anext[node.tail[c]] = child.head[c];
         node.tail[c] = child.tail[c];
       }
     }
-  };
-
-  for (int64_t i = 1; i <= n1; i++) {
-    int32_t l = (i < n1) ? lcp[i] : 0;
-    // leaf i-1
+  }
+  void boundary(int32_t l) {
+    // leaf = previous entry; l = lcp between it and the next (0 at end)
     if (l > stack.back().depth) {
       Node fresh(l, nclasses);
-      add_leaf(fresh, i - 1);
+      add_leaf(fresh, prev_sa, prev_cls);
       stack.push_back(std::move(fresh));
     } else {
-      emit_vs_node(stack.back(), i - 1, stack.back().depth);
-      add_leaf(stack.back(), i - 1);
+      emit_vs_node(stack.back(), prev_sa, prev_cls, stack.back().depth);
+      add_leaf(stack.back(), prev_sa, prev_cls);
     }
-    // close intervals deeper than l
     while (l < stack.back().depth) {
       Node child = std::move(stack.back());
       stack.pop_back();
@@ -198,14 +232,53 @@ int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
       merge_child(stack.back(), child);
     }
   }
-  int64_t cnt = (int64_t)rp1.size();
+  void feed(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
+            int64_t m) {
+    for (int64_t j = 0; j < m; j++) {
+      if (has_prev) boundary(lcp[j]);
+      prev_sa = sa[j];
+      prev_cls = cls[j];
+      has_prev = true;
+    }
+  }
+  void finish() {
+    if (has_prev) boundary(0);
+  }
+};
+
+void *gt_maxpairs_stream_new(int32_t searchlength, uint8_t sigma) {
+  return new GtMaxpairsStream(searchlength, sigma);
+}
+
+void gt_maxpairs_stream_feed(void *h, const int32_t *sa, const int32_t *lcp,
+                             const uint8_t *cls, int64_t m) {
+  ((GtMaxpairsStream *)h)->feed(sa, lcp, cls, m);
+}
+
+int64_t gt_maxpairs_stream_finish(void *h, int32_t **out_p1,
+                                  int32_t **out_p2, int32_t **out_len) {
+  GtMaxpairsStream *s = (GtMaxpairsStream *)h;
+  s->finish();
+  int64_t cnt = (int64_t)s->rp1.size();
   *out_p1 = (int32_t *)malloc(sizeof(int32_t) * (cnt ? cnt : 1));
   *out_p2 = (int32_t *)malloc(sizeof(int32_t) * (cnt ? cnt : 1));
   *out_len = (int32_t *)malloc(sizeof(int32_t) * (cnt ? cnt : 1));
-  memcpy(*out_p1, rp1.data(), sizeof(int32_t) * cnt);
-  memcpy(*out_p2, rp2.data(), sizeof(int32_t) * cnt);
-  memcpy(*out_len, rlen.data(), sizeof(int32_t) * cnt);
+  memcpy(*out_p1, s->rp1.data(), sizeof(int32_t) * cnt);
+  memcpy(*out_p2, s->rp2.data(), sizeof(int32_t) * cnt);
+  memcpy(*out_len, s->rlen.data(), sizeof(int32_t) * cnt);
+  delete s;
   return cnt;
+}
+
+int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
+                    int64_t n1, int32_t searchlength, uint8_t sigma,
+                    int32_t **out_p1, int32_t **out_p2, int32_t **out_len) {
+  GtMaxpairsStream s(searchlength, sigma);
+  // whole-array call: lcp[0] is the leading 0 of the .lcp convention,
+  // so entry j's boundary lcp is lcp[j] — exactly the feed contract
+  s.feed(sa, lcp, cls, n1);
+  void *h = new GtMaxpairsStream(std::move(s));
+  return gt_maxpairs_stream_finish(h, out_p1, out_p2, out_len);
 }
 
 }  // extern "C"
