@@ -226,6 +226,22 @@ def cmd_repfind(args):
                                 repfind_reverse, repfind_self)
 
     enc = Encseq.load(args.ii)
+    if args.q:
+        # query matching (ref: gt_repfind.c:620 over
+        # gt_querysubstringmatchiterator, esa-mmsearch.c): one exact
+        # match record per db occurrence of each query position's
+        # longest db-matching prefix >= -l
+        from .match.querysearch import query_substring_matches
+        esa = load_esa(args.ii, encseq=enc)
+        q = Encseq.from_files(args.q)
+        for dbpos, qpos, length in query_substring_matches(esa, q,
+                                                           args.l):
+            dbseq = int(enc.seqnum_of_pos(dbpos))
+            dbrel = dbpos - int(enc.seq_startpos(dbseq))
+            qseq = int(q.seqnum_of_pos(qpos))
+            qrel = qpos - int(q.seq_startpos(qseq))
+            print(f"{length} {dbseq} {dbrel} F {length} {qseq} {qrel}")
+        return 0
     if args.extendgreedy is not False or args.extendxdrop is not False:
         from .match.repfind import repfind_extend
         esa = load_esa(args.ii, encseq=enc)
@@ -269,6 +285,9 @@ def _add_repfind(sub):
     p.add_argument("-minidentity", type=int, default=80)
     p.add_argument("-maxalilendiff", type=int, default=30)
     p.add_argument("-percmathistory", type=int, default=55)
+    p.add_argument("-q", nargs="+", default=None,
+                   help="query files: report maximal db matches of "
+                        "query substrings")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_repfind)
 
@@ -285,6 +304,15 @@ def cmd_gff3(args):
     for p in args.files or ["-"]:
         text = sys.stdin.read() if p == "-" else open(p).read()
         nodes.extend(parse_gff3(text, strict=not args.tidy))
+    if args.xrfcheck is not None:
+        from .anno.xrf import XRFChecker, XRFError, resolve_xrf_path
+        try:
+            checker = XRFChecker.from_file(
+                resolve_xrf_path(args.xrfcheck or None))
+            checker.check_nodes(nodes)
+        except XRFError as e:
+            print(f"gt gff3: error: {e}", file=sys.stderr)
+            return 1
     stream = iter(nodes)
     if args.addintrons:
         stream = add_introns_stream(stream)
@@ -302,6 +330,9 @@ def _add_gff3(sub):
     p.add_argument("-retainids", action="store_true")
     p.add_argument("-addintrons", action="store_true")
     p.add_argument("-tidy", action="store_true")
+    p.add_argument("-xrfcheck", nargs="?", const="", default=None,
+                   help="check Dbxref/Ontology_term attributes against "
+                        "an XRF abbreviation definition file")
     p.set_defaults(func=cmd_gff3)
 
 
@@ -2862,6 +2893,177 @@ def _add_snpper(sub):
     p.set_defaults(func=cmd_snpper)
 
 
+def cmd_tirvish(args):
+    """gt tirvish (ref: src/tools/gt_tir.c over
+    src/extended/tir_stream.c)."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .ltr.tirvish import TIRvishParams, gff3_nodes, tirvish
+    enc = Encseq.load(args.index)
+    p = TIRvishParams(
+        min_seed_length=args.seed, min_tir_length=args.mintirlen,
+        max_tir_length=args.maxtirlen, min_tir_distance=args.mintirdist,
+        max_tir_distance=args.maxtirdist, mat=args.mat, mis=args.mis,
+        ins=args.ins, dele=getattr(args, "del"),
+        xdrop_belowscore=args.xdrop,
+        similarity_threshold=args.similar,
+        min_tsd_length=args.mintsd, max_tsd_length=args.maxtsd,
+        vicinity=args.vic, overlaps=args.overlaps)
+    pairs = tirvish(enc, p)
+    from .anno.gff3 import gff3_to_string
+    sys.stdout.write(gff3_to_string(gff3_nodes(pairs, enc)))
+    return 0
+
+
+def _add_tirvish(sub):
+    p = sub.add_parser("tirvish",
+                       help="identify Terminal Inverted Repeat (TIR) "
+                            "elements")
+    p.add_argument("-index", required=True)
+    p.add_argument("-seed", type=int, default=20)
+    p.add_argument("-mintirlen", type=int, default=100)
+    p.add_argument("-maxtirlen", type=int, default=1000)
+    p.add_argument("-mintirdist", type=int, default=500)
+    p.add_argument("-maxtirdist", type=int, default=10000)
+    p.add_argument("-mat", type=int, default=2)
+    p.add_argument("-mis", type=int, default=-2)
+    p.add_argument("-ins", type=int, default=-3)
+    p.add_argument("-del", type=int, default=-3)
+    p.add_argument("-xdrop", type=int, default=5)
+    p.add_argument("-similar", type=float, default=85.0)
+    p.add_argument("-mintsd", type=int, default=2)
+    p.add_argument("-maxtsd", type=int, default=11)
+    p.add_argument("-vic", type=int, default=60)
+    p.add_argument("-overlaps", default="best",
+                   choices=["best", "longest", "no", "all"])
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_tirvish)
+
+
+def cmd_congruence(args):
+    """gt congruence spacedseed (ref: src/tools/gt_congruence.c over
+    src/match/cgr_spacedseed.c): match the fixed spaced seed."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import load_esa
+    from .match.congruence import match_spacedseed
+    if args.subtool != "spacedseed":
+        print(f"gt congruence: unknown subtool {args.subtool}",
+              file=sys.stderr)
+        return 1
+    idx = args.esa or args.pck
+    enc = Encseq.load(idx)
+    rank = None
+    try:
+        esa = load_esa(idx, encseq=enc, need_lcp=False)
+        rank = np.zeros(esa.suftab.size, np.int64)
+        rank[esa.suftab.astype(np.int64)] = np.arange(esa.suftab.size)
+    except FileNotFoundError:
+        pass
+    q = Encseq.from_files(args.q)
+    for dblen, dbstart in match_spacedseed(enc, q, rank=rank):
+        print(f"{dblen}\t{dbstart}")
+    return 0
+
+
+def _add_congruence(sub):
+    p = sub.add_parser("congruence", help="match spaced seeds")
+    p.add_argument("subtool", choices=["spacedseed"])
+    p.add_argument("-esa", default=None, help="enhanced suffix array")
+    p.add_argument("-pck", default=None, help="packed index")
+    p.add_argument("-q", nargs="+", required=True, help="query files")
+    p.add_argument("-cmp", action="store_true")   # accepted, no-op
+    p.add_argument("-v", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_congruence)
+
+
+# ---------------------------------------------------------------------------
+# dev toolbox (ref: src/tools/gt_dev.c:60-91)
+# ---------------------------------------------------------------------------
+
+def cmd_dev_sfxmap(args):
+    """gt dev sfxmap (ref: src/tools/gt_sfxmap.c): verify an on-disk
+    index — suftab order, lcp recompute, bcktab consistency, encseq
+    readback; the reference's own cross-checker (checksfx in
+    testsuite/gt_suffixerator_include.rb:17 runs it on every index)."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import load_esa
+    from .index.suffix import check_suftab_order, kasai_lcp
+    enc = Encseq.load(args.indexname)
+    esa = load_esa(args.indexname, encseq=enc, need_lcp=args.lcp)
+    keys = enc.suffix_keys()
+    bad = 0
+    if args.suf:
+        sa = esa.suftab.astype(np.int64)
+        if sorted(sa.tolist()) != list(range(keys.size)):
+            print("sfxmap: suftab is not a permutation",
+                  file=sys.stderr)
+            bad = 1
+        elif not check_suftab_order(keys, sa):
+            print("sfxmap: suftab order violated", file=sys.stderr)
+            bad = 1
+        else:
+            print(f"# suftab order verified ({sa.size} suffixes)",
+                  file=sys.stderr)
+    if args.lcp and esa.lcptab is not None and not bad:
+        from .core.native import kasai_lcp_native
+        ref = kasai_lcp_native(keys, esa.suftab)
+        if ref is None:
+            ref = kasai_lcp(keys, esa.suftab.astype(np.int64))
+        if not np.array_equal(np.asarray(ref, np.int64),
+                              np.asarray(esa.lcptab, np.int64)):
+            print("sfxmap: lcp table mismatch vs Kasai recompute",
+                  file=sys.stderr)
+            bad = 1
+        else:
+            print("# lcp table verified (Kasai recompute)",
+                  file=sys.stderr)
+    if args.tis:
+        rt = Encseq.load(args.indexname)
+        if not np.array_equal(rt.codes, enc.codes):
+            print("sfxmap: encseq readback mismatch", file=sys.stderr)
+            bad = 1
+        else:
+            print("# encseq readback verified", file=sys.stderr)
+    return bad
+
+
+def cmd_dev_show_seedext(args):
+    _force_platform(args)
+    from .match.show_seedext import show_seedext
+    return show_seedext(args.f, args.outfmt or [],
+                        sortmatches=args.sortmatches)
+
+
+def cmd_dev(args):
+    return args.devfunc(args)
+
+
+def _add_dev(sub):
+    p = sub.add_parser("dev", help="development tools")
+    dsub = p.add_subparsers(dest="devtool", required=True)
+
+    s = dsub.add_parser("sfxmap", help="verify an on-disk ESA index")
+    s.add_argument("indexname")
+    s.add_argument("-suf", action="store_true")
+    s.add_argument("-lcp", action="store_true")
+    s.add_argument("-tis", action="store_true")
+    s.add_argument("-esa", default=None)       # accepted alias
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_sfxmap)
+
+    s = dsub.add_parser("show_seedext",
+                        help="re-display seed_extend match files")
+    s.add_argument("-f", required=True, help="match file")
+    s.add_argument("-outfmt", nargs="+", default=None)
+    s.add_argument("-sortmatches", action="store_true")
+    s.add_argument("-relax_polish", action="store_true")  # accepted
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_show_seedext)
+
+
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_seqstat, _add_gff3, _add_stat, _add_seed_extend,
              _add_readjoiner, _add_ltrharvest, _add_ltrdigest,
@@ -2881,7 +3083,7 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_encseq2spm, _add_prebwt, _add_mkfmindex,
              _add_mkfeatureindex, _add_featureindex, _add_condenseq,
              _add_scriptfilter, _add_speck, _add_feat_streams,
-             _add_snpper]
+             _add_snpper, _add_congruence, _add_dev, _add_tirvish]
 
 
 def main(argv=None):
