@@ -72,6 +72,7 @@ def _ensure_big() -> str:
     return str(BIG)
 
 _live: dict = {}          # component -> measured-this-run payload
+_cpu_mode = False         # --cpu runs must not clobber device components
 
 
 def _load_cache() -> dict:
@@ -84,6 +85,11 @@ def _load_cache() -> dict:
 
 
 def _save_component(name: str, payload):
+    if _cpu_mode:
+        # --cpu runs exist to record cpu_rate_* baselines; their
+        # component results are namespaced so a wedged TPU run can never
+        # surface CPU numbers from the cache (round-2 verdict Weak #2)
+        name = name + "_cpumode"
     _live[name] = payload
     cache = _load_cache()
     cache[name] = payload
@@ -200,11 +206,11 @@ def _build_rate(keys_padded: np.ndarray, n1: int, device,
 
 
 def _padded_keys(encseq):
-    from genometools_tpu.index.suffix import _next_pow2
+    from genometools_tpu.index.suffix import _pad_size
 
     keys = encseq.suffix_keys()
     n1 = keys.size
-    npad = _next_pow2(n1)
+    npad = _pad_size(n1)
     maxkey = int(keys.max())
     pad = maxkey + 1 + np.arange(npad - n1, dtype=np.int32)
     return np.concatenate([keys, pad]).astype(np.int32), n1
@@ -396,7 +402,7 @@ def bench_vs_gt(dev) -> None:
     if os.path.exists(GT_BIN):
         with tempfile.TemporaryDirectory() as w:
             ts = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 subprocess.run(
                     [GT_BIN, "suffixerator", "-db", big, "-indexname",
@@ -423,7 +429,7 @@ def bench_vs_gt(dev) -> None:
 
     with tempfile.TemporaryDirectory() as w:
         ts = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             suffixerator_e2e([big], os.path.join(w, "idx"), device=dev)
             ts.append(time.perf_counter() - t0)
@@ -436,7 +442,8 @@ def bench_vs_gt(dev) -> None:
 
 
 def main():
-    cpu_mode = "--cpu" in sys.argv
+    global _cpu_mode
+    cpu_mode = _cpu_mode = "--cpu" in sys.argv
     import jax
     if cpu_mode:
         jax.config.update("jax_platforms", "cpu")
@@ -449,7 +456,8 @@ def main():
     except Exception:
         pass
     # CPU runs exist to record baselines: give them room
-    watchdog = _arm_watchdog(3600 if cpu_mode else 900)
+    watchdog = _arm_watchdog(int(os.environ.get(
+        "GT_BENCH_WATCHDOG", "3600" if cpu_mode else "900")))
     import threading
 
     import jax

@@ -82,6 +82,10 @@ def get_lib():
     lib.gt_maxpairs_stream_finish.restype = ctypes.c_int64
     lib.gt_maxpairs_stream_finish.argtypes = [ctypes.c_void_p, pp, pp, pp]
     lib.gt_sais.argtypes = [i32p, ctypes.c_int64, i32p]
+    lib.gt_write_suf.restype = ctypes.c_int
+    lib.gt_write_suf.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.c_char_p]
     lib.gt_fill_windows.argtypes = [
         u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint8, u8p]
@@ -299,3 +303,19 @@ class MaxpairsStream:
         cls = np.concatenate([c[2] for c in self._chunks]) \
             if self._chunks else np.zeros(0, np.uint8)
         return _maxpairs_py(sa, lcp, cls, self.searchlength, self.sigma)
+
+
+def write_suf_native(low: np.ndarray, hp: np.ndarray, n1: int,
+                     path: str) -> bool:
+    """Stream the split-plane packed suffix table to a .suf file
+    (native/gtnative.cpp gt_write_suf); False -> caller falls back."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    low = np.ascontiguousarray(low, np.uint16)
+    hp = np.ascontiguousarray(hp, np.uint32)
+    rc = lib.gt_write_suf(
+        low.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        hp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n1, path.encode())
+    return rc == 0

@@ -34,7 +34,7 @@ from ..core.chardef import WILDCARD, is_special
 from ..core.encseq import FWD, Encseq
 from .esa import (EnhancedSuffixArray, LCP_OVERFLOW,
                   recommended_prefixlength)
-from .suffix import _next_pow2
+from .suffix import _next_pow2, _pad_size
 
 
 def _pack2(codes: np.ndarray, npad: int) -> np.ndarray:
@@ -92,7 +92,17 @@ def _device_jits(npad: int, n1: int, sigma: int, pl: int):
 
     @jax.jit
     def lcp_planes(lcp, sa, keys):
-        small = jnp.minimum(lcp[:n1], LCP_OVERFLOW).astype(jnp.uint8)
+        # 6-bit LCP plane, 5 values per uint32 (values 0..62 direct;
+        # 63 escapes to a sparse (idx, value) side list): the on-disk
+        # u8 plane reconstructs on host from ~n1*0.8 transferred bytes
+        v6 = jnp.minimum(lcp[:n1], 63)
+        p5 = -(-n1 // 5) * 5
+        v6p = jnp.concatenate([v6, jnp.zeros(p5 - n1, jnp.int32)])
+        q = v6p.reshape(-1, 5)
+        nib = (q[:, 0] | (q[:, 1] << 6) | (q[:, 2] << 12)
+               | (q[:, 3] << 18) | (q[:, 4] << 24))
+        escmask = lcp[:n1] >= 63
+        nesc = escmask.sum()
         novf = (lcp[:n1] >= LCP_OVERFLOW).sum()
         maxbd = lcp[:n1].max()
         # averagelcp numerator: lcp values of suffixes whose full
@@ -111,9 +121,15 @@ def _device_jits(npad: int, n1: int, sigma: int, pl: int):
             [contrib, jnp.zeros(csize * 1024 - n1, jnp.int32)])
         sums = cpad.reshape(1024, -1).sum(axis=1)
         longest = jnp.argmax(sa[:n1] == 0).astype(jnp.int32)
-        return small, novf, maxbd, sums, longest
+        return nib, escmask, nesc, novf, maxbd, sums, longest
 
-    return build_keys, pack_sa, lcp_planes
+    @partial(jax.jit, static_argnames=("k",))
+    def grab_escapes(lcp, escmask, k: int):
+        idx = jnp.nonzero(escmask, size=k, fill_value=n1)[0]
+        val = jnp.minimum(lcp[jnp.minimum(idx, n1 - 1)], LCP_OVERFLOW)
+        return idx.astype(jnp.int32), val.astype(jnp.int32)
+
+    return build_keys, pack_sa, lcp_planes, grab_escapes
 
 
 def _overflow_pairs(lcp_dev, n1: int, count: int):
@@ -135,17 +151,31 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
                      device=None) -> None:
     """FASTA -> .esq/.ssp/.des/.sds/.md5 + .suf/.lcp/.llv/.prj, overlap-
     scheduled for a remote accelerator (see module docstring)."""
+    import os
+    import sys
+    import time
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("GT_E2E_DEBUG") == "1":
+        _t0 = time.perf_counter()
+
+        def _mark(label):
+            print(f"  [e2e] {label:28s} {time.perf_counter() - _t0:6.2f}s",
+                  file=sys.stderr, flush=True)
+    else:
+        def _mark(label):
+            pass
 
     if device is None:
         device = jax.devices()[0]
 
     enc = Encseq.from_files(fasta_paths)
+    _mark("parse+encode")
     n = enc.total_length
     n1 = n + 1
     sigma = enc.alphabet.num_chars
-    npad = max(16, _next_pow2(n1))
+    npad = max(16, _pad_size(n1))
     if npad > 2 ** 26:
         raise NotImplementedError("split-plane packing assumes n < 2^26")
     pl = recommended_prefixlength(sigma, n)
@@ -168,28 +198,40 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
     w1 = threading.Thread(target=_guard(write_encseq_side))
     w1.start()
 
-    build_keys, pack_sa, lcp_planes = _device_jits(npad, n1, sigma, pl)
+    build_keys, pack_sa, lcp_planes, grab_escapes = \
+        _device_jits(npad, n1, sigma, pl)
     words = _pack2(enc.codes, npad)
     specb = _special_word_mask(enc.codes, npad)
+    _mark("pack2+specmask")
     with jax.default_device(device):
         wdev = jax.device_put(jnp.asarray(words), device)
         sdev = jax.device_put(jnp.asarray(specb), device)
         keys = build_keys(wdev, sdev)
+        _mark("h2d+keys dispatched")
 
         from .suffix import _sa_pipeline
         sa, lcp = _sa_pipeline(keys, n1, sigma, True)
+        _mark("sa+lcp dispatched")
 
         low, hp = pack_sa(sa)
-        small, novf, maxbd, sums, longest = lcp_planes(lcp, sa, keys)
+        nib, escmask, nesc, novf, maxbd, sums, longest = \
+            lcp_planes(lcp, sa, keys)
+        _mark("pack/lcp-planes dispatched")
 
         # fetch the suffix planes first (the LCP kernels above are
         # dispatched and compute during this transfer)
         low_np = np.asarray(low)
+        _mark("fetched low plane")
         hp_np = np.asarray(hp)
+        _mark("fetched high plane")
 
         suf_path = Path(indexname + ".suf")
 
         def write_suf():
+            from ..core.native import write_suf_native
+            if write_suf_native(low_np, hp_np.view(np.uint32), n1,
+                                str(suf_path)):
+                return
             h = np.empty((hp_np.size, 3), np.int32)
             h[:, 0] = hp_np & 1023
             h[:, 1] = (hp_np >> 10) & 1023
@@ -202,7 +244,18 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
         w2 = threading.Thread(target=_guard(write_suf))
         w2.start()
 
-        small_np = np.asarray(small)
+        nib_np = np.asarray(nib).view(np.uint32)
+        _mark("fetched lcp plane")
+        nesc_i = int(np.asarray(nesc))
+        small_np = np.empty((nib_np.size, 5), np.uint8)
+        for j in range(5):
+            small_np[:, j] = (nib_np >> (6 * j)) & 63
+        small_np = small_np.reshape(-1)[:n1]
+        if nesc_i:
+            eidx, eval_ = grab_escapes(lcp, escmask,
+                                       max(1, _next_pow2(nesc_i)))
+            eidx = np.asarray(eidx)[:nesc_i]
+            small_np[eidx] = np.asarray(eval_)[:nesc_i].astype(np.uint8)
         novf_i = int(np.asarray(novf))
         maxbd_i = int(np.asarray(maxbd))
         lcpsum = int(np.asarray(sums).astype(np.int64).sum())
@@ -224,7 +277,9 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
         _write_prj_fast(esa, indexname, novf_i, lcpsum / n1, maxbd_i,
                         longest_i, n1)
         w2.join()
+        _mark("suf written")
     w1.join()
+    _mark("esq side written (join)")
     if errs:
         raise errs[0]
 

@@ -141,6 +141,20 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+_PAD_QUANTUM = 1 << 20
+
+
+def _pad_size(n1: int) -> int:
+    """Pad target for the device pipeline: powers of two below 1M (small
+    inputs reuse compilations aggressively), else the next 1M multiple —
+    padding to the next power of two would sort up to 2x phantom keys at
+    large n (33.5M would pad to 67M), and XLA's sort has no
+    power-of-two preference."""
+    if n1 <= _PAD_QUANTUM:
+        return 1 << max(0, (n1 - 1).bit_length())
+    return -(-n1 // _PAD_QUANTUM) * _PAD_QUANTUM
+
+
 # ---------------------------------------------------------------------------
 # packed-bootstrap engine (the round-3 fast path)
 #
@@ -228,7 +242,7 @@ def _bootstrap_rank(hi, lo, m: int):
     starts_next = jnp.concatenate([starts[1:], jnp.ones(1, jnp.bool_)])
     tied_sorted = jnp.logical_not(starts & starts_next)
     tied = jnp.zeros(n1p, jnp.bool_).at[order].set(tied_sorted)
-    return rank, jnp.packbits(tied), tied_sorted.sum(), shi, slo
+    return rank, tied, tied_sorted.sum(), shi, slo
 
 
 @jax.jit
@@ -289,7 +303,7 @@ def _lcp_base(shi, slo, b: int, per_hi: int, per_lo: int, n1: int):
     deep = (d1 == 0) & (d2s == 0) & (fsx == m)
     lcp = jnp.concatenate([jnp.zeros(1, jnp.int32), res])
     deepmask = jnp.concatenate([jnp.zeros(1, jnp.bool_), deep])
-    return lcp, jnp.packbits(deepmask), deep.sum()
+    return lcp, deepmask, deep.sum()
 
 
 @partial(jax.jit, static_argnames=("m", "b", "per_hi", "per_lo", "n1"))
@@ -331,6 +345,13 @@ def _lcp_deep(lcp, pidx, valid, sa, ranks_stack, hi, lo,
     return lcp.at[tgt].set(l, mode="drop")
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _compact_mask(mask, k: int):
+    """Indices of the True entries (device compaction; fills = len)."""
+    return jnp.nonzero(mask, size=k,
+                       fill_value=mask.shape[0])[0].astype(jnp.int32)
+
+
 def _sa_pipeline(keys_j: jnp.ndarray, n1: int, sigma: int,
                  with_lcp: bool):
     """Device pipeline on padded int32 keys (length npad, plus the
@@ -345,26 +366,22 @@ def _sa_pipeline(keys_j: jnp.ndarray, n1: int, sigma: int,
         keys_j,
         maxkey + jnp.arange(m, dtype=jnp.int32)])
     hi, lo = _pack_windows(keysx, b, per_hi, per_lo, sigma)
-    rank, tiedbits, tiedcount, shi, slo = _bootstrap_rank(hi, lo, m)
+    rank, tiedmask, tiedcount, shi, slo = _bootstrap_rank(hi, lo, m)
     levels = [rank]
     counts = []
-    if int(tiedcount) > 0:
-        # one host fetch for the tied subset, then every refinement
-        # round is dispatched asynchronously with NO host round trip:
-        # the subset stays fixed (resolved members keep their unique
-        # (key1,key2) and are no-op updates), rounds run up to the
-        # worst-case count, and the per-round still-tied counts are
-        # fetched once at the end to trim the LCP level stack. This
-        # keeps remote-device latency off the critical path.
-        tied = np.unpackbits(np.asarray(tiedbits))[:npad].astype(bool)
-        s_np = np.flatnonzero(tied).astype(np.int32)
-        kcap = _next_pow2(int(s_np.size))
-        s_pad = np.zeros(kcap, np.int32)
-        s_pad[:s_np.size] = s_np
-        valid = np.zeros(kcap, bool)
-        valid[:s_np.size] = True
-        s_j = jnp.asarray(s_pad)
-        v_j = jnp.asarray(valid)
+    tc = int(tiedcount)           # one scalar round trip
+    if tc > 0:
+        # device-side compaction of the tied subset (one scalar fetch
+        # for the count instead of an npad/8-byte bitmask transfer),
+        # then every refinement round is dispatched asynchronously with
+        # NO host round trip: the subset stays fixed (resolved members
+        # keep their unique (key1,key2) and are no-op updates), rounds
+        # run up to the worst-case count, and the per-round still-tied
+        # counts are fetched once at the end to trim the LCP level
+        # stack. This keeps remote-device latency off the critical path.
+        kcap = _next_pow2(tc)
+        s_j = _compact_mask(tiedmask, kcap)
+        v_j = s_j < npad
         rmax = max(1, math.ceil(math.log2(max(n1 / m, 2))) + 1)
         h = m
         for _ in range(rmax):
@@ -387,16 +404,13 @@ def _sa_pipeline(keys_j: jnp.ndarray, n1: int, sigma: int,
     sa = jnp.zeros(npad, jnp.int32).at[rank].set(idx)
     if not with_lcp:
         return sa, None
-    lcp, deepbits, deepcount = _lcp_base(shi, slo, b, per_hi, per_lo, n1)
-    if int(deepcount) > 0:
-        deepmask = np.unpackbits(np.asarray(deepbits))[:n1].astype(bool)
-        p_np = np.flatnonzero(deepmask).astype(np.int32)
-        kcap = _next_pow2(int(p_np.size))
-        p_pad = np.zeros(kcap, np.int32)
-        p_pad[:p_np.size] = p_np
-        pvalid = np.zeros(kcap, bool)
-        pvalid[:p_np.size] = True
-        lcp = _lcp_deep(lcp, jnp.asarray(p_pad), jnp.asarray(pvalid),
+    lcp, deepmask, deepcount = _lcp_base(shi, slo, b, per_hi, per_lo, n1)
+    dc = int(deepcount)
+    if dc > 0:
+        kcap = _next_pow2(dc)
+        p_j = _compact_mask(deepmask, kcap)
+        lcp = _lcp_deep(lcp, jnp.minimum(p_j, n1 - 1),
+                        p_j < deepmask.shape[0],
                         sa, jnp.stack(levels), hi, lo,
                         m, b, per_hi, per_lo, n1)
     return sa, lcp
@@ -421,7 +435,7 @@ def build_suffix_array(keys, with_lcp: bool = True):
     if n1 == 0:
         z = jnp.zeros(0, jnp.int32)
         return (z, z) if with_lcp else (z, None)
-    npad = _next_pow2(n1)
+    npad = _pad_size(n1)
     # int32 arithmetic bounds: pad keys are maxkey+1..maxkey+(npad-n1) and
     # the doubling rounds form idx + h with idx, h < npad — both must stay
     # below 2^31. encseq's own guard (n + num_chars < 2^31) admits sizes in

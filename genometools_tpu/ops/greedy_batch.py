@@ -884,19 +884,61 @@ def pack_pool(pool: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pack_desc(desc: np.ndarray) -> np.ndarray:
+    """Host: squeeze (ustart, ulen, vstart, vlen, rev, seedlen) rows
+    into 3 int32 words (12B/task over the tunnel instead of 24B):
+    d0 = ustart | rev<<31; d1 = vstart | seedlen<<26; d2 = ulen |
+    vlen<<16. Bounds: starts < 2^26 (pool guard), lens <= W tiers
+    (< 2^16), seedlen <= 63."""
+    d = np.empty((desc.shape[0], 3), np.int32)
+    d[:, 0] = desc[:, 0] | (desc[:, 4] << 31)
+    d[:, 1] = desc[:, 2] | (desc[:, 5] << 26)
+    d[:, 2] = desc[:, 1] | (desc[:, 3] << 16)
+    return d
+
+
+@jax.jit
+def _pack_out(out):
+    """Device: squeeze the 6 int32 result planes into 2 (8B/task down
+    the tunnel): p0 = alignedlen | row<<16 (both < 2^16 at single-shot
+    tiers); p1 = distance | mismatches<<15 | done<<30 | died<<31."""
+    al, row, dist, mism, done, died = (out[i] for i in range(6))
+    p0 = al | (row << 16)
+    p1 = dist | (mism << 15) | (done << 30) | (died << 31)
+    return jnp.stack([p0, p1])
+
+
+def _unpack_out(pk2: np.ndarray) -> np.ndarray:
+    u = pk2.view(np.uint32) if pk2.dtype != np.uint32 else pk2
+    al = (u[0] & 0xFFFF).astype(np.int32)
+    row = ((u[0] >> 16) & 0x7FFF).astype(np.int32)
+    dist = (u[1] & 0x7FFF).astype(np.int32)
+    mism = ((u[1] >> 15) & 0x7FFF).astype(np.int32)
+    done = ((u[1] >> 30) & 1).astype(np.int32)
+    died = ((u[1] >> 31) & 1).astype(np.int32)
+    return np.stack([al, row, dist, mism, done, died])
+
+
 @partial(jax.jit, static_argnames=("W0",))
 def _pk_from_pool(gp, desc, W0: int):
-    """Device window builder: desc int32[N, 6] =
-    (ustart, ulen, vstart, vlen, rev, seedlen) with starts already in
-    the coordinate system of the chosen plane set (host maps reversed
-    flanks to reversed-pool coordinates). Returns the (N, 6*W32+3) PK
-    layout of the single-shot kernel; pad symbols (beyond ulen/vlen)
-    are marked special with zero code planes — the kernel only consumes
-    planes through `ok = ~spec`, so this is result-identical to the
-    host's 254/255 fills."""
+    """Device window builder: desc int32[N, 3] = the _pack_desc layout
+    (starts already in the coordinate system of the chosen plane set:
+    the host maps reversed flanks to reversed-pool coordinates).
+    Returns the (N, 6*W32+3) PK layout of the single-shot kernel; pad
+    symbols (beyond ulen/vlen) are marked special with zero code planes
+    — the kernel only consumes planes through `ok = ~spec`, so this is
+    result-identical to the host's 254/255 fills."""
     W32 = W0 // 32
     N = desc.shape[0]
-    ustart, ulen, vstart, vlen, rev, sl = (desc[:, i] for i in range(6))
+    d0 = desc[:, 0]
+    d1 = desc[:, 1]
+    d2 = desc[:, 2]
+    ustart = d0 & 0x03FFFFFF
+    rev = (d0 >> 31) & 1
+    vstart = d1 & 0x03FFFFFF
+    sl = (d1 >> 26) & 63
+    ulen = d2 & 0xFFFF
+    vlen = (d2 >> 16) & 0x7FFF
     w = jnp.arange(W32, dtype=jnp.int32)
 
     def side(start, length):
@@ -1008,6 +1050,15 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
     desc_all = np.stack(
         [us_, u_len.astype(np.int32), vs_, v_len.astype(np.int32),
          rev.astype(np.int32), sl.astype(np.int32)], axis=1)
+    if pool.size >= 1 << 26 or int(sl.max(initial=0)) > 63:
+        # descriptor packing bounds exceeded: take the array path
+        us = [slice_task(i)[0] for i in range(N)]
+        vs = [slice_task(i)[1] for i in range(N)]
+        return greedy_extend_batch(
+            us, vs, seedlengths=sl, perc_mat_history=perc_mat_history,
+            maxalignedlendifference=maxalignedlendifference,
+            errorpercentage=errorpercentage, history=history,
+            matchscore_bias=matchscore_bias, pol_info=pol_info, cfg=cfg)
 
     results = {k: np.zeros(N, np.int32) for k in
                ("alignedlen", "row", "distance", "mismatches")}
@@ -1029,18 +1080,18 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
                 NP2 = max(16, 1 << (NP_ - 1).bit_length())
             else:
                 NP2 = -(-NP_ // 4096) * 4096
-            desc = np.zeros((NP2, 6), np.int32)
-            desc[:NP_] = desc_all[Fs]
+            desc = np.zeros((NP2, 3), np.int32)
+            desc[:NP_] = _pack_desc(desc_all[Fs])
             pk = _pk_from_pool(gp, jnp.asarray(desc), W0)
             out = full_impl(
                 pk, jnp.int32(mmp128),
                 jnp.int32(maxalignedlendifference),
                 jnp.int32(match_score), jnp.int32(difference_score),
                 jnp.int32(history), W0, Df, Gf, sync=False)
-            pending.append((Fs, out, NP_))
+            pending.append((Fs, _pack_out(out), NP_))
             _mark(f"wave dispatched W={W0} N={NP_}")
     for wi, (Fs, out, NP_) in enumerate(pending):
-        out = np.asarray(out)[:, :NP_]
+        out = _unpack_out(np.asarray(out))[:, :NP_]
         _mark(f"wave fetched {wi}")
         done_o = out[4] != 0
         fin = Fs[done_o]
@@ -1061,14 +1112,14 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
             NP_ = Fs.size
             NP2 = max(16, 1 << (NP_ - 1).bit_length()) if NP_ <= 4096 \
                 else -(-NP_ // 4096) * 4096
-            desc = np.zeros((NP2, 6), np.int32)
-            desc[:NP_] = desc_all[Fs]
+            desc = np.zeros((NP2, 3), np.int32)
+            desc[:NP_] = _pack_desc(desc_all[Fs])
             pk = _pk_from_pool(gp, jnp.asarray(desc), Wr)
-            out = np.asarray(full_impl(
+            out = _unpack_out(np.asarray(_pack_out(full_impl(
                 pk, jnp.int32(mmp128),
                 jnp.int32(maxalignedlendifference),
                 jnp.int32(match_score), jnp.int32(difference_score),
-                jnp.int32(history), Wr, Dr, Gr))[:, :NP_]
+                jnp.int32(history), Wr, Dr, Gr))))[:, :NP_]
             done_o = out[4] != 0
             fin = Fs[done_o]
             results["alignedlen"][fin] = out[0][done_o]

@@ -11,6 +11,8 @@
 // with gt_free().
 
 #include <cstdint>
+#include <cstdio>
+#include <algorithm>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -268,6 +270,32 @@ int64_t gt_maxpairs_stream_finish(void *h, int32_t **out_p1,
   memcpy(*out_len, s->rlen.data(), sizeof(int32_t) * cnt);
   delete s;
   return cnt;
+}
+
+// .suf writer for the e2e fast path: combine the split-plane packed
+// suffix table (low 16 bits as uint16, three 10-bit highs per uint32)
+// into 64-bit words and stream them to disk — one pass, no numpy
+// intermediates (index/fastpipe.py write_suf).
+int gt_write_suf(const uint16_t *low, const uint32_t *hp, int64_t n1,
+                 const char *path) {
+  FILE *f = fopen(path, "wb");
+  if (!f) return -1;
+  const int64_t CH = 1 << 20;
+  std::vector<uint64_t> buf((size_t)CH);
+  for (int64_t s = 0; s < n1; s += CH) {
+    int64_t m = std::min(CH, n1 - s);
+    for (int64_t j = 0; j < m; j++) {
+      int64_t i = s + j;
+      uint32_t h = (hp[i / 3] >> (10 * (i % 3))) & 1023u;
+      buf[(size_t)j] = (uint64_t)low[i] | ((uint64_t)h << 16);
+    }
+    if (fwrite(buf.data(), 8, (size_t)m, f) != (size_t)m) {
+      fclose(f);
+      return -1;
+    }
+  }
+  fclose(f);
+  return 0;
 }
 
 int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
