@@ -159,8 +159,127 @@ class SVGCanvas:
                 + "\n".join(parts) + "\n</svg>\n")
 
 
+class RasterCanvas:
+    """PNG/PDF canvas via PIL (capability equivalent of the reference's
+    cairo file canvases, ref: src/annotationsketch/canvas_cairo_file.c);
+    same layout geometry as SVGCanvas."""
+
+    def __init__(self, width: int = 800, margin: int = 20,
+                 bar_height: int = 12, line_gap: int = 8,
+                 track_gap: int = 18, styles: dict | None = None):
+        self.width = width
+        self.margin = margin
+        self.bar_height = bar_height
+        self.line_gap = line_gap
+        self.track_gap = track_gap
+        self.styles = styles or {}
+
+    def _colors(self, ftype: str) -> tuple[str, str]:
+        sec = self.styles.get(ftype, {})
+        fill = sec.get("fill") or _TRACK_COLORS.get(ftype, _DEFAULT_COLOR)
+        stroke = sec.get("stroke") or "#555555"
+        return fill, stroke
+
+    def _measure(self, diagram: Diagram) -> int:
+        y = self.margin + self.track_gap
+        for track in diagram.tracks:
+            y += 14
+            y += len(track.lines) * (self.bar_height + self.line_gap)
+            y += self.track_gap - self.line_gap
+        return y + self.margin
+
+    def render(self, diagram: Diagram):
+        """Returns a PIL Image of the diagram."""
+        from PIL import Image, ImageDraw
+        view = diagram.view
+        span = max(view.length, 1)
+        inner = self.width - 2 * self.margin
+
+        def x(pos: int) -> float:
+            return self.margin + (pos - view.start) / span * inner
+
+        height = self._measure(diagram)
+        img = Image.new("RGB", (self.width, height), "white")
+        d = ImageDraw.Draw(img)
+        y = self.margin
+        d.line([(self.margin, y), (self.width - self.margin, y)],
+               fill="#888888")
+        d.text((self.margin, y - 12),
+               f"{diagram.seqid}: {view.start}..{view.end}",
+               fill="black")
+        y += self.track_gap
+        for track in diagram.tracks:
+            d.text((self.margin, y), track.ftype, fill="#333333")
+            y += 14
+            fill, stroke = self._colors(track.ftype)
+            for line in track.lines:
+                for block in line.blocks:
+                    x0 = x(max(block.range.start, view.start))
+                    x1 = x(min(block.range.end, view.end))
+                    x1 = max(x1, x0 + 1)
+                    d.rectangle([x0, y, x1, y + self.bar_height],
+                                fill=fill, outline=stroke)
+                    strand = block.node.strand
+                    if strand in "+-" and x1 - x0 > 8:
+                        ax = x1 - 6 if strand == "+" else x0 + 6
+                        tip = x1 if strand == "+" else x0
+                        mid = y + self.bar_height / 2
+                        d.line([(ax, y), (tip, mid),
+                                (ax, y + self.bar_height)], fill=stroke)
+                    if block.caption and x1 - x0 > 30:
+                        d.text((x0, y - 12), block.caption,
+                               fill="black")
+                y += self.bar_height + self.line_gap
+            y += self.track_gap - self.line_gap
+        return img
+
+
 def sketch(nodes: list[GenomeNode], seqid: str | None = None,
-           width: int = 800) -> str:
-    """`gt sketch` equivalent: nodes -> SVG string."""
-    diagram = Diagram.from_nodes(nodes, seqid)
-    return SVGCanvas(width=width).render(diagram)
+           width: int = 800, fmt: str = "svg",
+           style: dict | None = None,
+           view: "Range | None" = None):
+    """`gt sketch` equivalent. fmt="svg" returns the SVG string;
+    "png"/"pdf" return the encoded image bytes (PIL canvas)."""
+    diagram = Diagram.from_nodes(nodes, seqid, view=view)
+    styles = {}
+    if style:
+        from .style import track_colors
+        styles = track_colors(style)
+    if fmt == "svg":
+        canvas = SVGCanvas(width=width)
+        if styles:
+            for t, e in styles.items():
+                if "fill" in e:
+                    _TRACK_COLORS[t] = e["fill"]
+        return canvas.render(diagram)
+    import io
+    img = RasterCanvas(width=width, styles=styles).render(diagram)
+    buf = io.BytesIO()
+    img.save(buf, format=fmt.upper())
+    return buf.getvalue()
+
+
+def sketch_pages(nodes: list[GenomeNode], seqid: str | None = None,
+                 width: int = 800, page_span: int = 50000,
+                 style: dict | None = None) -> bytes:
+    """`gt sketch_page` equivalent (ref: src/tools/gt_sketch_page.c):
+    paginate the full sequence range into page_span-bp views and render
+    one page per view into a multi-page PDF."""
+    import io
+    diagram0 = Diagram.from_nodes(nodes, seqid)
+    view = diagram0.view
+    styles = {}
+    if style:
+        from .style import track_colors
+        styles = track_colors(style)
+    pages = []
+    start = view.start
+    while start <= view.end:
+        end = min(start + page_span - 1, view.end)
+        dia = Diagram.from_nodes(nodes, seqid, view=Range(start, end))
+        pages.append(RasterCanvas(width=width, styles=styles).render(dia))
+        start = end + 1
+    buf = io.BytesIO()
+    pages[0].save(buf, format="PDF", save_all=True,
+                  append_images=pages[1:])
+    return buf.getvalue()

@@ -419,6 +419,7 @@ def cmd_seed_extend(args):
         logdiagbandwidth=args.diagbandwidth,
         perc_mat_history=args.percmathistory,
         maxalignedlendifference=args.maxalilendiff,
+        spacedseedweight=args.spacedseed,
         parts=args.parts,
         pick=tuple(int(x) for x in args.pick.split(","))
         if args.pick else None)
@@ -530,6 +531,10 @@ def _add_seed_extend(sub):
     p.add_argument("-pick", default=None, help="run one grid cell: a,b")
     p.add_argument("-diagbandwidth", type=int, default=6)
     p.add_argument("-seedlength", type=int, default=0)
+    p.add_argument("-spacedseed", type=int, nargs="?", const=0,
+                   default=None,
+                   help="use tuned spaced seeds (optional weight; span "
+                        "= seedlength)")
     p.add_argument("-minidentity", type=int, default=80)
     p.add_argument("-extendxdrop", type=int, nargs="?", const=97, default=0)
     p.add_argument("-extendgreedy", type=int, nargs="?", const=97, default=0)
@@ -2302,19 +2307,67 @@ def cmd_sketch(args):
     nodes = []
     for pth in args.files:
         nodes.extend(parse_gff3(open(pth).read()))
-    svg = sketch(nodes, seqid=args.seqid, width=args.width)
-    with open(args.out, "w") as f:
-        f.write(svg)
+    style = None
+    if args.style:
+        from .anno.style import load_style
+        style = load_style(args.style)
+    fmt = args.format
+    if fmt == "auto":
+        ext = args.out.rsplit(".", 1)[-1].lower()
+        fmt = ext if ext in ("svg", "png", "pdf") else "svg"
+    out = sketch(nodes, seqid=args.seqid, width=args.width, fmt=fmt,
+                 style=style)
+    mode = "w" if isinstance(out, str) else "wb"
+    with open(args.out, mode) as f:
+        f.write(out)
     return 0
 
 
 def _add_sketch(sub):
-    p = sub.add_parser("sketch", help="draw annotation diagrams (SVG)")
+    p = sub.add_parser("sketch",
+                       help="draw annotation diagrams (SVG/PNG/PDF)")
     p.add_argument("out")
     p.add_argument("files", nargs="+")
     p.add_argument("-seqid", default=None)
     p.add_argument("-width", type=int, default=800)
+    p.add_argument("-format", default="auto",
+                   choices=["auto", "svg", "png", "pdf"])
+    p.add_argument("-style", default=None,
+                   help="annotation style file (reference .style "
+                        "table format)")
     p.set_defaults(func=cmd_sketch)
+
+
+def cmd_sketch_page(args):
+    """gt sketch_page (ref: src/tools/gt_sketch_page.c): multi-page
+    PDF over the whole annotated range."""
+    from .anno.gff3 import parse_gff3
+    from .anno.sketch import sketch_pages
+    nodes = []
+    for pth in args.files:
+        nodes.extend(parse_gff3(open(pth).read()))
+    style = None
+    if args.style:
+        from .anno.style import load_style
+        style = load_style(args.style)
+    pdf = sketch_pages(nodes, seqid=args.seqid, width=args.width,
+                       page_span=args.linewidth, style=style)
+    with open(args.out, "wb") as f:
+        f.write(pdf)
+    return 0
+
+
+def _add_sketch_page(sub):
+    p = sub.add_parser("sketch_page",
+                       help="draw a multi-page PDF of annotations")
+    p.add_argument("out")
+    p.add_argument("files", nargs="+")
+    p.add_argument("-seqid", default=None)
+    p.add_argument("-width", type=int, default=800)
+    p.add_argument("-linewidth", type=int, default=50000,
+                   help="base pairs per page")
+    p.add_argument("-style", default=None)
+    p.set_defaults(func=cmd_sketch_page)
 
 
 def cmd_chain2dim(args):
@@ -2893,6 +2946,41 @@ def _add_snpper(sub):
     p.set_defaults(func=cmd_snpper)
 
 
+def cmd_ltrclustering(args):
+    """gt ltrclustering (ref: src/ltr/gt_ltrclustering.c)."""
+    _force_platform(args)
+    from .anno.gff3 import gff3_to_string, parse_gff3
+    from .core.encseq import Encseq
+    from .ltr.ltrclustering import ltrclustering
+    enc = Encseq.load(args.indexname)
+    nodes = []
+    for p in args.files:
+        nodes.extend(parse_gff3(open(p).read()))
+    ltrclustering(enc, nodes, args.psmall, args.plarge)
+    out = gff3_to_string(nodes)
+    if args.o:
+        open(args.o, "w").write(out)
+    else:
+        sys.stdout.write(out)
+    return 0
+
+
+def _add_ltrclustering(sub):
+    p = sub.add_parser("ltrclustering",
+                       help="cluster features of LTRs")
+    p.add_argument("-psmall", type=int, required=True,
+                   help="match must cover this percent of the smaller "
+                        "sequence")
+    p.add_argument("-plarge", type=int, required=True,
+                   help="match must cover this percent of the larger "
+                        "sequence")
+    p.add_argument("-o", default=None)
+    p.add_argument("indexname")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(func=cmd_ltrclustering)
+
+
 def cmd_tirvish(args):
     """gt tirvish (ref: src/tools/gt_tir.c over
     src/extended/tir_stream.c)."""
@@ -3083,7 +3171,8 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_encseq2spm, _add_prebwt, _add_mkfmindex,
              _add_mkfeatureindex, _add_featureindex, _add_condenseq,
              _add_scriptfilter, _add_speck, _add_feat_streams,
-             _add_snpper, _add_congruence, _add_dev, _add_tirvish]
+             _add_snpper, _add_congruence, _add_dev, _add_tirvish,
+             _add_ltrclustering, _add_sketch_page]
 
 
 def main(argv=None):

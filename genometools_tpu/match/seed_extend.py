@@ -63,6 +63,20 @@ class SeedExtendParams:
     history: int = 64
     perc_mat_history: int | None = None
     maxalignedlendifference: int | None = None
+    spacedseedweight: int | None = None   # -spacedseed (span = seedlength)
+
+    def spaced_mask(self, k: int) -> int | None:
+        """The tuned per-(span, weight) mask (ref:
+        src/match/dbs_spaced_seeds.c gt_spaced_seed_spec_tab) or None
+        for contiguous seeds."""
+        if self.spacedseedweight is None:
+            return None
+        from ..ops.spaced_seeds_tab import seed_for, weight_range
+        w = self.spacedseedweight
+        lo, hi = weight_range(k)
+        if w == 0:                      # reference: weight = default
+            w = max(lo, min(hi, k * 3 // 4))
+        return seed_for(w, k)
 
     @property
     def errorpercentage(self) -> int:
@@ -94,12 +108,16 @@ def default_seedlength(aenc: Encseq, benc: Encseq, nchars: int = 4) -> int:
     return max(min(log_avg, maxseqlength, 32), 2)
 
 
-def enumerate_kmers(encseq: Encseq, k: int, revcomp: bool = False):
+def enumerate_kmers(encseq: Encseq, k: int, revcomp: bool = False,
+                    spaced_mask: int | None = None):
     """(codes int64, seqnum int64, endpos int64) of all valid k-windows,
     endpos relative to its sequence start, in the strand's reading order.
     For revcomp=True each sequence is read reverse-complemented and endpos
     is in revcomp coordinates (ref: kmer iteration under
-    GT_READMODE_REVCOMPL)."""
+    GT_READMODE_REVCOMPL). spaced_mask selects a spaced seed over the
+    span-k window (ref: diagbandseed spaced-seed k-mer extraction,
+    src/match/dbs_spaced_seeds.c)."""
+    from ..ops.kmer import spaced_kmer_codes_np
     codes_all, seqs_all, end_all = [], [], []
     comp = encseq.alphabet.complement_table()
     for s in range(encseq.num_sequences):
@@ -110,7 +128,10 @@ def enumerate_kmers(encseq: Encseq, k: int, revcomp: bool = False):
             seq = np.where(is_special(seq[::-1]), seq[::-1], comp[seq[::-1]])
         if seq.size < k:
             continue
-        code, valid = kmer_codes_np(seq, k)
+        if spaced_mask is not None:
+            code, valid = spaced_kmer_codes_np(seq, spaced_mask)
+        else:
+            code, valid = kmer_codes_np(seq, k)
         pos = np.nonzero(valid)[0]
         codes_all.append(code[pos])
         seqs_all.append(np.full(pos.size, s, np.int64))
@@ -285,7 +306,8 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
     belowscore = params.belowscore()
     matches: list[SeedExtendMatch] = []
 
-    alist = enumerate_kmers(aenc, k, revcomp=False)
+    smask = params.spaced_mask(k)
+    alist = enumerate_kmers(aenc, k, revcomp=False, spaced_mask=smask)
     comp = benc.alphabet.complement_table()
     amaxlen = aenc.max_seq_length()
     bmaxlen = benc.max_seq_length()
@@ -299,7 +321,8 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
         return _seed_extend_grid(aenc, benc, params, events, k, mincov,
                                  belowscore, selfcomp, strands, amaxlen)
     for direction in strands:
-        blist = enumerate_kmers(benc, k, revcomp=(direction == "P"))
+        blist = enumerate_kmers(benc, k, revcomp=(direction == "P"),
+                                spaced_mask=smask)
         # same-sequence distance rule: bpos >= apos + seedlength on the
         # forward strand, bpos >= apos on the reverse strand (counts
         # validated against the reference's at1MB -v logs: 305756 F /

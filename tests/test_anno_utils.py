@@ -292,3 +292,65 @@ class TestConversionGoldens:
         with pytest.raises(ValueError, match="with no flanking CDS"):
             parse_gtf((testdata /
                        "gt_gtf_to_gff3_test_fail_no_flank.gtf").read_text())
+
+
+class TestSketchFormats:
+    GFF = """##gff-version 3
+##sequence-region   chr1 1 100000
+chr1\ttest\tgene\t1000\t9000\t.\t+\t.\tID=gene1;Name=g1
+chr1\ttest\tmRNA\t1000\t9000\t.\t+\t.\tID=m1;Parent=gene1
+chr1\ttest\texon\t1000\t2000\t.\t+\t.\tParent=m1
+chr1\ttest\texon\t5000\t9000\t.\t+\t.\tParent=m1
+chr1\ttest\tgene\t60000\t80000\t.\t-\t.\tID=gene2
+"""
+
+    def _nodes(self):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        return parse_gff3(self.GFF)
+
+    def test_png_and_pdf_render(self):
+        from genometools_tpu.anno.sketch import sketch
+        png = sketch(self._nodes(), fmt="png")
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        pdf = sketch(self._nodes(), fmt="pdf")
+        assert pdf[:5] == b"%PDF-"
+
+    def test_style_file_colors(self, tmp_path):
+        from genometools_tpu.anno.sketch import sketch
+        from genometools_tpu.anno.style import load_style
+        st = tmp_path / "my.style"
+        st.write_text("""
+-- comment
+style = {
+  gene = {
+    fill = {red=1.0, green=0.0, blue=0.0},
+    stroke = {red=0.0, green=0.0, blue=0.0, alpha=1.0},
+    style = "box",
+    collapse_to_parent = false,
+    max_capt_show_width = nil,
+  },
+}
+""")
+        style = load_style(str(st))
+        assert style["gene"]["fill"]["red"] == 1.0
+        png = sketch(self._nodes(), fmt="png", style=style)
+        # the pure-red gene fill must appear in the rendered image
+        import io
+        from PIL import Image
+        img = Image.open(io.BytesIO(png))
+        assert (255, 0, 0) in (c for _, c in img.getcolors(65536))
+
+    def test_reference_default_style_parses(self):
+        from genometools_tpu.anno.style import load_style, track_colors
+        style = load_style("/root/reference/gtdata/sketch/default.style")
+        colors = track_colors(style)
+        assert "gene" in colors and colors["gene"]["fill"].startswith("#")
+        assert "exon" in colors
+
+    def test_sketch_page_multipage_pdf(self):
+        from genometools_tpu.anno.sketch import sketch_pages
+        pdf = sketch_pages(self._nodes(), page_span=30000)
+        assert pdf[:5] == b"%PDF-"
+        # 1..80000 at 30000 bp/page -> 3 pages
+        assert pdf.count(b"/Type /Page") >= 3 or \
+            pdf.count(b"/Page") >= 3

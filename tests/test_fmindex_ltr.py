@@ -115,3 +115,51 @@ class TestLTRharvest:
         assert "repeat_region" in text
         assert "LTR_retrotransposon" in text
         assert text.count("long_terminal_repeat") == 2 * len(preds)
+
+
+class TestLtrClustering:
+    def _setup(self, tmp_path):
+        import numpy as np
+        from genometools_tpu.core.encseq import Encseq
+        rng = np.random.default_rng(13)
+        ltr_a = "".join(rng.choice(list("acgt"), 80))
+        ltr_b = "".join(rng.choice(list("acgt"), 80))
+        mid = lambda: "".join(rng.choice(list("acgt"), 200))
+        # two elements sharing LTR family A, one with family B
+        seq = (mid() + ltr_a + mid() + ltr_a + mid()
+               + ltr_a + mid() + ltr_a + mid()
+               + ltr_b + mid() + ltr_b + mid())
+        e = Encseq.from_string(seq)
+        # feature trees around the planted LTR coordinates (1-based)
+        from genometools_tpu.anno.genome_node import FeatureNode
+        nodes = []
+        offs = []
+        pos = 200
+        for _ in range(3):
+            offs.append((pos + 1, pos + 80, pos + 281, pos + 360))
+            pos += 560
+        for a1, a2, b1, b2 in offs:
+            el = FeatureNode("seq0", "LTR_retrotransposon", a1, b2, "+")
+            l1 = FeatureNode("seq0", "long_terminal_repeat", a1, a2, "+")
+            l2 = FeatureNode("seq0", "long_terminal_repeat", b1, b2, "+")
+            el.add_child(l1)
+            el.add_child(l2)
+            nodes.append(el)
+        return e, nodes
+
+    def test_clusters_and_families(self, tmp_path):
+        from genometools_tpu.ltr.ltrclustering import ltrclustering
+        e, nodes = self._setup(tmp_path)
+        ltrclustering(e, nodes, psmall=80, plarge=30)
+        clids = []
+        for el in nodes:
+            ltrs = [c for c in el.traverse()
+                    if c.type == "long_terminal_repeat"]
+            assert all("clid" in l.attributes for l in ltrs)
+            clids.append(ltrs[0].attributes["clid"])
+        # elements 0 and 1 share the same LTR sequence -> same cluster;
+        # element 2 uses a different LTR -> different cluster
+        assert clids[0] == clids[1]
+        assert clids[2] != clids[0]
+        fams = [el.attributes.get("ltrfam") for el in nodes]
+        assert fams[0] == fams[1] and fams[2] != fams[0]

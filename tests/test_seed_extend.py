@@ -608,3 +608,42 @@ class TestPartsGrid:
             for b in range(a, nr + 1):
                 got.extend(self._run(e, 2, pick=(a, b)))
         assert sorted(got) == ref
+
+
+class TestSpacedSeeds:
+    def test_tuned_table_consistency(self):
+        from genometools_tpu.ops.spaced_seeds_tab import (
+            FIRST_SPAN, SEED_TAB, seed_for, seed_span, seed_weight,
+            weight_range)
+        assert len(SEED_TAB) == 197
+        for span in range(FIRST_SPAN, 33):
+            lo, hi = weight_range(span)
+            for w in range(lo, hi + 1):
+                m = seed_for(w, span)
+                assert seed_span(m) == span
+                assert seed_weight(m) == w
+
+    def test_spaced_seed_extend_runs_and_matches_planted(self):
+        # a planted repeat with mismatches at the DON'T-CARE positions
+        # of the tuned seed is still seeded
+        import numpy as np
+        from genometools_tpu.core.encseq import Encseq
+        from genometools_tpu.match.seed_extend import (SeedExtendParams,
+                                                       seed_extend)
+        from genometools_tpu.ops.spaced_seeds_tab import seed_for
+        rng = np.random.default_rng(8)
+        core = "".join(rng.choice(list("acgt"), 120))
+        mask = seed_for(12, 16)
+        # mutate ONLY don't-care columns of one window copy
+        mut = list(core)
+        for b in range(16):
+            if not (mask >> (15 - b)) & 1:
+                j = 30 + b
+                mut[j] = "acgt"[("acgt".index(mut[j]) + 1) % 4]
+        s = core + "".join(rng.choice(list("acgt"), 60)) + "".join(mut)
+        e = Encseq.from_string(s)
+        p = SeedExtendParams(seedlength=16, spacedseedweight=12,
+                             userdefinedleastlength=30, reverse=False,
+                             extension="greedy")
+        matches = seed_extend(e, None, p)
+        assert matches, "spaced seed must still seed the mutated repeat"
