@@ -86,6 +86,9 @@ def get_lib():
     lib.gt_write_suf.argtypes = [
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_int64, ctypes.c_char_p]
+    lib.gt_pack_suf.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint64)]
     lib.gt_fill_windows.argtypes = [
         u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint8, u8p]
@@ -319,3 +322,19 @@ def write_suf_native(low: np.ndarray, hp: np.ndarray, n1: int,
         hp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         n1, path.encode())
     return rc == 0
+
+
+def pack_suf_native(low: np.ndarray, hp: np.ndarray,
+                    out: np.ndarray) -> bool:
+    """Convert one chunk of split-plane suffix values into the caller's
+    uint64 buffer (native/gtnative.cpp gt_pack_suf)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    low = np.ascontiguousarray(low, np.uint16)
+    hp = np.ascontiguousarray(hp, np.uint32)
+    lib.gt_pack_suf(
+        low.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        hp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        low.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return True

@@ -218,33 +218,49 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
             lcp_planes(lcp, sa, keys)
         _mark("pack/lcp-planes dispatched")
 
-        # fetch the suffix planes first (the LCP kernels above are
-        # dispatched and compute during this transfer)
-        low_np = np.asarray(low)
-        _mark("fetched low plane")
-        hp_np = np.asarray(hp)
-        _mark("fetched high plane")
-
+        # overlapped chunked fetch + write: the suffix planes come back
+        # as ~6MB slices pulled by a small thread pool (independent
+        # tunnel streams aggregate ~1.7x the serial bandwidth), and the
+        # writer thread packs+appends each chunk while later chunks are
+        # still in flight — so the 8-byte-word .suf materializes during
+        # the transfer instead of after it
+        from concurrent.futures import ThreadPoolExecutor
         suf_path = Path(indexname + ".suf")
+        CH = 6 * (1 << 20)                  # multiple of 3
+        nchunks = max(1, -(-n1 // CH))
+
+        def fetch_chunk(ci):
+            a = ci * CH
+            b = min(n1, a + CH)
+            lo = np.asarray(low[a:b])
+            hpc = np.asarray(hp[a // 3:(b + 2) // 3]).view(np.uint32)
+            return lo, hpc
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        futs = [pool.submit(fetch_chunk, ci) for ci in range(nchunks)]
+        nib_fut = pool.submit(
+            lambda: np.asarray(nib).view(np.uint32))
 
         def write_suf():
-            from ..core.native import write_suf_native
-            if write_suf_native(low_np, hp_np.view(np.uint32), n1,
-                                str(suf_path)):
-                return
-            h = np.empty((hp_np.size, 3), np.int32)
-            h[:, 0] = hp_np & 1023
-            h[:, 1] = (hp_np >> 10) & 1023
-            h[:, 2] = (hp_np >> 20) & 1023
-            out = np.zeros((n1, 2), np.uint32)
-            out[:, 0] = low_np.astype(np.uint32) \
-                | (h.reshape(-1)[:n1].astype(np.uint32) << 16)
-            out.tofile(suf_path)
+            from ..core.native import pack_suf_native
+            buf = np.empty(CH, np.uint64)
+            with open(suf_path, "wb") as f:
+                for ci in range(nchunks):
+                    lo, hpc = futs[ci].result()
+                    m = lo.size
+                    if not pack_suf_native(lo, hpc, buf[:m]):
+                        h0 = np.repeat(hpc.astype(np.uint32), 3)[:m]
+                        sh = np.tile(np.arange(3, dtype=np.uint32),
+                                     (m + 2) // 3)[:m] * 10
+                        hi = (h0 >> sh) & 1023
+                        buf[:m] = lo.astype(np.uint64) \
+                            | (hi.astype(np.uint64) << 16)
+                    buf[:m].tofile(f)
 
         w2 = threading.Thread(target=_guard(write_suf))
         w2.start()
 
-        nib_np = np.asarray(nib).view(np.uint32)
+        nib_np = nib_fut.result()
         _mark("fetched lcp plane")
         nesc_i = int(np.asarray(nesc))
         small_np = np.empty((nib_np.size, 5), np.uint8)
@@ -277,6 +293,7 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
         _write_prj_fast(esa, indexname, novf_i, lcpsum / n1, maxbd_i,
                         longest_i, n1)
         w2.join()
+        pool.shutdown(wait=False)
         _mark("suf written")
     w1.join()
     _mark("esq side written (join)")

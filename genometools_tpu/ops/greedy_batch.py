@@ -1066,7 +1066,11 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
     todo = np.ones(N, bool)
     maxlen = np.maximum(u_len, v_len)
     assigned = ~((u_len >= 1) & (v_len >= 1))
-    pending = []
+    # plan every wave first, upload ALL padded descriptors in ONE
+    # transfer and slice per wave on device: each extra host->device
+    # transfer costs a full tunnel round trip on remote backends, which
+    # dominated the old per-wave dispatch (~0.3s/wave)
+    plan = []
     for W0, Df, Gf in cfg.FULL_PASSES:
         sel = ~assigned & (maxlen <= W0)
         assigned |= sel
@@ -1080,16 +1084,25 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
                 NP2 = max(16, 1 << (NP_ - 1).bit_length())
             else:
                 NP2 = -(-NP_ // 4096) * 4096
-            desc = np.zeros((NP2, 3), np.int32)
-            desc[:NP_] = _pack_desc(desc_all[Fs])
-            pk = _pk_from_pool(gp, jnp.asarray(desc), W0)
-            out = full_impl(
-                pk, jnp.int32(mmp128),
-                jnp.int32(maxalignedlendifference),
-                jnp.int32(match_score), jnp.int32(difference_score),
-                jnp.int32(history), W0, Df, Gf, sync=False)
-            pending.append((Fs, _pack_out(out), NP_))
-            _mark(f"wave dispatched W={W0} N={NP_}")
+            plan.append((W0, Df, Gf, Fs, NP_, NP2))
+    total_rows = sum(NP2 for *_x, NP2 in plan)
+    all_desc = np.zeros((total_rows, 3), np.int32)
+    off = 0
+    offs = []
+    for W0, Df, Gf, Fs, NP_, NP2 in plan:
+        all_desc[off:off + NP_] = _pack_desc(desc_all[Fs])
+        offs.append(off)
+        off += NP2
+    big_desc = jnp.asarray(all_desc)
+    sc = (jnp.int32(mmp128), jnp.int32(maxalignedlendifference),
+          jnp.int32(match_score), jnp.int32(difference_score),
+          jnp.int32(history))
+    pending = []
+    for (W0, Df, Gf, Fs, NP_, NP2), off in zip(plan, offs):
+        pk = _pk_from_pool(gp, big_desc[off:off + NP2], W0)
+        out = full_impl(pk, *sc, W0, Df, Gf, sync=False)
+        pending.append((Fs, _pack_out(out), NP_))
+        _mark(f"wave dispatched W={W0} N={NP_}")
     for wi, (Fs, out, NP_) in enumerate(pending):
         out = _unpack_out(np.asarray(out))[:, :NP_]
         _mark(f"wave fetched {wi}")
@@ -1116,10 +1129,7 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
             desc[:NP_] = _pack_desc(desc_all[Fs])
             pk = _pk_from_pool(gp, jnp.asarray(desc), Wr)
             out = _unpack_out(np.asarray(_pack_out(full_impl(
-                pk, jnp.int32(mmp128),
-                jnp.int32(maxalignedlendifference),
-                jnp.int32(match_score), jnp.int32(difference_score),
-                jnp.int32(history), Wr, Dr, Gr))))[:, :NP_]
+                pk, *sc, Wr, Dr, Gr))))[:, :NP_]
             done_o = out[4] != 0
             fin = Fs[done_o]
             results["alignedlen"][fin] = out[0][done_o]

@@ -272,6 +272,18 @@ int64_t gt_maxpairs_stream_finish(void *h, int32_t **out_p1,
   return cnt;
 }
 
+// chunked variant for the overlapped writer: convert `count` positions
+// whose low/hp planes start at a multiple-of-3 global offset into the
+// caller's uint64 buffer (no file IO here - the writer thread streams
+// the buffer while later chunks are still in flight).
+void gt_pack_suf(const uint16_t *low, const uint32_t *hp, int64_t count,
+                 uint64_t *out) {
+  for (int64_t i = 0; i < count; i++) {
+    uint32_t h = (hp[i / 3] >> (10 * (i % 3))) & 1023u;
+    out[i] = (uint64_t)low[i] | ((uint64_t)h << 16);
+  }
+}
+
 // .suf writer for the e2e fast path: combine the split-plane packed
 // suffix table (low 16 bits as uint16, three 10-bit highs per uint32)
 // into 64-bit words and stream them to disk — one pass, no numpy
