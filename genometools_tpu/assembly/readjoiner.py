@@ -274,9 +274,14 @@ class SpmList:
 
 
 def find_spms(readset: ReadSet, minlen: int,
-              singlestrand: bool = False) -> SpmList:
-    """All suffix-prefix matches >= minlen (ref: firstcodes + esa-spmsk;
-    brute-force oracle rdj-ovlfind-bf.c via `gt readjoiner spmtest`)."""
+              singlestrand: bool = False,
+              irreducible: bool = True) -> SpmList:
+    """Suffix-prefix matches >= minlen (ref: firstcodes + esa-spmsk;
+    brute-force oracle rdj-ovlfind-bf.c via `gt readjoiner spmtest`).
+    irreducible=True (the reference overlap phase's semantics,
+    ref: esa-spmsk.c irreducible SPM emission) drops every transitive
+    match a->b that an intermediate read c spells identically
+    (l_ab == l_ac + l_cb - len(c)); row order of survivors is kept."""
     n = readset.num_reads
     # mirrored read list: m in [0,n) = read m '+'; m in [n,2n) = rc of
     # read 2n-1-m (the reference's mirrored encseq numbering)
@@ -328,7 +333,8 @@ def find_spms(readset: ReadSet, minlen: int,
         sr, ss = (a, True) if a < n else (m_count - 1 - a, False)
         pr, ps = (b, True) if b < n else (m_count - 1 - b, False)
         out.append((sr, ss, pr, ps, L))
-    out_arr = np.array(out, dtype=object) if out else None
+    if irreducible and out:
+        out = _drop_transitive_spms(out, readset)
     if not out:
         z = np.zeros(0, np.int64)
         return SpmList(z, z.astype(bool), z, z.astype(bool), z)
@@ -338,6 +344,40 @@ def find_spms(readset: ReadSet, minlen: int,
         np.array([o[2] for o in out], np.int64),
         np.array([o[3] for o in out], bool),
         np.array([o[4] for o in out], np.int64))
+
+
+def _drop_transitive_spms(out, readset: ReadSet):
+    """Keep only irreducible SPMs: build the bidirected adjacency
+    (incl. dual edges), drop a->b when some a->c->b composes to the
+    same layout (the redtrans criterion, ref: rdj-strgraph.c:987 —
+    applied at SPM level because the reference overlap phase only ever
+    emits irreducible matches)."""
+    best: dict[tuple, int] = {}
+    for sr, ss, pr, ps, L in out:
+        for key in (((sr, ss), (pr, ps)), ((pr, not ps), (sr, not ss))):
+            if best.get(key, -1) < L:
+                best[key] = L
+    adj: dict[tuple, list] = {}
+    for (va, vb), L in best.items():
+        adj.setdefault(va, []).append((vb, L))
+    rl = [len(r) for r in readset.reads]
+
+    def reducible(va, vb, l_ab):
+        for vc, l_ac in adj.get(va, []):
+            if vc == vb or vc == va or l_ac <= l_ab:
+                continue
+            for vb2, l_cb in adj.get(vc, []):
+                if vb2 == vb and l_ab == l_ac + l_cb - rl[vc[0]]:
+                    return True
+        return False
+
+    kept = []
+    for sr, ss, pr, ps, L in out:
+        if best[((sr, ss), (pr, ps))] != L:
+            continue                      # a longer same-pair SPM wins
+        if not reducible((sr, ss), (pr, ps), L):
+            kept.append((sr, ss, pr, ps, L))
+    return kept
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +447,142 @@ class StringGraph:
                         removed.add((a, sa, c, sc, l_ac))
         self.edges = [e for e in self.edges if e not in removed]
         return len(removed)
+
+    # -- error-correction reductions (ref: rdj-strgraph.c:1131,1230) ---
+
+    def _degrees(self):
+        out_edges = {}
+        for idx, (a, sa, b, sb, l) in enumerate(self.edges):
+            out_edges.setdefault((a, sa), []).append(idx)
+        return out_edges
+
+    @staticmethod
+    def _other(v):
+        return (v[0], not v[1])
+
+    def reduce_dead_paths(self, maxdepth: int = 10) -> int:
+        """One round of dead-end path removal (ref:
+        gt_strgraph_reddepaths, rdj-strgraph.c:1131): from every
+        non-internal vertex, walk chains of internal vertices; a chain
+        of <= maxdepth edges that ends at a vertex with no continuation
+        (or that started from a non-branching vertex) is marked and
+        removed. Returns the number of removed edges."""
+        out_edges = self._degrees()
+
+        def outdeg(v):
+            return len(out_edges.get(v, []))
+
+        def indeg(v):
+            return outdeg(self._other(v))
+
+        def internal(v):
+            return outdeg(v) == 1 and indeg(v) == 1
+
+        marked: set[int] = set()
+        for v in list(out_edges):
+            if internal(v):
+                continue
+            i_branching = (outdeg(v) > 1 and indeg(v) > 0) or \
+                (outdeg(v) == 1 and indeg(v) > 1)
+            for ei in out_edges[v]:
+                if ei in marked:
+                    continue
+                path = [ei]
+                to = (self.edges[ei][2], self.edges[ei][3])
+                depth = 1
+                while internal(to) and depth <= maxdepth:
+                    depth += 1
+                    ej = out_edges[to][0]
+                    path.append(ej)
+                    to = (self.edges[ej][2], self.edges[ej][3])
+                if depth <= maxdepth and (not i_branching
+                                          or outdeg(to) == 0):
+                    marked.update(path)
+        self.edges = [e for i, e in enumerate(self.edges)
+                      if i not in marked]
+        return len(marked)
+
+    def reduce_bubbles(self, maxwidth: int = 0, maxdiff: int = 1) -> int:
+        """One round of p-bubble removal (ref: gt_strgraph_redpbubbles,
+        rdj-strgraph.c:1230): from every non-internal vertex, collect
+        internal-chain paths as (dest, depth, width = sum of edge
+        lengths); sort by (dest, width); adjacent paths to the same
+        dest within maxdiff width are bubbles — the shallower path is
+        marked and removed. maxwidth=0 uses the reference default
+        4*longest_read - 2*minmatchlen - 1."""
+        readlen = [len(r) for r in self.readset.reads]
+        if maxwidth == 0:
+            minmatch = min((e[4] for e in self.edges), default=0)
+            maxwidth = (max(readlen, default=0) << 2) - \
+                (minmatch << 1) - 1
+        out_edges = self._degrees()
+
+        def outdeg(v):
+            return len(out_edges.get(v, []))
+
+        def internal(v):
+            return outdeg(v) == 1 and outdeg(self._other(v)) == 1
+
+        def edge_len(ei):
+            a, sa, b, sb, l = self.edges[ei]
+            return readlen[b] - l
+
+        marked: set[int] = set()
+        for v in list(out_edges):
+            if internal(v):
+                continue
+            info = []
+            for ei in out_edges[v]:
+                to = (self.edges[ei][2], self.edges[ei][3])
+                depth = 1
+                width = edge_len(ei)
+                chain = [ei]
+                while internal(to) and width <= maxwidth:
+                    depth += 1
+                    ej = out_edges[to][0]
+                    width += edge_len(ej)
+                    chain.append(ej)
+                    to = (self.edges[ej][2], self.edges[ej][3])
+                if width <= maxwidth and depth > 1:
+                    info.append((to, width, depth, ei, chain))
+            info.sort(key=lambda t: (t[0], t[1]))
+            prev = 0
+            for p in range(1, len(info)):
+                if info[p][0] == info[prev][0] and \
+                        info[p][1] - info[prev][1] <= maxdiff:
+                    if info[p][2] <= info[prev][2]:
+                        victim = p
+                    else:
+                        victim = prev
+                        prev = p
+                    marked.update(info[victim][4])
+                else:
+                    prev = p
+        self.edges = [e for i, e in enumerate(self.edges)
+                      if i not in marked]
+        return len(marked)
+
+    def error_correction(self, bubble_rounds: int = 3,
+                         deadend_rounds: int = 10,
+                         deadend_depth: int = 10) -> tuple[int, int]:
+        """The reference assembly -errors sequence (ref:
+        gt_readjoiner_assembly_error_correction,
+        gt_readjoiner_assembly.c:291): p-bubble rounds until dry, then
+        dead-end rounds until dry. Returns (bubble_edges,
+        deadend_edges) totals."""
+        btot = 0
+        for _ in range(bubble_rounds):
+            r = self.reduce_bubbles()
+            btot += r
+            if r == 0:
+                break
+        dtot = 0
+        for _ in range(deadend_rounds):
+            r = self.reduce_dead_paths(deadend_depth)
+            dtot += r
+            if r == 0:
+                break
+        return btot, dtot
 
     def spell_contigs(self, min_depth: int = 1, min_length: int = 0,
                       return_paths: bool = False):
