@@ -768,6 +768,25 @@ def cmd_packedindex(args):
         fm = build_fmindex(enc)
         fm.save(args.indexname)
         enc.save(args.indexname)
+    elif args.sub == "chkintegrity":
+        # decode a reference-format .bdx (ref: gt packedindex
+        # chkintegrity, src/tools/gt_packedindex_chk_integrity.c) and
+        # verify the recovered BWT against the BWT our ESA engine
+        # computes from the index's own encseq files
+        from .index.bdx import decode_bwt, read_header
+        from .index.esa import build_esa
+        import numpy as np
+        enc = Encseq.load(args.ii)
+        got = decode_bwt(args.ii + ".bdx")
+        esa = build_esa(enc, readmode=args.dir, with_lcp=False)
+        ours = esa.bwt().astype(np.int16)
+        if got.size != ours.size or not (got == ours).all():
+            bad = int(np.flatnonzero(got[:ours.size] != ours)[0]) \
+                if got.size == ours.size else -1
+            print(f"chkintegrity: MISMATCH (first at {bad})",
+                  file=sys.stderr)
+            return 1
+        print(f"# {got.size} symbols verified OK", file=sys.stderr)
     return 0
 
 
@@ -779,6 +798,12 @@ def _add_packedindex(sub):
     pm.add_argument("-ii", default=None)
     pm.add_argument("-indexname", required=True)
     pm.add_argument("--cpu", action="store_true")
+    pc = sp.add_parser("chkintegrity",
+                       help="verify a reference-format .bdx index")
+    pc.add_argument("-ii", required=True)
+    pc.add_argument("-dir", type=int, default=0,
+                    help="readmode the index was built with (0=fwd)")
+    pc.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_packedindex)
 
 
