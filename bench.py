@@ -146,6 +146,14 @@ def _assemble(note_missing: bool = False) -> dict:
             "vs_baseline": round(ext["vs"], 3) if ext.get("vs") else None,
             "tasks": ext.get("tasks"),
         })
+    xd = get("xdrop")
+    if xd:
+        extra.append({
+            "metric": "xdrop_extensions_per_sec",
+            "value": round(xd["rate"]),
+            "unit": "extensions/s",
+            "tasks": xd.get("tasks"),
+        })
     out["extra_metrics"] = extra
     if suf.get("platform"):
         out["device"] = suf["platform"]
@@ -352,6 +360,34 @@ def bench_extension(dev, encseq) -> None:
         "tasks": n,
         "alignedlen_sum": checksum,
         "platform": dev.platform,
+    })
+
+    # xdrop figure on a sample of the same flank tasks (the device
+    # batch seed_extend -extendxdrop dispatches on accelerators;
+    # round-2 verdict #3 asked for this number alongside greedy)
+    from genometools_tpu.ops.xdrop_batch import xdrop_extend_batch
+    m = min(n, 100000)
+    idx = np.linspace(0, n - 1, m).astype(np.int64)
+    us, vs = [], []
+    for i in idx:
+        u = pool[u_off[i]:u_off[i] + u_len[i]][:256]
+        v = pool[v_off[i]:v_off[i] + v_len[i]][:256]
+        if rev[i]:
+            u, v = u[::-1], v[::-1]
+        us.append(u)
+        vs.append(v)
+    xdrop_extend_batch(us, vs, 7, W=256)          # warmup/compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        i_, j_, s_ = xdrop_extend_batch(us, vs, 7, W=256)
+        np.asarray(s_).sum()
+        times.append(time.perf_counter() - t0)
+    xrate = m / min(times)
+    print(f"# xdrop: device={dev.platform} {xrate:,.0f} ext/s "
+          f"({m} tasks)", file=sys.stderr)
+    _save_component("xdrop", {
+        "rate": xrate, "tasks": m, "platform": dev.platform,
     })
 
 
