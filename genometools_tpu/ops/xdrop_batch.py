@@ -270,6 +270,14 @@ def xdrop_extend_batch_exact(us, vs, belowscore: int, max_w: int = 512,
     if N == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
+    # the C++ batch is the fast exact engine for this front shape
+    # (measured ~170k ext/s vs ~3k for the lax device batch, which is
+    # gather-bound); use the device kernel only when no native lib
+    from ..core.native import xdrop_batch_native
+    res = xdrop_batch_native(us, vs, belowscore)
+    if res is not None:
+        return (res[:, 0].astype(np.int64), res[:, 1].astype(np.int64),
+                res[:, 2].astype(np.int64))
     maxlen = max(max(len(u), len(v)) for u, v in zip(us, vs))
     W = 64
     while W < maxlen and W < max_w:
