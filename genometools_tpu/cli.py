@@ -768,6 +768,17 @@ def cmd_packedindex(args):
         fm = build_fmindex(enc)
         fm.save(args.indexname)
         enc.save(args.indexname)
+        if args.bdx:
+            # also emit the reference's .bdx block-composition format
+            # (gt packedindex chkintegrity-verified; index/bdx.py)
+            import numpy as np
+            from .index.bdx import write_bdx
+            from .index.esa import build_esa
+            esa = build_esa(enc, with_lcp=False)
+            counts = [int((enc.codes == c).sum())
+                      for c in range(enc.alphabet.num_chars)]
+            write_bdx(args.indexname + ".bdx",
+                      esa.bwt().astype(np.int16), counts)
     elif args.sub == "chkintegrity":
         # decode a reference-format .bdx (ref: gt packedindex
         # chkintegrity, src/tools/gt_packedindex_chk_integrity.c) and
@@ -797,6 +808,8 @@ def _add_packedindex(sub):
     pm.add_argument("-db", nargs="*", default=None)
     pm.add_argument("-ii", default=None)
     pm.add_argument("-indexname", required=True)
+    pm.add_argument("-bdx", action="store_true",
+                    help="also write the reference .bdx format")
     pm.add_argument("--cpu", action="store_true")
     pc = sp.add_parser("chkintegrity",
                        help="verify a reference-format .bdx index")

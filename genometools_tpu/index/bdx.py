@@ -314,5 +314,208 @@ def decode_bwt(path: str, wildcard: int = 254, separator: int = 255
     h, syms, _ = decode(path)
     out = syms.astype(np.int16)
     for start, length, sym in read_ranges(data, h):
-        out[start:start + length] = wildcard if sym == 0 else separator
+        if start >= h.seq_len:
+            continue          # construction junk / sentinel tail range
+        end = min(start + length, h.seq_len)
+        out[start:end] = wildcard if sym == 0 else separator
     return out
+
+
+# -- writer --------------------------------------------------------------
+
+class _BitWriter:
+    """MSB-first bit accumulator."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def put(self, value: int, nb: int):
+        if nb == 0:
+            return
+        self.acc = (self.acc << nb) | (value & ((1 << nb) - 1))
+        self.nb += nb
+        while self.nb >= 8:
+            self.nb -= 8
+            self.buf.append((self.acc >> self.nb) & 0xFF)
+        self.acc &= (1 << self.nb) - 1
+
+    def getvalue(self) -> bytes:
+        out = bytes(self.buf)
+        if self.nb:
+            out += bytes([(self.acc << (8 - self.nb)) & 0xFF])
+        return out
+
+    @property
+    def bitpos(self) -> int:
+        return len(self.buf) * 8 + self.nb
+
+
+def rank_composition(counts: list[int]) -> int:
+    """Inverse of unrank_composition."""
+    sigma = len(counts)
+    rem = sum(counts)
+    idx = 0
+    for pos in range(sigma - 1):
+        syms_left = sigma - pos - 1
+        for c in range(counts[pos]):
+            idx += comb(rem - c + syms_left - 1, syms_left - 1)
+        rem -= counts[pos]
+    return idx
+
+
+def rank_permutation(block: list[int], sigma: int) -> int:
+    """Inverse of unrank_permutation (lexicographic multiset rank)."""
+    counts = [0] * sigma
+    for s in block:
+        counts[s] += 1
+    idx = 0
+    for i, s in enumerate(block):
+        for t in range(s):
+            if counts[t] == 0:
+                continue
+            counts[t] -= 1
+            idx += perm_count(counts)
+            counts[t] += 1
+        counts[s] -= 1
+    return idx
+
+
+def write_bdx(path: str, bwt: np.ndarray, char_counts: list[int],
+              block_size: int = 8, bucket_blocks: int = 8,
+              wildcard: int = 254, separator: int = 255) -> None:
+    """Write a reference-format .bdx over a BWT symbol stream (regular
+    codes 0..sigma-1 + wildcard/separator/UNDEFBWTCHAR specials), with
+    the writeIdxHeader field layout (ref: eis-blockcomp.c:1985), cw/var
+    bitstreams (:1712 layout constants) and the seqRange list
+    (eis-seqranges.c:460). No locate/context extensions (the
+    `-locfreq 0` shape: callBackDataOffsetBits == 0, no extension
+    headers). char_counts = per-regular-symbol totals of the UNDERLYING
+    sequence (gt_encseq_charcount — defines partialSymSumBits)."""
+    sigma = len(char_counts)
+    seq_len = int(bwt.size)
+    bs = block_size
+    bucket_len = bs * bucket_blocks
+    nbuckets = (seq_len + 1 + bucket_len - 1) // bucket_len
+    comp_idx_bits = _required_bits(num_compositions(bs, sigma) - 1)
+    pss_bits = [_required_bits(int(c)) for c in char_counts]
+    sym_sum_bits = sum(pss_bits)
+    max_perm_bits = max(
+        perm_idx_bits(unrank_composition(i, bs, sigma))
+        for i in range(num_compositions(bs, sigma)))
+    bits_per_vdo = _required_bits(nbuckets * max_perm_bits
+                                  * bucket_blocks)
+    bits_per_ulong = _required_bits(seq_len)
+    cw_bits = (sym_sum_bits + bits_per_vdo
+               + bucket_blocks * comp_idx_bits)
+    modes = [1, 2]                       # BLOCK for regulars, DIRECT
+
+    # header ------------------------------------------------------------
+    hdr = bytearray()
+    hdr += b"BDX\0"
+    hdr += b"\0\0\0\0"                   # header length placeholder
+    def fld(tag, value, wide=False):
+        hdr.extend(struct.pack("<I", tag))
+        hdr.extend(struct.pack("<Q" if wide else "<I", value))
+    inv = {v: k for k, v in _TAGS.items()}
+    fld(inv["BKSZ"], bs)
+    fld(inv["BBLK"], bucket_blocks)
+    voff_at = len(hdr) + 4
+    fld(inv["VOFF"], 0, wide=True)       # patched below
+    roff_at = len(hdr) + 4
+    fld(inv["ROFF"], 0, wide=True)       # patched below
+    fld(inv["SELE"], seq_len, wide=True)
+    fld(inv["SPBT"], bits_per_ulong)
+    fld(inv["VDOB"], bits_per_vdo)
+    hdr.extend(struct.pack("<I", inv["SSBT"]))
+    hdr.extend(struct.pack("<I", sigma))
+    for b in pss_bits:
+        hdr.extend(struct.pack("<I", b))
+    fld(inv["BEFB"], 0)
+    fld(inv["REFB"], 0)
+    hdr.extend(struct.pack("<I", inv["NMRN"]))
+    hdr.extend(struct.pack("<I", len(modes)))
+    for m in modes:
+        hdr.extend(struct.pack("<I", m))
+    header_len = -(-len(hdr) // 8192) * 8192       # roundUp to 8192
+    struct.pack_into("<I", hdr, 4, header_len)
+
+    # blocks + ranges ----------------------------------------------------
+    special = bwt >= sigma
+    blocksyms = np.where(special, 0, bwt).astype(np.int64)
+    nblocks = nbuckets * bucket_blocks
+    padded = np.zeros(nblocks * bs, np.int64)
+    padded[:seq_len] = blocksyms
+    spec_padded = np.zeros(nblocks * bs, bool)
+    spec_padded[:seq_len] = special
+
+    cw = _BitWriter()
+    var = _BitWriter()
+    sums = [0] * sigma
+    for b in range(nbuckets):
+        for s in range(sigma):
+            cw.put(sums[s], pss_bits[s])
+        cw.put(var.bitpos, bits_per_vdo)
+        for j in range(bucket_blocks):
+            p0 = (b * bucket_blocks + j) * bs
+            block = padded[p0:p0 + bs].tolist()
+            counts = [0] * sigma
+            for x, sp in zip(block, spec_padded[p0:p0 + bs]):
+                if not sp:
+                    counts[x] += 1
+            # composition over ALL slots (specials already fallback 0)
+            ccounts = [0] * sigma
+            for x in block:
+                ccounts[x] += 1
+            cw.put(rank_composition(ccounts), comp_idx_bits)
+            pbits = perm_idx_bits(ccounts)
+            if pbits:
+                var.put(rank_permutation(block, sigma), pbits)
+            for x, sp in zip(block, spec_padded[p0:p0 + bs]):
+                if not sp:
+                    sums[x] += 1
+    cw_bytes = cw.getvalue()
+    cw_len = -(-(cw_bits * nbuckets) // 8)
+    cw_bytes = cw_bytes.ljust(cw_len, b"\0")
+    var_bytes = var.getvalue()
+
+    var_data_pos = header_len + cw_len
+    range_enc_pos = var_data_pos + len(var_bytes)
+    struct.pack_into("<Q", hdr, voff_at, var_data_pos)
+    struct.pack_into("<Q", hdr, roff_at, range_enc_pos)
+
+    # seqRange list: maximal same-symbol special runs ------------------
+    ranges = []
+    i = 0
+    while i < seq_len:
+        if special[i]:
+            sym = 0 if bwt[i] == wildcard else 1
+            j = i
+            while j < seq_len and special[j] and \
+                    (0 if bwt[j] == wildcard else 1) == sym:
+                j += 1
+            ranges.append((i, j - i, sym))
+            i = j
+        else:
+            i += 1
+    # trailing sentinel: the reference's range walker expects a range
+    # at-or-after the tail positions (its own files carry one from the
+    # construction's junk tail; without it gt's reader misclassifies
+    # positions after the last real range — verified with gt's own
+    # chkintegrity). One 1-long wildcard range at seq_len is inert for
+    # all queries in [0, seq_len).
+    ranges.append((seq_len, 1, 0))
+    rng = bytearray(struct.pack("<Q", len(ranges)))
+    for start, length, sym in ranges:
+        rng += struct.pack("<Q", start)
+        w = _BitWriter()
+        w.put(sym, 1)
+        w.put(length, 63)
+        rng += w.getvalue()
+
+    with open(path, "wb") as f:
+        f.write(bytes(hdr).ljust(header_len, b"\0"))
+        f.write(cw_bytes)
+        f.write(var_bytes)
+        f.write(bytes(rng))
