@@ -257,10 +257,98 @@ def _run_device(us, vs, belowscore: int, W: int, D: int):
     return np.asarray(i), np.asarray(j), np.asarray(s), unsafe
 
 
+def _use_pallas_xdrop():
+    """Pallas is the bulk engine on TPU; "interpret" forces the
+    interpret-mode kernel (tests); "0"/"off" disables."""
+    import os
+    env = os.environ.get("GT_TPU_PALLAS_XDROP")
+    if env is not None:
+        if env == "interpret":
+            return "interpret"
+        return env not in ("0", "off", "no")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _host_exact(us, vs, belowscore):
+    """Exact host engine: C++ batch if built, else the scalar mirror."""
+    from ..core.native import xdrop_batch_native
+    res = xdrop_batch_native(us, vs, belowscore)
+    if res is not None:
+        return (res[:, 0].astype(np.int64), res[:, 1].astype(np.int64),
+                res[:, 2].astype(np.int64))
+    from .xdrop import xdrop_extend
+    iv = np.zeros(len(us), np.int64)
+    jv = np.zeros(len(us), np.int64)
+    sv = np.zeros(len(us), np.int64)
+    for t, (u, v) in enumerate(zip(us, vs)):
+        best = xdrop_extend(u, v, belowscore)
+        iv[t], jv[t], sv[t] = best.ivalue, best.jvalue, best.score
+    return iv, jv, sv
+
+
+def _pallas_tiered(us, vs, belowscore: int, interpret: bool):
+    """VMEM-resident Pallas bulk engine with exact-host cleanup.
+
+    Lanes are routed per tier window (256/512); lanes too long, with an
+    out-of-band end diagonal, or flagged unsafe by the kernel
+    (slot-edge contact / generation cap) re-run on the host engine, so
+    the merged result is bit-equal to the scalar mirror everywhere."""
+    from .xdrop_pallas import (_block_lanes, pack_xdrop_tasks,
+                               xdrop_full_pallas)
+    D = 64
+    N = len(us)
+    iv = np.zeros(N, np.int64)
+    jv = np.zeros(N, np.int64)
+    sv = np.zeros(N, np.int64)
+    lens = np.array([max(len(u), len(v)) for u, v in zip(us, vs)])
+    dif = np.array([abs(len(u) - len(v)) for u, v in zip(us, vs)])
+    host_mask = (lens > 512) | (dif > D)
+    pending = []                # device waves in flight (async fetch)
+    for W in (256, 512):
+        tier = np.flatnonzero(~host_mask & (lens <= W))
+        host_mask[tier] = True  # claimed
+        if tier.size == 0:
+            continue
+        # length-sorted lanes keep each block's generation count
+        # homogeneous (blocks exit as soon as all their lanes die)
+        tier = tier[np.argsort(lens[tier], kind="stable")]
+        BLK = _block_lanes(2 * D + 1, int(tier.size))
+        npad = -(-tier.size // BLK) * BLK
+        tu = [us[t] for t in tier] + [np.zeros(0, np.uint8)] * \
+            (npad - tier.size)
+        tv = [vs[t] for t in tier] + [np.zeros(0, np.uint8)] * \
+            (npad - tier.size)
+        PK = pack_xdrop_tasks(tu, tv, W)
+        out = xdrop_full_pallas(PK, belowscore, W, D=D, GENS=512,
+                                interpret=interpret, sync=False)
+        pending.append((tier, out))
+    bad_idx = []
+    for tier, out in pending:
+        out = np.asarray(out)
+        n = tier.size
+        iv[tier] = out[0][:n]
+        jv[tier] = out[1][:n]
+        sv[tier] = out[2][:n]
+        bad_idx.append(tier[out[3][:n] != 0])
+    redo = np.concatenate(
+        [np.flatnonzero((lens > 512) | (dif > D))] + bad_idx) \
+        if bad_idx else np.flatnonzero((lens > 512) | (dif > D))
+    if redo.size:
+        hi, hj, hs = _host_exact([us[t] for t in redo],
+                                 [vs[t] for t in redo], belowscore)
+        iv[redo] = hi
+        jv[redo] = hj
+        sv[redo] = hs
+    return iv, jv, sv
+
+
 def xdrop_extend_batch_exact(us, vs, belowscore: int, max_w: int = 512,
                              D: int = 64):
-    """Product-path batch: device kernel for every lane, exact host
-    engine only for lanes the device cannot verify (window clipped AND
+    """Product-path batch: Pallas VMEM kernel for the bulk on TPU, exact
+    host engine for lanes the device cannot verify (window clipped AND
     a front cell reached the clip edge, or the front outlived the
     generation cap). Output is bit-equal to running the scalar engine
     (ref: src/match/xdrop.c:224) on every pair.
@@ -270,9 +358,13 @@ def xdrop_extend_batch_exact(us, vs, belowscore: int, max_w: int = 512,
     if N == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
-    # the C++ batch is the fast exact engine for this front shape
+    pall = _use_pallas_xdrop()
+    if pall:
+        return _pallas_tiered(us, vs, belowscore,
+                              interpret=(pall == "interpret"))
+    # the C++ batch is the fast exact host engine for this front shape
     # (measured ~170k ext/s vs ~3k for the lax device batch, which is
-    # gather-bound); use the device kernel only when no native lib
+    # gather-bound); use the lax device kernel only when no native lib
     from ..core.native import xdrop_batch_native
     res = xdrop_batch_native(us, vs, belowscore)
     if res is not None:
