@@ -9,6 +9,7 @@ Tools are argparse subcommands; each maps to an engine module. Invoke as
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -58,6 +59,8 @@ def cmd_suffixerator(args):
             print(f"# parts={plan.counts.size} budget={budget}",
                   file=sys.stderr)
         return 0
+    if args.dist is not None:
+        os.environ["GT_TPU_DIST"] = str(args.dist)
     esa = build_esa(enc, rm, with_lcp=args.lcp,
                     prefixlength=args.pl or None, with_bck=args.bck)
     if args.tis:
@@ -91,6 +94,9 @@ def _add_suffixerator(sub):
                    help="build the suffix table in N memory-bounded parts")
     p.add_argument("-memlimit", default=None,
                    help="memory budget for part planning, e.g. 512MB")
+    p.add_argument("-dist", type=int, default=None, metavar="N",
+                   help="route the suffix sort over an N-device mesh "
+                        "(0 = off; default: all attached devices)")
     p.add_argument("-showtime", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_suffixerator)

@@ -192,12 +192,51 @@ def compute_bcktab(esa: EnhancedSuffixArray, prefixlength: int) -> Bcktab:
                   distpfxidx.astype(np.int64))
 
 
+def _dist_devices() -> int:
+    """Pow-2 device count for the sharded engine, 1 = stay single-chip.
+    GT_TPU_DIST=0 disables; =N forces a mesh size; default: use all
+    devices when more than one is attached."""
+    import os
+    env = os.environ.get("GT_TPU_DIST")
+    if env in ("0", "off", "no"):
+        return 1
+    try:
+        import jax
+        have = len(jax.devices())
+    except Exception:
+        return 1
+    want = int(env) if env and env.isdigit() else have
+    want = min(want, have)
+    return 1 << max(0, want.bit_length() - 1) if want > 1 else 1
+
+
 def build_esa(encseq: Encseq, readmode: int = FWD, with_lcp: bool = True,
-              prefixlength: int | None = None, with_bck: bool = False
-              ) -> EnhancedSuffixArray:
-    """suffixerator equivalent: encseq -> (suftab, lcptab[, bcktab])."""
+              prefixlength: int | None = None, with_bck: bool = False,
+              dist: bool | None = None) -> EnhancedSuffixArray:
+    """suffixerator equivalent: encseq -> (suftab, lcptab[, bcktab]).
+
+    dist=None: route the suffix sort through the sharded multi-device
+    engine (parallel/dist_doubling_sharded) when >1 device is attached
+    (the reference's threaded-parts analog, ref: src/match/
+    sfx-suffixer.c threaded bucket fan-out); output is byte-identical —
+    the SA is exact and the LCP is recomputed from it with Kasai
+    (verified == doubling-LCP by tests/test_suffix.py)."""
     keys = encseq.suffix_keys(readmode)
-    sa, lcp = build_suffix_array(keys, with_lcp=with_lcp)
+    sa = lcp = None
+    ndev = _dist_devices() if dist is None else (dist and _dist_devices())
+    if ndev and ndev > 1:
+        try:
+            from ..parallel.dist_doubling_sharded import \
+                sharded_suffix_array
+            from ..parallel.dist_esa import make_mesh
+            sa = sharded_suffix_array(keys, make_mesh(ndev))
+            if with_lcp:
+                from .suffix import kasai_lcp
+                lcp = kasai_lcp(keys, np.asarray(sa))
+        except NotImplementedError:
+            sa = None       # int64-range input: single-chip parts path
+    if sa is None:
+        sa, lcp = build_suffix_array(keys, with_lcp=with_lcp)
     pl = prefixlength or recommended_prefixlength(
         encseq.alphabet.num_chars, encseq.total_length)
     esa = EnhancedSuffixArray(

@@ -52,7 +52,7 @@ def _round_shardmap(keys, rank, h, n1: int, nP: int, mesh):
         # pos_shard: int32[C] positions owned by this device
         r1 = rank[pos_shard]
         nxt = jnp.minimum(pos_shard + h, n1 - 1)
-        r2 = jnp.where(pos_shard + h < n1, rank[nxt], jnp.int32(-1))
+        r2 = jnp.where(pos_shard + h < n1, rank[nxt], np.int32(-1))
         # rank-range partition without the r1*nP product: the full product
         # overflows int32 (and astype(int64) is silently truncated when
         # x64 is off) for n1 >= 2^31/nP. Any non-decreasing map of r1 onto
@@ -95,8 +95,8 @@ def _round_shardmap(keys, rank, h, n1: int, nP: int, mesh):
         # boundary with previous device: fetch (last r1, last r2) of the
         # left neighbor's valid tail
         my = jax.lax.axis_index("shard")
-        last_r1 = jnp.where(nvalid > 0, s1[-1], jnp.int32(-1))
-        last_r2 = jnp.where(nvalid > 0, s2[-1], jnp.int32(-1))
+        last_r1 = jnp.where(nvalid > 0, s1[-1], np.int32(-1))
+        last_r2 = jnp.where(nvalid > 0, s2[-1], np.int32(-1))
         prev_r1 = jax.lax.ppermute(last_r1, "shard",
                                    [(i, (i + 1) % nP) for i in range(nP)])
         prev_r2 = jax.lax.ppermute(last_r2, "shard",
@@ -144,7 +144,7 @@ def distributed_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
     ops = []
     for j in range(_BOOT):
         kj = jnp.where(idx + j < n1,
-                       keys[jnp.minimum(idx + j, n1 - 1)], jnp.int32(-1))
+                       keys[jnp.minimum(idx + j, n1 - 1)], np.int32(-1))
         ops.append(kj)
     sorted_ops = jax.lax.sort(tuple(ops) + (idx,), num_keys=_BOOT)
     order = sorted_ops[-1]
@@ -163,11 +163,11 @@ def distributed_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
 
     def body(carry):
         t, rank, _ = carry
-        h = jnp.int32(_BOOT) << t
+        h = np.int32(_BOOT) << t
         newrank = _round_shardmap(keys, rank, h, n1, nP, mesh)
         done = newrank.max() == n1 - 1
         return t + 1, newrank, done
 
     _, rank, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), rank, jnp.bool_(n1 <= 1)))
+        cond, body, (np.int32(0), rank, np.bool_(n1 <= 1)))
     return jnp.zeros(n1, jnp.int32).at[rank].set(idx)

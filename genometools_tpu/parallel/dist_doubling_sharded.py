@@ -143,7 +143,7 @@ def sharded_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
         kcols = [keys_blk]
         for j in range(1, _BOOT):
             kcols.append(_shifted_fetch(keys_blk, j, nP, "shard", C,
-                                        jnp.int32(-1)))
+                                        np.int32(-1)))
         srt = _block_bitonic_sort(kcols + [pos], _BOOT, nP, "shard", C)
         skeys, spos = srt[:_BOOT], srt[_BOOT]
         nr, _ = _dense_rank_stitched(skeys, nP, "shard", C)
@@ -153,7 +153,7 @@ def sharded_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
         done = jnp.zeros((), jnp.bool_)
 
         def round_body(rank_blk, h: int):
-            r2 = _shifted_fetch(rank_blk, h, nP, "shard", C, jnp.int32(-1))
+            r2 = _shifted_fetch(rank_blk, h, nP, "shard", C, np.int32(-1))
             s1, s2, sp = _block_bitonic_sort([rank_blk, r2, pos], 2, nP,
                                              "shard", C)
             nr, distinct = _dense_rank_stitched([s1, s2], nP, "shard", C)
@@ -166,7 +166,7 @@ def sharded_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
                 break
             rank_blk, done = jax.lax.cond(
                 done,
-                lambda r: (r, jnp.bool_(True)),
+                lambda r: (r, np.bool_(True)),
                 lambda r: round_body(r, h),
                 rank_blk)
 
@@ -218,7 +218,7 @@ def sharded_build_sa(keys: jnp.ndarray, n1: int, mesh: Mesh):
 #     (vs 5C * log^2(P)/2 for the bitonic engine).
 # ---------------------------------------------------------------------------
 
-_SENTINEL = jnp.int32(2 ** 31 - 1)
+_SENTINEL = np.int32(2 ** 31 - 1)
 
 
 def _route(cols, dest, valid, K: int, nP: int, axis: str):
@@ -228,7 +228,7 @@ def _route(cols, dest, valid, K: int, nP: int, axis: str):
     _route_back deliver one int32 plane from receivers back to this
     call's input rows."""
     S = dest.shape[0]
-    d = jnp.where(valid, dest, jnp.int32(nP))
+    d = jnp.where(valid, dest, np.int32(nP))
     order = jnp.argsort(d, stable=True)
     d_s = d[order]
     counts = jnp.zeros(nP + 1, jnp.int32).at[d_s].add(1)
@@ -236,7 +236,7 @@ def _route(cols, dest, valid, K: int, nP: int, axis: str):
                               jnp.cumsum(counts)[:-1]])
     within = jnp.arange(S, dtype=jnp.int32) - starts[d_s]
     overflow = jnp.any((d_s < nP) & (within >= K))
-    row = jnp.where(within < K, d_s, jnp.int32(nP))   # ghost row drops
+    row = jnp.where(within < K, d_s, np.int32(nP))   # ghost row drops
     col = jnp.minimum(within, K - 1)
     recv = []
     for c in list(cols) + [jnp.ones(S, jnp.int32)]:   # last: validity
@@ -255,7 +255,7 @@ def _route_back(vals, ctx, K: int, nP: int, axis: str):
     ret = jax.lax.all_to_all(vals.reshape(nP, K), axis, 0, 0,
                              tiled=True).reshape(-1)
     idx = jnp.minimum(row, nP - 1) * K + col
-    picked = jnp.where(row < nP, ret[idx], jnp.int32(0))
+    picked = jnp.where(row < nP, ret[idx], np.int32(0))
     return jnp.zeros(S, jnp.int32).at[order].set(picked)
 
 
@@ -270,7 +270,7 @@ def _route2(cols, dest, valid, src_max: int, dst_max: int, nP: int,
     rows: hop1 <= src_max/P + P, hop2 <= dst_max/P + P + small — both
     inside _cap. Returns (recv_cols, recv_valid, overflow, ctx)."""
     S = dest.shape[0]
-    d = jnp.where(valid, dest, jnp.int32(nP))
+    d = jnp.where(valid, dest, np.int32(nP))
     order0 = jnp.argsort(d, stable=True)
     d0 = d[order0]
     counts0 = jnp.zeros(nP + 1, jnp.int32).at[d0].add(1)
@@ -333,7 +333,7 @@ def _dense_rank_ragged(skeys, svalid, nP: int, axis: str):
     for s in skeys:
         neq = neq.at[1:].set(neq[1:] | (s[1:] != s[:-1]))
     R = svalid.sum().astype(jnp.int32)
-    last = [jnp.where(R > 0, s[jnp.maximum(R - 1, 0)], jnp.int32(-1))
+    last = [jnp.where(R > 0, s[jnp.maximum(R - 1, 0)], np.int32(-1))
             for s in skeys]
     lasts = [jax.lax.all_gather(x, axis) for x in last]
     counts = jax.lax.all_gather(R, axis)
@@ -395,14 +395,14 @@ def sharded_build_sa_sample(keys: jnp.ndarray, n1: int, mesh: Mesh):
         kcols = [keys_blk]
         for j in range(1, _BOOT):
             kcols.append(_shifted_fetch(keys_blk, j, nP, "shard", C,
-                                        jnp.int32(-1)))
+                                        np.int32(-1)))
         rank_blk, _, ovf = _exchange_rank_roundtrip(kcols, pos, nP,
                                                     "shard", C)
 
         done = jnp.zeros((), jnp.bool_)
 
         def round_body(rank_blk, ovf, h: int):
-            r2 = _shifted_fetch(rank_blk, h, nP, "shard", C, jnp.int32(-1))
+            r2 = _shifted_fetch(rank_blk, h, nP, "shard", C, np.int32(-1))
             nrank, distinct, o = _exchange_rank_roundtrip(
                 [rank_blk, r2], pos, nP, "shard", C)
             return nrank, ovf | o, distinct == n1
@@ -413,7 +413,7 @@ def sharded_build_sa_sample(keys: jnp.ndarray, n1: int, mesh: Mesh):
                 break
             rank_blk, ovf, done = jax.lax.cond(
                 done,
-                lambda r, o: (r, o, jnp.bool_(True)),
+                lambda r, o: (r, o, np.bool_(True)),
                 lambda r, o: round_body(r, o, h),
                 rank_blk, ovf)
 
@@ -423,7 +423,7 @@ def sharded_build_sa_sample(keys: jnp.ndarray, n1: int, mesh: Mesh):
             [rank_blk, pos], dest, jnp.ones(C, jnp.bool_), C,
             C + 2 * nP, nP, "shard")
         rrank, rpos = recv
-        slot = jnp.where(rvalid, rrank - my * C, jnp.int32(C))
+        slot = jnp.where(rvalid, rrank - my * C, np.int32(C))
         sa_blk = jnp.zeros(C, jnp.int32).at[slot].set(rpos, mode="drop")
         ovf = ovf | o3
         return sa_blk, jax.lax.pmax(ovf.astype(jnp.int32), "shard")

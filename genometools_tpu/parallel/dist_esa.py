@@ -47,7 +47,7 @@ def _digit(keys: jnp.ndarray, pos: jnp.ndarray, d: int, n1: int) -> jnp.ndarray:
     among identical positions would see it)."""
     idx = pos + d
     safe = jnp.minimum(idx, n1 - 1)
-    return jnp.where(idx < n1, keys[safe], jnp.int32(-1))
+    return jnp.where(idx < n1, keys[safe], np.int32(-1))
 
 
 @partial(jax.jit, static_argnames=("n1", "max_depth", "mesh", "sigma"))
@@ -91,7 +91,7 @@ def sharded_suffix_sort(keys: jnp.ndarray, n1: int, max_depth: int,
         first = _digit(keys, pos_shard, 0, n1)
         # bucket = first key clipped into [0, sigma]: all specials share
         # one bucket (they order by position = by key anyway)
-        sigma_bucket = jnp.minimum(first, jnp.int32(sigma))
+        sigma_bucket = jnp.minimum(first, np.int32(sigma))
         hist = jnp.zeros(sigma + 1, jnp.int32).at[
             jnp.where(pos_shard < n1, sigma_bucket, sigma)
         ].add(jnp.where(pos_shard < n1, 1, 0))
@@ -121,7 +121,7 @@ def sharded_suffix_sort(keys: jnp.ndarray, n1: int, max_depth: int,
         if cnt:
             words.append(acc << (bits * (per_word - cnt)))
         # internal pad positions (pos >= n1) must sort last
-        words[0] = jnp.where(pos_shard >= n1, jnp.int32(2 ** 30), words[0])
+        words[0] = jnp.where(pos_shard >= n1, np.int32(2 ** 30), words[0])
         srt = _block_bitonic_sort(words + [pos_shard], len(words) + 1,
                                   ndev, "shard", C)
         return srt[-1], hist
@@ -144,7 +144,7 @@ def sharded_kmer_histogram(keys: jnp.ndarray, n1: int, mesh: Mesh,
 
     def stage(pos_shard):
         first = _digit(keys, pos_shard, 0, n1)
-        b = jnp.minimum(first, jnp.int32(num_buckets - 1))
+        b = jnp.minimum(first, np.int32(num_buckets - 1))
         valid = pos_shard < n1
         hist = jnp.zeros(num_buckets, jnp.int32).at[
             jnp.where(valid, b, num_buckets - 1)
