@@ -38,11 +38,9 @@ def cmd_suffixerator(args):
     indexname = args.indexname or args.db[0]
     if args.parts > 1 or args.memlimit:
         # memory-bounded code-range parts (int64 path; ref: -parts /
-        # -memlimit, src/match/sfx-partssuf.c:172); streams .suf
-        # segments without holding the whole suftab
-        if rm != 0 or args.lcp or args.bwt or args.bck:
-            raise SystemExit("parts mode currently writes -suf -tis only")
-        from .index.parts import iter_suftab_parts, plan_parts
+        # -memlimit, src/match/sfx-partssuf.c:172); streams
+        # .suf/.lcp/.llv/.bwt one part at a time for every readmode
+        from .index.parts import stream_esa_parts
         n1 = enc.total_length + 1
         if args.memlimit:
             budget = max(1, _parse_memlimit(args.memlimit) // 16)
@@ -50,14 +48,11 @@ def cmd_suffixerator(args):
             budget = -(-n1 // args.parts)
         if args.tis:
             enc.save(indexname)
-        if args.suf:
-            with open(indexname + ".suf", "wb") as f:
-                for seg in iter_suftab_parts(enc.codes, budget):
-                    seg.astype(np.uint64).tofile(f)
+        nparts = stream_esa_parts(
+            enc, rm, indexname, budget, suf=args.suf, lcp=args.lcp,
+            bwt=args.bwt, bck=args.bck, prefixlength=args.pl or None)
         if args.showtime:
-            plan = plan_parts(enc.codes, budget)
-            print(f"# parts={plan.counts.size} budget={budget}",
-                  file=sys.stderr)
+            print(f"# parts={nparts} budget={budget}", file=sys.stderr)
         return 0
     if args.dist is not None:
         os.environ["GT_TPU_DIST"] = str(args.dist)

@@ -284,7 +284,9 @@ def write_esa(esa: EnhancedSuffixArray, indexname: str,
             # for special bucket ends / the trailing special area are not
             # accumulated (ref: sfx-lcpvalues.c:414 lcptabsum vs
             # lcp_bucketends:125, averagelcp division sfx-run.c:679)
-            codes = esa.encseq.codes
+            # windows are over the sorting readmode's view (verified vs
+            # gt: -dir rev Atinsert averagelcp=2.15, not the fwd 1.00)
+            codes = esa.encseq.codes_view(esa.readmode)
             n = codes.size
             pl = esa.prefixlength
             spc = np.concatenate(

@@ -214,3 +214,156 @@ def build_suftab_parts(codes: np.ndarray, max_part_suffixes: int,
     real >RAM runs should consume iter_suftab_parts streamingly)."""
     return np.concatenate(
         list(iter_suftab_parts(codes, max_part_suffixes, sigma)))
+
+
+# ---------------------------------------------------------------------------
+# streaming full-table writer: -parts with -lcp/-bwt/-bck, all readmodes
+# ---------------------------------------------------------------------------
+
+def _pair_lcps(tcodes: np.ndarray, a: np.ndarray, b: np.ndarray,
+               n: int) -> np.ndarray:
+    """lcp(suffix a[i], suffix b[i]) per pair — matching stops at the
+    first mismatch or special (specials compare by position, never
+    equal; ref: gt_encseq_check_comparetwosuffixes)."""
+    m = a.size
+    l = np.zeros(m, np.int64)
+    act = np.flatnonzero(np.ones(m, bool))
+    STEP = 32
+    steps = np.arange(STEP, dtype=np.int64)
+    while act.size:
+        ai = a[act, None] + l[act, None] + steps
+        bi = b[act, None] + l[act, None] + steps
+        ok = (ai < n) & (bi < n)
+        ca = tcodes[np.minimum(ai, n - 1)]
+        cb = tcodes[np.minimum(bi, n - 1)]
+        match = ok & (ca == cb) & ~is_special(ca)
+        run = np.argmin(match, axis=1)
+        run[match.all(axis=1)] = STEP
+        l[act] += run
+        act = act[run == STEP]
+    return l
+
+
+def _nonspecial_window_starts(tcodes: np.ndarray, pl: int) -> np.ndarray:
+    """bool[n+1]: position p starts a special-free window of length pl
+    entirely inside the sequence (used by the reference's averagelcp
+    accumulation rule, ref: sfx-lcpvalues.c:414)."""
+    n = tcodes.size
+    sp = is_special(tcodes)
+    out = np.zeros(n + 1, bool)
+    if n >= pl:
+        win = ~sp[:n - pl + 1]
+        for j in range(1, pl):
+            win &= ~sp[j:n - pl + 1 + j]
+        out[:n - pl + 1] = win
+    return out
+
+
+def stream_esa_parts(enc, readmode: int, indexname: str, budget: int,
+                     suf: bool = True, lcp: bool = False,
+                     bwt: bool = False, bck: bool = False,
+                     prefixlength: int | None = None,
+                     intsize: int = 64) -> int:
+    """-parts/-memlimit suffixerator with the full output surface.
+
+    Streams .suf/.lcp/.llv/.bwt one part at a time (never holding the
+    whole suftab), then writes .bck and .prj — byte-identical to the
+    in-memory path for every readmode and any part count (the
+    reference's part-count-invariance discipline, ref:
+    testsuite/gt_suffixerator_include.rb:17-57).  Returns the number of
+    parts used."""
+    from .esa import (LCP_OVERFLOW, _write_prj, compute_bcktab,
+                      recommended_prefixlength)
+
+    tcodes = enc.codes_view(readmode)
+    n = tcodes.size
+    pl = prefixlength or recommended_prefixlength(
+        enc.alphabet.num_chars, enc.total_length)
+    sigma = enc.alphabet.num_chars
+    plan = plan_parts(tcodes, budget, sigma)
+    dt = np.uint64 if intsize == 64 else np.uint32
+
+    fsuf = open(indexname + ".suf", "wb") if suf else None
+    flcp = open(indexname + ".lcp", "wb") if lcp else None
+    fllv = open(indexname + ".llv", "wb") if lcp else None
+    fbwt = open(indexname + ".bwt", "wb") if bwt else None
+
+    offset = 0
+    prev_last = -1                 # previous segment's final position
+    longest = 0
+    numoflargelcps = 0
+    maxbranchdepth = 0
+    lcpsum = 0
+    nonspec = _nonspecial_window_starts(tcodes, pl) if lcp else None
+    try:
+        for seg in iter_suftab_parts(tcodes, budget, sigma, plan=plan):
+            if seg.size == 0:
+                continue
+            if fsuf is not None:
+                seg.astype(dt).tofile(fsuf)
+            z = np.flatnonzero(seg == 0)
+            if z.size:
+                longest = offset + int(z[0])
+            if lcp:
+                a = np.empty(seg.size, np.int64)
+                a[0] = max(prev_last, 0)   # head value is overwritten
+                a[1:] = seg[:-1]
+                vals = _pair_lcps(tcodes, a, seg, n)
+                if offset == 0:
+                    vals[0] = 0    # table head: no predecessor
+                small = np.minimum(vals, LCP_OVERFLOW).astype(np.uint8)
+                big = np.flatnonzero(vals >= LCP_OVERFLOW)
+                small[big] = LCP_OVERFLOW
+                small.tofile(flcp)
+                if big.size:
+                    llv = np.empty((big.size, 2), dt)
+                    llv[:, 0] = big + offset
+                    llv[:, 1] = vals[big]
+                    llv.tofile(fllv)
+                    numoflargelcps += int(big.size)
+                if vals.size:
+                    maxbranchdepth = max(maxbranchdepth, int(vals.max()))
+                lcpsum += int(vals[nonspec[seg]].sum())
+            if fbwt is not None:
+                prevp = seg - 1
+                v = tcodes[np.clip(prevp, 0, max(n - 1, 0))] \
+                    .astype(np.uint8)
+                v[prevp < 0] = 254             # UNDEFBWTCHAR
+                v.tofile(fbwt)
+            offset += seg.size
+            prev_last = int(seg[-1])
+    finally:
+        for f in (fsuf, flcp, fllv, fbwt):
+            if f is not None:
+                f.close()
+
+    class _Carrier:
+        pass
+
+    carrier = _Carrier()
+    carrier.encseq = enc
+    carrier.readmode = readmode
+    carrier.prefixlength = pl
+    carrier.longest = longest
+    carrier.suftab = np.zeros(0)     # only .size-like uses below
+
+    if bck:
+        b = compute_bcktab(carrier, pl)
+        bdt = np.uint64 if enc.total_length + 1 > 0xFFFFFFFF \
+            else np.uint32
+        with open(indexname + ".bck", "wb") as fp:
+            for arr in (b.leftborder, b.countspecialcodes, b.distpfxidx):
+                if arr.size == 0:
+                    continue
+                raw = arr.astype(bdt).tobytes()
+                if len(raw) % 8:
+                    raw += b"\0" * (8 - len(raw) % 8)
+                fp.write(raw)
+
+    class _Suftab:
+        size = offset
+    carrier.suftab = _Suftab()
+    avg = (lcpsum / offset) if (lcp and offset) else 0.0
+    _write_prj(carrier, indexname, numoflargelcps, avg, maxbranchdepth,
+               intsize)
+    return int(plan.counts.size)

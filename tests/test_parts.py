@@ -91,3 +91,28 @@ class TestPartsCLI:
             cwd=d, capture_output=True, text=True, env=env)
         assert r.returncode == 0, r.stderr[-1500:]
         assert (d / "idx.suf").read_bytes() == sufs[1]
+
+
+class TestPartsFullSurface:
+    """-parts with -lcp/-bwt/-bck on every readmode: byte-identical to
+    the in-memory engine at any part count (the reference's checksfx
+    discipline, ref: testsuite/gt_suffixerator_include.rb:17-57)."""
+
+    @pytest.mark.parametrize("rm", [0, 1, 2, 3])
+    def test_stream_parts_all_outputs_byte_identical(self, rm, tmp_path):
+        from genometools_tpu.index.esa import build_esa, write_esa
+        from genometools_tpu.index.parts import stream_esa_parts
+        e = Encseq.from_files([str(TESTDATA / "Atinsert.fna")])
+        esa = build_esa(e, rm, with_lcp=True, with_bck=True)
+        mem = tmp_path / "mem"
+        write_esa(esa, str(mem), suf=True, lcp=True, bwt=True, bck=True)
+        for budget in (10 ** 9, 4000, 701):
+            out = tmp_path / f"b{budget}"
+            nparts = stream_esa_parts(
+                e, rm, str(out), budget, suf=True, lcp=True, bwt=True,
+                bck=True, prefixlength=esa.prefixlength)
+            assert budget > 10 ** 6 or nparts > 1
+            for ext in (".suf", ".lcp", ".llv", ".bwt", ".bck", ".prj"):
+                assert (out.parent / (out.name + ext)).read_bytes() == \
+                    (mem.parent / (mem.name + ext)).read_bytes(), \
+                    f"{ext} differs at rm={rm} budget={budget}"
