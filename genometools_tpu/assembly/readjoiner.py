@@ -128,6 +128,24 @@ def find_contained(readset: ReadSet, singlestrand: bool = False) -> np.ndarray:
     if n == 0:
         return contained
 
+    rlen0 = np.fromiter((len(r) for r in readset.reads), np.int64, n)
+    if n > 1 and (rlen0 == rlen0[0]).all():
+        # equal-length reads: proper containment is impossible, only the
+        # duplicate rule applies — group identical rows (reads + their
+        # reverse complements) with one void-view sort instead of a
+        # 2x-total-bases suffix array
+        L = int(rlen0[0])
+        fwd = np.vstack(readset.reads)
+        rows = fwd if singlestrand else \
+            np.vstack([fwd, 3 - fwd[:, ::-1]])
+        src = np.concatenate([np.arange(n)] * (1 if singlestrand else 2))
+        flat = np.ascontiguousarray(rows).view(
+            np.dtype((np.void, L))).reshape(-1)
+        _, inv = np.unique(flat, return_inverse=True)
+        gmin = np.full(int(inv.max()) + 1, n, np.int64)
+        np.minimum.at(gmin, inv, src)
+        return gmin[inv[:n]] < np.arange(n)
+
     # --- concat: fwd reads (+ rc reads) with separator keys -----------
     parts = list(readset.reads)
     src = [np.full(len(p), i, np.int32) for i, p in enumerate(parts)]
@@ -273,6 +291,32 @@ class SpmList:
                    np.asarray(ln, np.int64))
 
 
+def _equal_runs_ok(blob: np.ndarray, a: np.ndarray, b: np.ndarray,
+                   need: np.ndarray) -> np.ndarray:
+    """bool per pair: blob[a:a+need] == blob[b:b+need], chunk-compared
+    32 symbols at a time with early exit per pair."""
+    m = a.size
+    good = np.ones(m, bool)
+    if m == 0:
+        return good
+    l = np.zeros(m, np.int64)
+    act = np.flatnonzero(need > 0)
+    STEP = 32
+    steps = np.arange(STEP, dtype=np.int64)
+    nmax = blob.size - 1
+    while act.size:
+        take = np.minimum(need[act] - l[act], STEP)
+        ai = np.minimum(a[act, None] + l[act, None] + steps, nmax)
+        bi = np.minimum(b[act, None] + l[act, None] + steps, nmax)
+        inwin = steps[None, :] < take[:, None]
+        mism = (inwin & (blob[ai] != blob[bi])).any(axis=1)
+        good[act[mism]] = False
+        l[act] += take
+        act = act[~mism]
+        act = act[l[act] < need[act]]
+    return good
+
+
 def find_spms(readset: ReadSet, minlen: int,
               singlestrand: bool = False,
               irreducible: bool = True) -> SpmList:
@@ -281,63 +325,122 @@ def find_spms(readset: ReadSet, minlen: int,
     irreducible=True (the reference overlap phase's semantics,
     ref: esa-spmsk.c irreducible SPM emission) drops every transitive
     match a->b that an intermediate read c spells identically
-    (l_ab == l_ac + l_cb - len(c)); row order of survivors is kept."""
+    (l_ab == l_ac + l_cb - len(c)); row order of survivors is kept.
+
+    Vectorized join: one rolling k-code pass over the concatenated
+    mirrored reads, one sorted-prefix searchsorted per window chunk,
+    then a chunked equality verify — no per-read Python loops."""
     n = readset.num_reads
     # mirrored read list: m in [0,n) = read m '+'; m in [n,2n) = rc of
-    # read 2n-1-m (the reference's mirrored encseq numbering)
-    if singlestrand:
-        seqs = readset.reads
-    else:
-        seqs = readset.reads + [readset.rc(n - 1 - j) for j in range(n)]
-    m_count = len(seqs)
+    # read 2n-1-m (the reference's mirrored encseq numbering) — the
+    # mirror half IS revcomp(fwd blob), one vectorized pass
     k = minlen if minlen <= 31 else 31
+    empty = SpmList(np.zeros(0, np.int64), np.zeros(0, bool),
+                    np.zeros(0, np.int64), np.zeros(0, bool),
+                    np.zeros(0, np.int64))
+    if n == 0:
+        return empty
+    lens_f = np.fromiter((len(x) for x in readset.reads), np.int64, n)
+    blob_f = np.concatenate(readset.reads)
+    if singlestrand:
+        m_count = n
+        lens = lens_f
+        blob = blob_f
+    else:
+        m_count = 2 * n
+        lens = np.concatenate([lens_f, lens_f[::-1]])
+        blob = np.concatenate([blob_f, (3 - blob_f[::-1])
+                               .astype(np.uint8)])
+    starts = np.cumsum(lens) - lens
+    total = int(blob.size)
+    if total < k:
+        return empty
+    rid = np.repeat(np.arange(m_count, dtype=np.int64), lens)
 
-    # prefix codes per mirrored read
-    pref_codes = np.array([_read_code(s, 0, k) if len(s) >= k else -1
-                           for s in seqs], np.int64)
+    npos = total - k + 1
+    # byte-packed blob: bp[i] = 4 symbols starting at i in one byte, so
+    # a k-window is ceil(k/4) byte gathers instead of k symbol gathers
+    B = (k + 3) // 4
+    pad = (4 * B - k) * 2
+    bpad = np.concatenate([blob, np.zeros(3 + 4 * B - 4, np.uint8)])
+    bp = ((bpad[:-3] << 6) | (bpad[1:-2] << 4) | (bpad[2:-1] << 2)
+          | bpad[3:]).astype(np.uint8)
+    bweights = (256 ** np.arange(B - 1, -1, -1, dtype=np.int64))
+    boff = 4 * np.arange(B, dtype=np.int64)
+
+    def codes_at(pos):
+        # k-symbol codes at selected positions only: ceil(k/4) byte
+        # gathers, then shift out the (4B - k) trailing extra symbols
+        out = np.empty(pos.size, np.int64)
+        CH2 = 1 << 21
+        for t in range(0, pos.size, CH2):
+            pc = pos[t:t + CH2]
+            out[t:t + CH2] = (bp[pc[:, None] + boff].astype(np.int64)
+                              @ bweights) >> pad
+        return out
+
+    pref_ok = lens >= k
+    pref_codes = np.full(m_count, -1, np.int64)
+    okr = np.flatnonzero(pref_ok)
+    pref_codes[okr] = codes_at(np.minimum(starts[okr], npos - 1))
     order = np.argsort(pref_codes, kind="stable")
     sorted_pref = pref_codes[order]
+    # collapse to distinct values: one searchsorted per chunk instead
+    # of two (lo from the unique index, count from bincount)
+    uniq, ustart, ucnt = np.unique(sorted_pref, return_index=True,
+                                   return_counts=True)
 
-    rows = []
-    for a in range(m_count):
-        sa = seqs[a]
-        la = len(sa)
-        wins = _window_codes(sa, k)
-        for off in range(max(0, la - minlen + 1)):
-            L = la - off
-            if L < minlen:
-                break
-            code = wins[off]
-            lo = np.searchsorted(sorted_pref, code, "left")
-            hi = np.searchsorted(sorted_pref, code, "right")
-            for b in order[lo:hi]:
-                if b == a and singlestrand:
-                    continue
-                sb = seqs[b]
-                if L >= len(sb) or L >= la:
-                    continue  # containment/identity, not a proper overlap
-                if b == a:
-                    continue  # same read same strand
-                if (sa[off:] == sb[:L]).all():
-                    rows.append((a, b, L))
+    # suffix windows: position p, off = p - start, L = len - off >= minlen
+    offs = np.arange(total, dtype=np.int64) - starts[rid]
+    Lall = lens[rid] - offs
+    sel = np.flatnonzero(Lall[:npos] >= minlen)
+
+    res_a, res_b, res_l = [], [], []
+    CH = 1 << 21
+    for s0 in range(0, sel.size, CH):
+        ps = sel[s0:s0 + CH]
+        wc = codes_at(ps)
+        ui = np.searchsorted(uniq, wc)
+        uic = np.minimum(ui, uniq.size - 1)
+        hitu = (ui < uniq.size) & (uniq[uic] == wc)
+        lo = ustart[uic]
+        cnt = np.where(hitu, ucnt[uic], 0)
+        nz = cnt > 0
+        ps, lo, cnt = ps[nz], lo[nz], cnt[nz]
+        if ps.size == 0:
+            continue
+        rep = np.repeat(np.arange(ps.size, dtype=np.int64), cnt)
+        intra = np.arange(rep.size, dtype=np.int64) -             np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bidx = order[lo[rep] + intra]
+        p_abs = ps[rep]
+        aidx = rid[p_abs]
+        L = lens[aidx] - (p_abs - starts[aidx])
+        keep = (bidx != aidx) & (L < lens[aidx]) & (L < lens[bidx])
+        bidx, p_abs, aidx, L = bidx[keep], p_abs[keep], aidx[keep],             L[keep]
+        ok = _equal_runs_ok(blob, p_abs + k, starts[bidx] + k, L - k)
+        res_a.append(aidx[ok])
+        res_b.append(bidx[ok])
+        res_l.append(L[ok])
+    if not res_a:
+        return empty
+    A = np.concatenate(res_a)
+    B = np.concatenate(res_b)
+    LL = np.concatenate(res_l)
 
     # canonicalize strands (mirrored-dual rule) and map to (read, strand)
-    out = []
-    for a, b, L in rows:
-        if not singlestrand:
-            da = m_count - 1 - b
-            db = m_count - 1 - a
-            # dual pair is (da, db); keep the smaller (a+b) orientation
-            if a + b > m_count - 1:
-                continue
-        sr, ss = (a, True) if a < n else (m_count - 1 - a, False)
-        pr, ps = (b, True) if b < n else (m_count - 1 - b, False)
-        out.append((sr, ss, pr, ps, L))
+    if not singlestrand:
+        keep = A + B <= m_count - 1
+        A, B, LL = A[keep], B[keep], LL[keep]
+    sr = np.where(A < n, A, m_count - 1 - A)
+    ss = A < n
+    pr = np.where(B < n, B, m_count - 1 - B)
+    ps_ = B < n
+    out = list(zip(sr.tolist(), ss.tolist(), pr.tolist(), ps_.tolist(),
+                   LL.tolist()))
     if irreducible and out:
         out = _drop_transitive_spms(out, readset)
     if not out:
-        z = np.zeros(0, np.int64)
-        return SpmList(z, z.astype(bool), z, z.astype(bool), z)
+        return empty
     return SpmList(
         np.array([o[0] for o in out], np.int64),
         np.array([o[1] for o in out], bool),
@@ -631,9 +734,10 @@ class StringGraph:
             used.update(p[0] for p in path)
             if len(path) < 2:
                 continue
-            seq = read_seq(*path[0])
+            parts = [read_seq(*path[0])]
             for (b, sb), l in zip(path[1:], lens):
-                seq = np.concatenate([seq, read_seq(b, sb)[l:]])
+                parts.append(read_seq(b, sb)[l:])
+            seq = np.concatenate(parts)
             desc = f"{path[0][0]}{'E' if path[0][1] else 'B'}-->" \
                    f"{path[-1][0]}{'E' if path[-1][1] else 'B'}"
             if len(path) >= min_depth and seq.size >= min_length:

@@ -155,7 +155,7 @@ def cmd_tallymer(args):
     from .match import tallymer
 
     if args.sub == "mkindex":
-        esa = load_esa(args.esa)
+        esa = load_esa(args.esa, need_lcp="small", signed_suftab=False)
         mi = tallymer.mkindex(esa, args.mersize, minocc=args.minocc,
                               maxocc=args.maxocc)
         if args.indexname:
@@ -167,22 +167,30 @@ def cmd_tallymer(args):
     elif args.sub == "search":
         mi = tallymer.MerIndex.load(args.tyr)
         q = Encseq.from_files(args.q)
-        res = tallymer.search(mi, q, forward="fwd" in args.strand,
-                              reverse="rev" in args.strand)
-        show = args.output.split(",") if args.output else ["qseqnum", "qpos",
-                                                           "counts"]
-        for i in range(res.counts.size):
+        fwd, rev = _parse_strand(args.strand)
+        res = tallymer.search(mi, q, forward=fwd, reverse=rev)
+        out_toks = args.output if isinstance(args.output, list) \
+            else [args.output]
+        show = [f for tok in out_toks for f in tok.split(",")]
+        qs = res.qseqnum.tolist()
+        qp = res.qpos.tolist()
+        ct = res.counts.tolist()
+        st = res.strand.tolist()
+        lines = []
+        for i in range(len(ct)):
             fields = []
             for f in show:
                 if f == "qseqnum":
-                    fields.append(str(int(res.qseqnum[i])))
+                    fields.append(str(qs[i]))
                 elif f == "qpos":
-                    fields.append(chr(res.strand[i]) + str(int(res.qpos[i])))
+                    fields.append(chr(st[i]) + str(qp[i]))
                 elif f == "counts":
-                    fields.append(str(int(res.counts[i])))
+                    fields.append(str(ct[i]))
                 elif f == "sequence":
-                    fields.append(_code_to_seq(int(res.codes[i]), mi.mersize))
-            print(" ".join(fields))
+                    fields.append(_code_to_seq(int(res.codes[i]),
+                                               mi.mersize))
+            lines.append("\t".join(fields))     # gt's field separator
+        sys.stdout.write("\n".join(lines) + ("\n" if lines else ""))
     return 0
 
 
@@ -204,9 +212,10 @@ def _add_tallymer(sub):
     ps = sp.add_parser("search")
     ps.add_argument("-tyr", required=True, help="tallymer index")
     ps.add_argument("-q", nargs="+", required=True, help="query files")
-    ps.add_argument("-strand", default="fp",
-                    help="f=forward p=reverse ('fp' both)")
-    ps.add_argument("-output", default="qseqnum,qpos,counts")
+    ps.add_argument("-strand", default="f",
+                    help="f=forward p=reverse ('fp' both); gt default f")
+    ps.add_argument("-output", nargs="+", default=["qseqnum", "qpos",
+                                                   "counts"])
     ps.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_tallymer)
 
@@ -223,8 +232,8 @@ def cmd_repfind(args):
     _force_platform(args)
     from .core.encseq import Encseq
     from .index.esa import load_esa
-    from .match.repfind import (format_match_lines, repfind_palindromic,
-                                repfind_reverse, repfind_self)
+    from .match.repfind import (repfind_palindromic, repfind_reverse,
+                                repfind_self, write_match_lines)
 
     enc = Encseq.load(args.ii)
     if args.q:
@@ -256,19 +265,17 @@ def cmd_repfind(args):
         return 0
     if args.f or not (args.r or args.p):
         esa = load_esa(args.ii, encseq=enc)
-        rows = repfind_self(enc, args.l, esa=esa)
-        for line in format_match_lines(rows, "F"):
-            print(line)
+        write_match_lines(sys.stdout, repfind_self(enc, args.l, esa=esa),
+                          "F")
     if args.r:
         esa_r = load_esa(args.ii, encseq=enc)
-        for line in format_match_lines(repfind_reverse(enc, args.l,
-                                                       esa=esa_r), "R"):
-            print(line)
+        write_match_lines(sys.stdout,
+                          repfind_reverse(enc, args.l, esa=esa_r), "R")
     if args.p:
         esa_p = load_esa(args.ii, encseq=enc)
-        for line in format_match_lines(repfind_palindromic(enc, args.l,
-                                                           esa=esa_p), "P"):
-            print(line)
+        write_match_lines(sys.stdout,
+                          repfind_palindromic(enc, args.l, esa=esa_p),
+                          "P")
     return 0
 
 
@@ -564,8 +571,12 @@ def cmd_readjoiner(args):
         contained = rj.find_contained(rs)
         keep = [r for r, c in zip(rs.reads, contained) if not c]
         import numpy as _np
-        _np.savez_compressed(args.readset + ".reads",
-                             **{f"r{i}": r for i, r in enumerate(keep)})
+        # one blob + offsets (a 100k-key compressed zip took ~25s)
+        lens = _np.fromiter((len(r) for r in keep), _np.int64, len(keep))
+        _np.savez(args.readset + ".reads",
+                  blob=(_np.concatenate(keep) if keep
+                        else _np.zeros(0, _np.uint8)),
+                  lens=lens)
         print(f"# {len(rs.reads)} reads, {int(contained.sum())} contained, "
               f"{len(keep)} kept", file=sys.stderr)
     elif args.sub == "overlap":
@@ -625,6 +636,11 @@ def _load_readset(name):
     import numpy as _np
     from .assembly.readjoiner import ReadSet
     d = _np.load(name + ".reads.npz")
+    if "blob" in d.files:
+        blob, lens = d["blob"], d["lens"]
+        starts = _np.cumsum(lens) - lens
+        return ReadSet([blob[s:s + l]
+                        for s, l in zip(starts.tolist(), lens.tolist())])
     return ReadSet([d[k] for k in sorted(d.files,
                                          key=lambda s: int(s[1:]))])
 

@@ -36,7 +36,7 @@ def _compile() -> Path | None:
     with tempfile.TemporaryDirectory(dir=str(_CACHE)) as td:
         tmp = Path(td) / "gtnative.so"
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", str(_SRC), "-o", str(tmp)]
+               "-pthread", "-std=c++17", str(_SRC), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         except (subprocess.SubprocessError, FileNotFoundError):
@@ -92,8 +92,45 @@ def get_lib():
     lib.gt_fill_windows.argtypes = [
         u8p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint8, u8p]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.gt_tallymer_mkindex.argtypes = [
+        u8p, ctypes.c_int64, u64p, u8p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, u8p, u32p, u8p, i64p]
     _lib = lib
     return _lib
+
+
+def tallymer_mkindex_native(codes: np.ndarray, suftab: np.ndarray,
+                            lcp_small: np.ndarray, k: int, minocc: int,
+                            maxocc: int | None):
+    """(packed_mers uint8[nmers, merbytes], counts uint32[nmers],
+    counts_capped uint8[nmers]) or None without the lib. Single linear ESA pass in C++ — the host
+    engine for `tallymer mkindex` (ref: src/match/tyr-mkindex.c:514)."""
+    lib = get_lib()
+    if lib is None or k > 255:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    suftab = np.ascontiguousarray(suftab, np.uint64)
+    lcp_small = np.ascontiguousarray(lcp_small, np.uint8)
+    n1 = suftab.size
+    merbytes = (k + 3) // 4
+    out_mers = np.empty((n1, merbytes), np.uint8)
+    out_counts = np.empty(n1, np.uint32)
+    out_small = np.empty(n1, np.uint8)
+    nm = np.zeros(1, np.int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.gt_tallymer_mkindex(
+        codes.ctypes.data_as(u8), codes.size,
+        suftab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lcp_small.ctypes.data_as(u8), n1, k, minocc,
+        -1 if maxocc is None else maxocc,
+        out_mers.ctypes.data_as(u8),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_small.ctypes.data_as(u8),
+        nm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    n = int(nm[0])
+    return out_mers[:n], out_counts[:n], out_small[:n]
 
 
 def _pack_seqs(seqs):

@@ -370,28 +370,43 @@ def read_prj(indexname: str) -> dict:
 
 
 def load_esa(indexname: str, encseq: Encseq | None = None,
-             need_lcp: bool = True) -> EnhancedSuffixArray:
-    """ref: gt_mapsuffixarray (src/match/esa-map.c)."""
+             need_lcp: bool | str = True,
+             signed_suftab: bool = True) -> EnhancedSuffixArray:
+    """ref: gt_mapsuffixarray (src/match/esa-map.c).
+
+    need_lcp="small" keeps only the capped .lcp bytes (esa.lcp_small);
+    signed_suftab=False skips the uint64->int64 copy for consumers that
+    only gather with the table."""
     prj = read_prj(indexname)
     intsize = int(prj.get("integersize", 64))
     dt = np.uint64 if intsize == 64 else np.uint32
     n = int(prj["totallength"])
     if encseq is None:
         encseq = Encseq.load(indexname)
-    suftab = np.fromfile(indexname + ".suf", dtype=dt).astype(np.int64)
+    suftab = np.fromfile(indexname + ".suf", dtype=dt)
+    if signed_suftab:
+        suftab = suftab.astype(np.int64)
     assert suftab.size == n + 1, "suftab size mismatch with .prj"
     lcptab = None
+    small = None
     if need_lcp and Path(indexname + ".lcp").exists():
         small = np.fromfile(indexname + ".lcp", dtype=np.uint8)
-        lcptab = small.astype(np.int64)
-        llv_path = Path(indexname + ".llv")
-        if llv_path.exists() and llv_path.stat().st_size:
-            llv = np.fromfile(indexname + ".llv", dtype=dt).reshape(-1, 2)
-            lcptab[llv[:, 0].astype(np.int64)] = llv[:, 1]
-    return EnhancedSuffixArray(
+        if need_lcp != "small":    # "small": capped bytes are enough
+            lcptab = small.astype(np.int64)
+            llv_path = Path(indexname + ".llv")
+            if llv_path.exists() and llv_path.stat().st_size:
+                llv = np.fromfile(indexname + ".llv",
+                                  dtype=dt).reshape(-1, 2)
+                lcptab[llv[:, 0].astype(np.int64)] = llv[:, 1]
+    esa = EnhancedSuffixArray(
         encseq=encseq, readmode=int(prj.get("readmode", FWD)),
         suftab=suftab, lcptab=lcptab,
         prefixlength=int(prj.get("prefixlength", 0)))
+    # raw capped-at-255 lcp bytes (the .lcp file content): consumers
+    # that only compare lcp < k for k <= 255 (tallymer) skip the int64
+    # reconstruction
+    esa.lcp_small = small
+    return esa
 
 
 def merge_esas(encseqs: list[Encseq], with_lcp: bool = True

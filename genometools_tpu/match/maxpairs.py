@@ -34,14 +34,13 @@ def left_context_classes(esa: EnhancedSuffixArray) -> np.ndarray:
     enc = esa.encseq
     sigma = enc.alphabet.num_chars
     codes = enc.codes_view(esa.readmode)
-    sa = esa.suftab.astype(np.int64)
-    prev = sa - 1
-    ok = prev >= 0
-    cls = np.full(sa.size, sigma, np.uint8)
-    pv = codes[np.clip(prev, 0, max(codes.size - 1, 0))]
-    reg = ok & ~is_special(pv)
-    cls[reg] = pv[reg]
-    return cls
+    # padded[p+1] = codes[p], padded[0] = special sentinel for rank of
+    # position 0 — one gather by sa itself (= prev+1), no clip pass
+    padded = np.empty(codes.size + 1, np.uint8)
+    padded[0] = 254
+    padded[1:] = codes
+    pv = padded[esa.suftab]
+    return np.where(is_special(pv), np.uint8(sigma), pv)
 
 
 @dataclass

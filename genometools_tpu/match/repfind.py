@@ -209,8 +209,22 @@ def repfind_extend(encseq: Encseq, minlength: int,
 
 
 def format_match_lines(rows: np.ndarray, direction: str = "F") -> list[str]:
-    return [f"{r[0]} {r[1]} {r[2]} {direction} {r[3]} {r[4]} {r[5]}"
-            for r in rows.tolist()]
+    d = f" {direction} "
+    return [f"{a} {b} {c}{d}{x} {y} {z}"
+            for a, b, c, x, y, z in rows.tolist()]
+
+
+def write_match_lines(out, rows: np.ndarray, direction: str = "F",
+                      chunk: int = 1 << 17) -> None:
+    """Bulk emission: join+write in chunks (one syscall per ~128k rows
+    instead of one print per match — matters at millions of matches)."""
+    d = f" {direction} "
+    lst = rows.tolist()
+    for s in range(0, len(lst), chunk):
+        out.write("\n".join(
+            f"{a} {b} {c}{d}{x} {y} {z}"
+            for a, b, c, x, y, z in lst[s:s + chunk]))
+        out.write("\n")
 
 
 def parse_result_file(path: str) -> np.ndarray:

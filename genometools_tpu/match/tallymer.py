@@ -38,25 +38,56 @@ from ..index.esa import EnhancedSuffixArray
 from ..ops.kmer import kmer_codes_np, pack_mers_2bit
 
 
-@dataclass
 class MerIndex:
-    mersize: int
-    mer_codes: np.ndarray   # int64[nmers], sorted ascending
-    counts: np.ndarray      # int64[nmers]
-    alphabet_size: int = 4
+    """mersize, mer_codes (int64[nmers], sorted ascending), counts.
+
+    The native mkindex path stores the packed 2-bit form and defers the
+    int64 code materialization (save() never needs it); `mer_codes` is
+    a lazy property in that case."""
+
+    def __init__(self, mersize: int, mer_codes, counts,
+                 alphabet_size: int = 4):
+        self.mersize = mersize
+        self._mc = mer_codes
+        self._ct = counts
+        self.alphabet_size = alphabet_size
+
+    @property
+    def mer_codes(self) -> np.ndarray:
+        if self._mc is None and getattr(self, "_packed", None) is not None:
+            packed = self._packed
+            code = np.zeros(packed.shape[0], np.int64)
+            for b in range(packed.shape[1]):
+                code = (code << 8) | packed[:, b].astype(np.int64)
+            self._mc = code >> ((packed.shape[1] * 4 - self.mersize) * 2)
+        return self._mc
+
+    @mer_codes.setter
+    def mer_codes(self, v) -> None:
+        self._mc = v
 
     @property
     def num_mers(self) -> int:
-        return int(self.mer_codes.size)
+        if self._ct is not None:
+            return int(self._ct.size)
+        return int(self._counts_small.size)
 
     # -- persistence -------------------------------------------------------
     def save(self, indexname: str) -> None:
-        packed = pack_mers_2bit(self.mer_codes, self.mersize)
-        packed.tofile(indexname + ".mer")
+        packed = getattr(self, "_packed", None)
+        if packed is None:
+            packed = pack_mers_2bit(self.mer_codes, self.mersize)
+        with open(indexname + ".mer", "wb") as f:
+            np.ascontiguousarray(packed).tofile(f)
+            # reference footer: mersize + alphasize as uint64
+            # (ref: src/match/tyr-mkindex.c outputsortedstring tail)
+            f.write(np.asarray([self.mersize, self.alphabet_size],
+                               np.uint64).tobytes())
         small = np.minimum(self.counts, 255).astype(np.uint8)
-        large_idx = np.nonzero(self.counts > 255)[0]
+        large_idx = np.nonzero(small == 255)[0]
+        large_idx = large_idx[self.counts[large_idx] > 255]
         with open(indexname + ".mct", "wb") as f:
-            f.write(small.tobytes())
+            small.tofile(f)
             lg = np.empty((large_idx.size, 2), np.uint64)
             lg[:, 0] = large_idx
             lg[:, 1] = self.counts[large_idx]
@@ -68,24 +99,101 @@ class MerIndex:
 
     @classmethod
     def load(cls, indexname: str) -> "MerIndex":
+        """Memory-maps .mer/.mct: nothing is decoded until touched
+        (the reference mmaps too, ref: tyr-search.c mapping the index);
+        counts stay as capped bytes + a large-value overflow table."""
         meta = json.loads(Path(indexname + ".tyr.json").read_text())
         k = meta["mersize"]
         nm = meta["nummers"]
         merbytes = (k + 3) // 4
-        packed = np.fromfile(indexname + ".mer", dtype=np.uint8)
-        packed = packed.reshape(nm, merbytes)
-        codes = np.zeros(nm, np.int64)
-        for b in range(merbytes):
-            codes = (codes << 8) | packed[:, b].astype(np.int64)
-        codes >>= (merbytes * 4 - k) * 2
-        with open(indexname + ".mct", "rb") as f:
-            small = np.frombuffer(f.read(nm), np.uint8)
-            counts = small.astype(np.int64)
-            rest = f.read()
-        if rest:
-            lg = np.frombuffer(rest, np.uint64).reshape(-1, 2)
-            counts[lg[:, 0].astype(np.int64)] = lg[:, 1]
-        return cls(k, codes, counts, meta.get("alphabetsize", 4))
+        packed = np.memmap(indexname + ".mer", dtype=np.uint8,
+                           mode="r", shape=(nm, merbytes))
+        mct = np.memmap(indexname + ".mct", dtype=np.uint8, mode="r")
+        small = mct[:nm]
+        rest = np.asarray(mct[nm:]).tobytes()
+        mi = cls(k, None, None, meta.get("alphabetsize", 4))
+        mi._packed = packed
+        mi._counts_small = small
+        mi._large = np.frombuffer(rest, np.uint64).reshape(-1, 2)             if rest else np.zeros((0, 2), np.uint64)
+        return mi
+
+    @property
+    def counts(self) -> np.ndarray:
+        if self._ct is None:
+            ct = self._counts_small.astype(np.uint32)
+            if self._large.size:
+                ct[self._large[:, 0].astype(np.int64)] =                     self._large[:, 1].astype(np.uint32)
+            self._ct = ct
+        return self._ct
+
+    @counts.setter
+    def counts(self, v) -> None:
+        self._ct = v
+
+    def counts_at(self, idx: np.ndarray) -> np.ndarray:
+        """Counts for specific mer indices without materializing the
+        whole table (hits are sparse in a typical search)."""
+        if self._ct is not None:
+            return self._ct[idx].astype(np.int64)
+        ct = self._counts_small[idx].astype(np.int64)
+        if self._large.size:
+            ov = {int(i): int(v) for i, v in self._large}
+            for j in np.flatnonzero(ct == 255):
+                ct[j] = ov.get(int(idx[j]), 255)
+        return ct
+
+    def lookup(self, qcodes: np.ndarray):
+        """(idx, hit): rank of each query code among the sorted mers.
+        Small query batches binary-search the packed rows directly
+        (touches O(nq log nm) rows — no full-index decode); large
+        batches build the uint64 key table once and searchsorted."""
+        merbytes = (self.mersize + 3) // 4
+        packed = getattr(self, "_packed", None)
+        nm = self.num_mers
+        kshift = (merbytes * 4 - self.mersize) * 2
+        if packed is not None and self._ct is None and \
+                qcodes.size * 64 < nm and nm:
+            w = (256 ** np.arange(merbytes - 1, -1, -1)).astype(np.int64)
+            qv = qcodes.astype(np.int64) << kshift
+            lo = np.zeros(qcodes.size, np.int64)
+            hi = np.full(qcodes.size, nm, np.int64)
+            for _ in range(int(np.ceil(np.log2(max(nm, 2)))) + 1):
+                mid = (lo + hi) >> 1
+                mv = packed[np.minimum(mid, nm - 1)].astype(np.int64) @ w
+                less = (mv < qv) & (mid < hi)
+                lo = np.where(less, mid + 1, lo)
+                hi = np.where(less, hi, mid)
+            idx = lo
+            idx_c = np.minimum(idx, nm - 1)
+            hit = (idx < nm) & \
+                ((packed[idx_c].astype(np.int64) @ w) == qv)
+            return idx_c, hit
+        keys = self.sort_keys()
+        qk = qcodes.astype(np.uint64) << kshift
+        idx = np.searchsorted(keys, qk)
+        idx_c = np.clip(idx, 0, max(nm - 1, 0))
+        hit = (idx < nm) & (keys[idx_c] == qk)
+        return idx_c, hit
+
+    def sort_keys(self):
+        """uint64 keys = mer code << 2*(4*merbytes - k): the packed
+        big-endian bytes zero-padded to 8 — order-isomorphic to the
+        codes, built with one pass instead of the per-byte int64 loop
+        (queries apply the same shift before searchsorted)."""
+        keys = getattr(self, "_keys", None)
+        if keys is None:
+            merbytes = (self.mersize + 3) // 4
+            packed = getattr(self, "_packed", None)
+            if packed is None:
+                keys = self.mer_codes.astype(np.uint64) << \
+                    ((merbytes * 4 - self.mersize) * 2)
+            else:
+                pad = np.zeros((packed.shape[0], 8), np.uint8)
+                pad[:, 8 - merbytes:] = packed
+                keys = pad.reshape(-1).view(np.dtype(">u8")) \
+                    .astype(np.uint64)
+            self._keys = keys
+        return keys
 
     # -- bucket directory (mersplit) ---------------------------------------
     def bucket_directory(self, prefixlength: int | None = None) -> tuple[int, np.ndarray]:
@@ -107,11 +215,26 @@ def mkindex(esa: EnhancedSuffixArray, mersize: int,
     enc = esa.encseq
     codes = enc.codes_view(esa.readmode)
     n = codes.size
-    sa = esa.suftab.astype(np.int64)
-    lcp = esa.lcptab
     k = mersize
     if n < k:
         return MerIndex(k, np.zeros(0, np.int64), np.zeros(0, np.int64))
+    # host fast path: single linear ESA pass in C++ (same run
+    # segmentation; ~10x the numpy formulation at 32Mbp)
+    from ..core.native import tallymer_mkindex_native
+    small = getattr(esa, "lcp_small", None)
+    if small is None and esa.lcptab is not None:
+        small = np.minimum(esa.lcptab, 255).astype(np.uint8)
+    res = tallymer_mkindex_native(
+        codes, esa.suftab, small, k, minocc, maxocc) \
+        if small is not None else None
+    if res is not None:
+        packed, cnts, small_ct = res
+        mi = MerIndex(k, None, cnts)   # uint32 counts: consumers only read
+        mi._packed = packed
+        return mi
+    sa = esa.suftab.astype(np.int64)
+    # the capped byte table is exact for `lcp < k` whenever k <= 255
+    lcp = esa.lcptab if esa.lcptab is not None else small
     code, valid = kmer_codes_np(codes, k)
     # ranks whose suffix contributes a mer: position has a full valid window
     ok = (sa <= n - k)
@@ -173,13 +296,11 @@ def search(merindex: MerIndex, queries: Encseq,
     out_qs, out_qp, out_ct, out_st, out_cd = [], [], [], [], []
 
     def one_strand(qcodes, strand_char):
-        idx = np.searchsorted(merindex.mer_codes, qcodes)
-        idx_c = np.clip(idx, 0, max(merindex.num_mers - 1, 0))
-        hit = valid & (idx < merindex.num_mers) & \
-            (merindex.mer_codes[idx_c] == qcodes)
+        idx_c, hit = merindex.lookup(qcodes)
+        hit = hit & valid
         out_qs.append(seqnum[hit])
         out_qp.append(relpos[hit])
-        out_ct.append(merindex.counts[idx_c[hit]])
+        out_ct.append(merindex.counts_at(idx_c[hit]))
         out_st.append(np.full(int(hit.sum()), ord(strand_char), np.int64))
         out_cd.append(qcodes[hit])
 
@@ -189,8 +310,15 @@ def search(merindex: MerIndex, queries: Encseq,
         # reverse complement of each window: code arithmetic
         rc = _revcomp_codes(code, k)
         one_strand(rc, "-")
-    return MerSearchResult(*(np.concatenate(x) if x else np.zeros(0, np.int64)
-                             for x in (out_qs, out_qp, out_ct, out_st, out_cd)))
+    qs, qp, ct, st, cd = (np.concatenate(x) if x
+                          else np.zeros(0, np.int64)
+                          for x in (out_qs, out_qp, out_ct, out_st,
+                                    out_cd))
+    # reference emission order: query windows in order, forward before
+    # reverse at the same window (ref: tyr-search.c singleseqtyrsearch)
+    order = np.lexsort((st, qp, qs))
+    return MerSearchResult(qs[order], qp[order], ct[order], st[order],
+                           cd[order])
 
 
 def _revcomp_codes(code: np.ndarray, k: int) -> np.ndarray:

@@ -16,6 +16,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <thread>
 
 extern "C" {
 
@@ -882,6 +883,117 @@ void gt_fill_windows(const uint8_t *flat, const int64_t *off,
     std::memcpy(dst, flat + off[i], (size_t)l);
     std::memset(dst + l, fill, (size_t)(W - l));
   }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Tallymer mkindex core: one linear pass over the ESA (the vectorized
+// segmentation of tyr-mkindex, see match/tallymer.py docstring —
+// ref: src/match/tyr-mkindex.c:514 enumeratelcpintervals).  Runs of
+// ranks with lcp >= k share one mer; a run is valid iff its first
+// suffix has k regular characters (later members inherit validity:
+// lcp counts only regular matches).  Emits 2-bit MSB-packed mers in
+// suffix (= lexicographic) order plus uint32 counts.
+// lcp is the small-lcp byte table; k must be <= 255 (255 means >= 255
+// >= k, so the byte compare is exact for every k <= 255).
+static int64_t tallymer_scan(const uint8_t *codes, int64_t n,
+                             const uint64_t *sa, const uint8_t *lcp,
+                             int64_t rlo, int64_t rhi, int64_t n1,
+                             int64_t k, int64_t minocc, int64_t maxocc,
+                             uint8_t *out_mers, uint32_t *out_counts,
+                             uint8_t *out_small) {
+  const int64_t merbytes = (k + 3) / 4;
+  int64_t nmers = 0;
+  int64_t run_count = 0;
+  int64_t run_first = -1;  // start position of the run's mer, -1 invalid
+  for (int64_t r = rlo; r <= rhi; r++) {
+    if (r == rhi || lcp[r] < k) {
+      if (run_first >= 0 && run_count >= minocc &&
+          (maxocc < 0 || run_count <= maxocc)) {
+        uint8_t *dst = out_mers + nmers * merbytes;
+        const uint8_t *src = codes + run_first;
+        int64_t i = 0;
+        for (int64_t b = 0; b < merbytes; b++) {
+          uint8_t v = 0;
+          for (int s = 6; s >= 0; s -= 2) {
+            v |= (uint8_t)((i < k ? (src[i] & 3) : 0) << s);
+            i++;
+          }
+          dst[b] = v;
+        }
+        out_counts[nmers] = (uint32_t)run_count;
+        out_small[nmers] =
+            run_count > 255 ? (uint8_t)255 : (uint8_t)run_count;
+        nmers++;
+      }
+      run_count = 0;
+      run_first = -1;
+      if (r == rhi) break;
+      const int64_t p = (int64_t)sa[r];
+      if (p + k <= n) {
+        bool ok = true;
+        for (int64_t j = 0; j < k; j++)
+          if (codes[p + j] >= 4) { ok = false; break; }
+        if (ok) { run_first = p; run_count = 1; }
+      }
+    } else if (run_first >= 0) {
+      run_count++;
+    }
+  }
+  return nmers;
+}
+
+void gt_tallymer_mkindex(const uint8_t *codes, int64_t n,
+                         const uint64_t *sa, const uint8_t *lcp,
+                         int64_t n1, int64_t k, int64_t minocc,
+                         int64_t maxocc, uint8_t *out_mers,
+                         uint32_t *out_counts, uint8_t *out_small,
+                         int64_t *out_nmers) {
+  const int64_t merbytes = (k + 3) / 4;
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t T = hw ? (int64_t)hw : 2;
+  if (T > 8) T = 8;
+  if (n1 < (int64_t)1 << 20 || T < 2) {
+    *out_nmers = tallymer_scan(codes, n, sa, lcp, 0, n1, n1, k, minocc,
+                               maxocc, out_mers, out_counts, out_small);
+    return;
+  }
+  // split the rank range at run boundaries (lcp[r] < k); each worker
+  // emits into its own slice of the (worst-case-sized) output buffers,
+  // then slices are compacted in order — emission order is preserved
+  std::vector<int64_t> starts(T + 1, n1);
+  starts[0] = 0;
+  for (int64_t t = 1; t < T; t++) {
+    int64_t r = t * (n1 / T);
+    while (r < n1 && lcp[r] >= k) r++;
+    starts[t] = r;
+  }
+  std::vector<int64_t> cnt(T, 0);
+  std::vector<std::thread> th;
+  for (int64_t t = 0; t < T; t++) {
+    th.emplace_back([&, t]() {
+      cnt[t] = tallymer_scan(codes, n, sa, lcp, starts[t], starts[t + 1],
+                             n1, k, minocc, maxocc,
+                             out_mers + starts[t] * merbytes,
+                             out_counts + starts[t],
+                             out_small + starts[t]);
+    });
+  }
+  for (auto &x : th) x.join();
+  int64_t nmers = cnt[0];
+  for (int64_t t = 1; t < T; t++) {
+    std::memmove(out_mers + nmers * merbytes,
+                 out_mers + starts[t] * merbytes,
+                 (size_t)(cnt[t] * merbytes));
+    std::memmove(out_counts + nmers, out_counts + starts[t],
+                 (size_t)(cnt[t] * 4));
+    std::memmove(out_small + nmers, out_small + starts[t],
+                 (size_t)cnt[t]);
+    nmers += cnt[t];
+  }
+  *out_nmers = nmers;
 }
 
 }  // extern "C"
