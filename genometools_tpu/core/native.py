@@ -170,8 +170,10 @@ def xdrop_batch_native(us, vs, belowscore: int):
 def greedy_batch_native(us, vs, *, max_history, perc_mat_history,
                         maxalignedlendifference, seedlengths, pol,
                         trim=True):
-    """Batched greedy front-prune. Returns int64[n,5]
-    (alignedlen, row, distance, max_mismatches, died) or None."""
+    """Batched greedy front-prune. Returns int64[n,6]
+    (alignedlen, row, distance, max_mismatches, died, touched) —
+    touched=1 means a live front cell hit the u/v window end, so a
+    clipped-window caller must re-run that lane — or None."""
     lib = get_lib()
     if lib is None:
         return None
@@ -179,7 +181,7 @@ def greedy_batch_native(us, vs, *, max_history, perc_mat_history,
     vblob, voff = _pack_seqs(vs)
     n = len(us)
     sl = np.ascontiguousarray(seedlengths, np.int64)
-    out = np.zeros(5 * n, np.int64)
+    out = np.zeros(6 * n, np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     dfm = np.ascontiguousarray(pol.diff_from_max, np.int32)
@@ -191,7 +193,7 @@ def greedy_batch_native(us, vs, *, max_history, perc_mat_history,
         sl.ctypes.data_as(i64p), _i32ptr(dfm), _i32ptr(ssum),
         pol.cut_depth, pol.mask, 1 if trim else 0,
         out.ctypes.data_as(i64p))
-    return out.reshape(n, 5)
+    return out.reshape(n, 6)
 
 
 def sais_native(keys) -> np.ndarray | None:

@@ -155,22 +155,54 @@ def build_seed_pairs(alist, blist, selfcomp: bool, maxfreq: int | None,
     ref: gt_seed_extend.c:1199-1204)."""
     acode, aseq, apos = alist
     bcode, bseq, bpos = blist
-    ao = np.argsort(acode, kind="stable")
-    bo = np.argsort(bcode, kind="stable")
-    acode, aseq, apos = acode[ao], aseq[ao], apos[ao]
-    bcode, bseq, bpos = bcode[bo], bseq[bo], bpos[bo]
+    same = blist is alist or (acode is bcode)
+    sortkey = acode if acode.itemsize <= 4 else (
+        acode.astype(np.int32) if int(acode.max(initial=0)) < 2 ** 31
+        else acode)
+    ao = np.argsort(sortkey, kind="stable")
+    acode_s = acode[ao]
+    if same:
+        bo, bcode_s = ao, acode_s
+    else:
+        bkey = bcode if bcode.itemsize <= 4 else (
+            bcode.astype(np.int32) if int(bcode.max(initial=0)) < 2 ** 31
+            else bcode)
+        bo = np.argsort(bkey, kind="stable")
+        bcode_s = bcode[bo]
 
-    # group boundaries per code
-    ua, astart = np.unique(acode, return_index=True)
-    ub, bstart = np.unique(bcode, return_index=True)
-    acount = np.diff(np.append(astart, acode.size))
-    bcount = np.diff(np.append(bstart, bcode.size))
-    # intersect codes
-    common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+    # group boundaries per code (arrays are sorted — no np.unique resort)
+    astart = np.flatnonzero(
+        np.concatenate([[True], acode_s[1:] != acode_s[:-1]])) \
+        if acode_s.size else np.zeros(0, np.int64)
+    ua = acode_s[astart]
+    acount = np.diff(np.append(astart, acode_s.size))
+    if same:
+        bstart, ub, bcount = astart, ua, acount
+    else:
+        bstart = np.flatnonzero(
+            np.concatenate([[True], bcode_s[1:] != bcode_s[:-1]])) \
+            if bcode_s.size else np.zeros(0, np.int64)
+        ub = bcode_s[bstart]
+        bcount = np.diff(np.append(bstart, bcode_s.size))
+    # intersect the two sorted unique lists with one searchsorted
+    if same:
+        ia = ib = np.arange(ua.size)
+    else:
+        ii = np.searchsorted(ua, ub)
+        iic = np.minimum(ii, max(ua.size - 1, 0))
+        m = (ii < ua.size) & (ua[iic] == ub) if ua.size else \
+            np.zeros(ub.size, bool)
+        ia, ib = iic[m], np.flatnonzero(m)
     an, bn = acount[ia], bcount[ib]
     if maxfreq is not None:
         keep = np.maximum(an, bn) <= maxfreq
         ia, ib, an, bn = ia[keep], ib[keep], an[keep], bn[keep]
+    if selfcomp and same:
+        # a singleton code group only yields its identity pair, which
+        # the strand/distance rule always drops — skip them up front
+        # (the bulk of the groups on low-repetition inputs)
+        g = an > 1
+        ia, ib, an, bn = ia[g], ib[g], an[g], bn[g]
     # cartesian products per common code
     reps = an * bn
     total = int(reps.sum())
@@ -179,8 +211,8 @@ def build_seed_pairs(alist, blist, selfcomp: bool, maxfreq: int | None,
         return z, z, z, z
     grp = np.repeat(np.arange(reps.size), reps)
     within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
-    ai = astart[ia][grp] + within // bn[grp]
-    bi = bstart[ib][grp] + within % bn[grp]
+    ai = ao[astart[ia][grp] + within // bn[grp]]
+    bi = bo[bstart[ib][grp] + within % bn[grp]]
     pa_seq, pa_pos = aseq[ai], apos[ai]
     pb_seq, pb_pos = bseq[bi], bpos[bi]
     if selfcomp:
@@ -258,7 +290,7 @@ def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
             maxalignedlendifference=mad, seedlengths=[seedlength],
             pol=pol_info)
         if res is not None:
-            al, row, dist, mm, died = res[0].tolist()
+            al, row, dist, mm, died, _t = res[0].tolist()
             return int(row), int(al - row), int(dist), int(mm)
         _, best = greedy_extend(
             u, v, max_history=history, perc_mat_history=pmh,
@@ -321,8 +353,10 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
         return _seed_extend_grid(aenc, benc, params, events, k, mincov,
                                  belowscore, selfcomp, strands, amaxlen)
     for direction in strands:
-        blist = enumerate_kmers(benc, k, revcomp=(direction == "P"),
-                                spaced_mask=smask)
+        # selfcomp forward strand: the b-list IS the a-list
+        blist = alist if (selfcomp and direction == "F") else \
+            enumerate_kmers(benc, k, revcomp=(direction == "P"),
+                            spaced_mask=smask)
         # same-sequence distance rule: bpos >= apos + seedlength on the
         # forward strand, bpos >= apos on the reverse strand (counts
         # validated against the reference's at1MB -v logs: 305756 F /
@@ -431,45 +465,105 @@ def _batch_greedy_extensions(cands, k, greedy_ctx, belowscore=None):
     given belowscore (unit scores), via ops.xdrop_batch's exact batch.
     Returns one entry per candidate: the `_extend_one_seed` tuple, or
     None for overlapping same-sequence seed instances.
-    """
+
+    Flanks are materialized CLIPPED to a window (whole-chromosome
+    sequences would otherwise copy megabases per task): a lane whose
+    front provably never reached the clip edge is exact; the rest
+    retry with an 8x window until unclipped (geometric, so total work
+    stays O(final extension length)).  Edge contact comes from the C++
+    engine's `touched` flag on the host, and from the alignedlen bound
+    2*cap - mad - slack on the device (live fronts stay within
+    maxalignedlendifference of the best, so a shorter best implies no
+    cell reached the edge)."""
     from ..ops.greedy_batch import greedy_extend_batch
     from ..ops.xdrop_batch import xdrop_extend_batch_exact
 
     out = [None] * len(cands)
     if greedy_ctx is not None:
         pol, pmh, mad, history = greedy_ctx
+    CAP0 = 2048
 
-    def run_side(tasks):
-        """tasks: list of (cand_idx, u, v); fills (u_ext, v_ext,
-        score_or_dist, mm) per task, scalar-engine fallback for lanes
-        the device punts."""
-        if not tasks:
+    def run_side(specs):
+        """specs: (cand_idx, slicer, maxflank); slicer(cap) -> (u, v)
+        clipped windows (cap=None -> full).  Fills (u_ext, v_ext,
+        score_or_dist, mm) per entry."""
+        if not specs:
             return {}
         if greedy_ctx is None:
+            built = [sp[1](None) for sp in specs]
             iv, jv, sv = xdrop_extend_batch_exact(
-                [t[1] for t in tasks], [t[2] for t in tasks],
-                belowscore)
+                [b[0] for b in built], [b[1] for b in built], belowscore)
             return {ci: (int(iv[t]), int(jv[t]), int(sv[t]), 0)
-                    for t, (ci, _, _) in enumerate(tasks)}
-        res = greedy_extend_batch(
-            [t[1] for t in tasks], [t[2] for t in tasks],
-            seedlengths=k, perc_mat_history=pmh,
-            maxalignedlendifference=mad, pol_info=pol, history=history)
+                    for t, (ci, _, _) in enumerate(specs)}
+        import jax
+        use_cpp = jax.default_backend() == "cpu"
         side = {}
-        for t, (ci, u, v) in enumerate(tasks):
-            if res["fallback"][t]:
-                _, best = greedy_extend(
-                    u, v, max_history=history, perc_mat_history=pmh,
-                    maxalignedlendifference=mad, seedlength=k,
-                    pol_info=pol)
-                side[ci] = (best.row, best.alignedlen - best.row,
-                            best.distance, best.max_mismatches)
+        pending = list(specs)
+        cap = CAP0
+        while pending:
+            built = [sp[1](cap) for sp in pending]
+            us = [b[0] for b in built]
+            vs = [b[1] for b in built]
+            resn = None
+            if use_cpp:
+                from ..core.native import greedy_batch_native
+                resn = greedy_batch_native(
+                    us, vs, max_history=history, perc_mat_history=pmh,
+                    maxalignedlendifference=mad,
+                    seedlengths=[k] * len(us), pol=pol)
+            retry = []
+            if resn is not None:
+                for sp, r in zip(pending, resn):
+                    ci, _, mx = sp
+                    if mx > cap and r[5]:
+                        retry.append(sp)
+                    else:
+                        side[ci] = (int(r[1]), int(r[0] - r[1]),
+                                    int(r[2]), int(r[3]))
             else:
-                row = int(res["row"][t])
-                side[ci] = (row, int(res["alignedlen"][t]) - row,
-                            int(res["distance"][t]),
-                            int(res["mismatches"][t]))
+                res = greedy_extend_batch(
+                    us, vs, seedlengths=k, perc_mat_history=pmh,
+                    maxalignedlendifference=mad, pol_info=pol,
+                    history=history)
+                slack = mad + history + k
+                for t, sp in enumerate(pending):
+                    ci, _, mx = sp
+                    al = int(res["alignedlen"][t])
+                    if mx > cap and al >= 2 * cap - slack:
+                        retry.append(sp)
+                        continue
+                    if res["fallback"][t]:
+                        _, best = greedy_extend(
+                            us[t], vs[t], max_history=history,
+                            perc_mat_history=pmh,
+                            maxalignedlendifference=mad, seedlength=k,
+                            pol_info=pol)
+                        side[ci] = (best.row,
+                                    best.alignedlen - best.row,
+                                    best.distance, best.max_mismatches)
+                    else:
+                        row = int(res["row"][t])
+                        side[ci] = (row, al - row,
+                                    int(res["distance"][t]),
+                                    int(res["mismatches"][t]))
+            pending = retry
+            cap *= 8
         return side
+
+    def left_slicer(useq, vseq, db, voff, qs):
+        def make(cap):
+            ulo = 0 if cap is None else max(0, db - cap)
+            vlo = voff if cap is None else max(voff, qs - cap)
+            return useq[ulo:db][::-1], vseq[vlo:qs][::-1]
+        return make
+
+    def right_slicer(useq, vseq, dbk, urb, qsk):
+        def make(cap):
+            uhi = urb if cap is None else min(urb, dbk + cap)
+            vhi = len(vseq) if cap is None else min(len(vseq),
+                                                    qsk + cap)
+            return useq[dbk:uhi], vseq[qsk:vhi]
+        return make
 
     left_tasks = []
     for ci, (useq, vseq, same_seq, db, qs) in enumerate(cands):
@@ -479,8 +573,9 @@ def _batch_greedy_extensions(cands, k, greedy_ctx, belowscore=None):
         if db > 0 and qs > 0:
             voff = db + k if same_seq else 0
             if qs - voff > 0:
-                left_tasks.append((ci, useq[0:db][::-1],
-                                   vseq[voff:qs][::-1]))
+                left_tasks.append((ci, left_slicer(useq, vseq, db,
+                                                   voff, qs),
+                                   max(db, qs - voff)))
     for ci, (row, vext, dist, mmv) in run_side(left_tasks).items():
         out[ci][0], out[ci][1], out[ci][2], out[ci][6] = \
             row, vext, dist, mmv
@@ -492,7 +587,10 @@ def _batch_greedy_extensions(cands, k, greedy_ctx, belowscore=None):
         v_left = out[ci][1]
         urb = min(len(useq), qs - v_left) if same_seq else len(useq)
         if db + k < urb and qs + k < len(vseq):
-            right_tasks.append((ci, useq[db + k:urb], vseq[qs + k:]))
+            right_tasks.append((ci, right_slicer(useq, vseq, db + k,
+                                                 urb, qs + k),
+                                max(urb - db - k,
+                                    len(vseq) - qs - k)))
     for ci, (row, vext, dist, mmv) in run_side(right_tasks).items():
         out[ci][3], out[ci][4], out[ci][5], out[ci][7] = \
             row, vext, dist, mmv
@@ -510,7 +608,11 @@ def _device_extend_enabled() -> bool:
         return True
     import jax
     try:
-        return jax.default_backend() not in ("cpu",)
+        if jax.default_backend() not in ("cpu",):
+            return True
+        # CPU backend: wave-batched C++ calls beat per-seed dispatch
+        from ..core.native import get_lib
+        return get_lib() is not None
     except Exception:
         return False
 
@@ -538,6 +640,10 @@ class _WaveProvider:
         self.belowscore = belowscore
         self.cache: dict = {}
         self.pos_of = {key: idx for idx, key in enumerate(order)}
+        self.cursor = 0     # furthest scanned order position (requests
+        #                     arrive monotonically; never rescan a run
+        #                     of predicted skips — a mispredicted seed
+        #                     simply heads its own wave)
 
     def get(self, si, i):
         key = (si, i)
@@ -553,8 +659,11 @@ class _WaveProvider:
         first = True
         while idx < len(self.order) and len(cands) < self.WAVE:
             key = self.order[idx]
+            if first:
+                idx = max(idx, self.cursor)   # resume, don't rescan
             idx += 1
             if key in self.cache:
+                first = False
                 continue
             si, i = key
             _, _, useq, vseq, same_seq, apos, bpos, _ = self.segments[si]
@@ -574,6 +683,7 @@ class _WaveProvider:
             first = False
             wave_keys.append(key)
             cands.append((useq, vseq, same_seq, db, qs))
+        self.cursor = max(self.cursor, idx)
         if cands:
             exts = _batch_greedy_extensions(cands, k, self.ctx,
                                             self.belowscore)
@@ -735,11 +845,24 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             if params.use_apos == 2 or \
                     (params.use_apos == 1 and accepted is not None):
                 rectangles.append(rect)
+            # selfmatch display order rule (ref: querymatch.c:357
+            # gt_querymatch_ordered): a same-sequence match is shown
+            # only in its canonical orientation — dbstart <=
+            # querystart_fwdstrand on P, dbstart < querystart on F
+            # (the mirror match is found separately); internal state
+            # (prev_b_end, rectangles) still advances as above
+            suppressed = False
+            if accepted is not None and selfcomp and aseq == bseq:
+                if direction == "P":
+                    if not accepted.dbstart < accepted.querystart + 1:
+                        accepted, suppressed = None, True
+                elif not accepted.dbstart < accepted.querystart:
+                    accepted, suppressed = None, True
             if accepted is not None:
                 matches.append(accepted)
                 if events is not None:
                     events.append(("match", accepted))
-            elif events is not None:
+            elif events is not None and not suppressed:
                 # seed extended but no accepted match
                 # (ref: querymatch.c:696 gt_querymatch_show_failed_seed)
                 events.append(("failed", k, aseq, dbstart_rel,

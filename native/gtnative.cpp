@@ -496,7 +496,7 @@ static inline int popcount64(uint64_t v) {
 }
 
 struct GBest {
-  int64_t alignedlen, row, distance, max_mismatches, died;
+  int64_t alignedlen, row, distance, max_mismatches, died, touched;
 };
 
 // Greedy front-prune extension — native mirror of ops/greedy.py
@@ -522,7 +522,7 @@ static GBest greedy_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
       (((perc_mat_history * 128) % 100 == 0) ? 0 : 1);
   const uint64_t hist_mask =
       max_history == 64 ? ~((uint64_t)0) : ((((uint64_t)1) << max_history) - 1);
-  GBest best{0, 0, 0, 0, 0};
+  GBest best{0, 0, 0, 0, 0, 0};
 
   auto lcp = [&](int64_t row, int64_t vpos) {
     int64_t l = 0;
@@ -625,6 +625,9 @@ static GBest greedy_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
       auto keep = [&](int64_t k) {
         const FV &f = cur[k - base];
         if (!f.valid) return false;
+        if (f.row >= ulen || f.row + k >= vlen)
+          best.touched = 1;  // live cell at/over the window end: with a
+        //                      clipped window the result is unverified
         if (f.row > ulen || f.row + k > vlen) return false;
         if (2 * f.row + k < minlen) return false;
         int64_t need = (f.hsize * minmatch128) >> 7;
@@ -640,7 +643,10 @@ static GBest greedy_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
     } else {
       for (int64_t k = lo; k <= hi; k++) {
         FV &f = cur[k - base];
-        if (f.valid && (f.row > ulen || f.row + k > vlen)) f.valid = false;
+        if (f.valid && (f.row >= ulen || f.row + k >= vlen))
+          best.touched = 1;
+        if (f.valid && (f.row > ulen || f.row + k > vlen))
+          f.valid = false;
       }
       while (lo <= hi && !cur[lo - base].valid) lo++;
       while (hi >= lo && !cur[hi - base].valid) hi--;
@@ -698,7 +704,8 @@ void gt_xdrop_batch(const uint8_t *useq, const int64_t *uoff,
   }
 }
 
-// Batched greedy: out int64[n*5] = (alignedlen,row,distance,maxmm,died).
+// Batched greedy: out int64[n*6] =
+// (alignedlen,row,distance,maxmm,died,touched).
 void gt_greedy_batch(const uint8_t *useq, const int64_t *uoff,
                      const uint8_t *vseq, const int64_t *voff, int64_t n,
                      int64_t max_history, int64_t perc_mat_history,
@@ -713,11 +720,12 @@ void gt_greedy_batch(const uint8_t *useq, const int64_t *uoff,
                          perc_mat_history, maxalignedlendifference,
                          seedlengths[p], pol_diff_from_max, pol_score_sum,
                          pol_cut_depth, pol_mask, trim_enabled);
-    out[5 * p] = b.alignedlen;
-    out[5 * p + 1] = b.row;
-    out[5 * p + 2] = b.distance;
-    out[5 * p + 3] = b.max_mismatches;
-    out[5 * p + 4] = b.died;
+    out[6 * p] = b.alignedlen;
+    out[6 * p + 1] = b.row;
+    out[6 * p + 2] = b.distance;
+    out[6 * p + 3] = b.max_mismatches;
+    out[6 * p + 4] = b.died;
+    out[6 * p + 5] = b.touched;
   }
 }
 
