@@ -261,3 +261,208 @@ def md5_to_id_stream(stream, seqs: dict[str, str] | None = None):
     needed (ref: md5_to_id_visitor.c GT_MD5_SEQID_TOTAL_LEN path)."""
     from .md5translate import md5_to_id_nodes
     yield from md5_to_id_nodes(stream)
+
+
+# ---------------------------------------------------------------------------
+# buffer / array / visitor / load family (ref: src/extended/
+# buffer_stream.c, array_in_stream.c, array_out_stream.c,
+# visitor_stream.c, load_stream.c)
+# ---------------------------------------------------------------------------
+
+class BufferStream:
+    """ref: buffer_stream.c — while `buffering`, pull from the input and
+    queue a reference to every node; after `dequeue_buffer()` the queued
+    nodes replay before the remaining input."""
+
+    def __init__(self, in_stream: Iterable[GenomeNode]):
+        self._in = iter(in_stream)
+        self._buf: list[GenomeNode] = []
+        self.buffering = True
+
+    def dequeue_buffer(self) -> None:
+        self.buffering = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> GenomeNode:
+        if self.buffering:
+            node = next(self._in)
+            self._buf.append(node)
+            return node
+        if self._buf:
+            return self._buf.pop(0)
+        return next(self._in)
+
+
+def array_in_stream(nodes: list[GenomeNode]) -> Iterator[GenomeNode]:
+    """ref: array_in_stream.c — emit the nodes of an in-memory array."""
+    yield from nodes
+
+
+def array_out_stream(stream, out_nodes: list,
+                     store_all: bool = False) -> Iterator[GenomeNode]:
+    """ref: array_out_stream.c — pass-through that appends every
+    feature node (or, with store_all, every node) to `out_nodes`."""
+    for node in stream:
+        if store_all or isinstance(node, FeatureNode):
+            out_nodes.append(node)
+        yield node
+
+
+def visitor_stream(stream, visitor) -> Iterator[GenomeNode]:
+    """ref: visitor_stream.c — accept() every node with the given
+    visitor (an object with visit_* methods or a plain callable), then
+    pass it downstream."""
+    for node in stream:
+        if callable(visitor) and not hasattr(visitor, "visit_feature"):
+            visitor(node)
+        else:
+            node.accept(visitor)
+        yield node
+
+
+def load_stream(stream) -> list[GenomeNode]:
+    """ref: load_stream.c — pull the whole input into memory."""
+    return list(stream)
+
+
+def script_wrapper_stream(stream, next_cb) -> Iterator[GenomeNode]:
+    """ref: script_wrapper_stream.c — delegate per-node processing to a
+    user callback (the reference wraps Lua functions; the Python
+    callback stands in for them). The callback may return a replacement
+    node, None to drop the node, or the node itself."""
+    for node in stream:
+        out = next_cb(node)
+        if out is not None:
+            yield out
+
+
+# ---------------------------------------------------------------------------
+# feature-index coupling (ref: feature_stream.c, feature_in_stream.c,
+# feature_out_stream.c)
+# ---------------------------------------------------------------------------
+
+def feature_stream(stream, feature_index) -> Iterator[GenomeNode]:
+    """ref: feature_stream.c — pass-through that adds every feature and
+    region node to the given FeatureIndex."""
+    pending = []
+    for node in stream:
+        if isinstance(node, (FeatureNode, RegionNode)):
+            pending.append(node)
+        yield node
+    feature_index.add_gff3(pending)
+
+
+def feature_in_stream(feature_index) -> Iterator[GenomeNode]:
+    """ref: feature_in_stream.c — emit the index content as a node
+    stream: per seqid one region node (covering the seqid range) then
+    its features in position order."""
+    for seqid in feature_index.seqids():
+        rng = feature_index.range_for_seqid(seqid)
+        yield RegionNode(seqid, rng.start, rng.end)
+        feats = feature_index.features_for_seqid(seqid)
+        feats = sorted(feats, key=lambda f: (f.range.start,
+                                             -(f.range.end)))
+        yield from feats
+
+
+def feature_out_stream(stream, feature_index) -> Iterator[GenomeNode]:
+    """ref: feature_out_stream.c — synonym family of feature_stream:
+    collects the flow into the index while passing nodes through (the
+    reference variant defers region creation to the index)."""
+    yield from feature_stream(stream, feature_index)
+
+
+# ---------------------------------------------------------------------------
+# region tidying / target selection / CDS check (ref:
+# tidy_region_node_stream.c + tidy_region_node_visitor.c,
+# targetbest_select_stream.c, cds_check_stream.c)
+# ---------------------------------------------------------------------------
+
+def tidy_region_node_stream(stream) -> Iterator[GenomeNode]:
+    """ref: tidy_region_node_stream.c — buffer everything; extend each
+    sequence-region node to the joined range of its seqid's features
+    (the reference's tidy visitor joins every feature tree's range into
+    the region's), then replay."""
+    nodes = list(stream)
+    joined: dict[str, Range] = {}
+    for node in nodes:
+        if isinstance(node, FeatureNode):
+            rng = None
+            for f in node.traverse():
+                rng = f.range if rng is None else rng.join(f.range)
+            if rng is not None:
+                prev = joined.get(node.seqid)
+                joined[node.seqid] = rng if prev is None \
+                    else prev.join(rng)
+    for node in nodes:
+        if isinstance(node, RegionNode) and node.seqid in joined:
+            node.range = node.range.join(joined[node.seqid])
+        yield node
+
+
+def targetbest_select_stream(stream) -> Iterator[GenomeNode]:
+    """ref: targetbest_select_stream.c — among features with a
+    single-id Target attribute sharing (seqid, target id), keep only
+    the best-scored one; everything else passes through. Emission is
+    deferred (dlist order: kept features in arrival order)."""
+    kept: list = []            # (order marker) arrival-ordered entries
+    target_to_idx: dict[tuple, int] = {}
+    for node in stream:
+        if not isinstance(node, FeatureNode):
+            kept.append(node)
+            continue
+        target = node.get_attribute("Target")
+        if not target:
+            kept.append(node)
+            continue
+        ids = target.split()
+        # multi-target features pass through unselected
+        if len(target.split(",")) > 1:
+            kept.append(node)
+            continue
+        key = (node.seqid, ids[0])
+        prev = target_to_idx.get(key)
+        if prev is None:
+            target_to_idx[key] = len(kept)
+            kept.append(node)
+        else:
+            prev_node = kept[prev]
+            if (node.score or 0) > (prev_node.score or 0):
+                kept[prev] = node
+    yield from kept
+
+
+def cds_check_stream(stream, tidy: bool = False) -> Iterator[GenomeNode]:
+    """ref: cds_check_stream.c / cds_check_visitor.c — verify that the
+    CDS features of each gene have consistent phases (phase of the
+    next CDS = (3 - (len - phase) % 3) % 3 along the strand); raises
+    ValueError (or fixes the phase with tidy=True) on mismatch."""
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            by_parent: dict[int, list[FeatureNode]] = {}
+            for f in node.traverse():
+                if f.type == "CDS":
+                    by_parent.setdefault(
+                        id(f.parents[0]) if f.parents else 0,
+                        []).append(f)
+            for group in by_parent.values():
+                group = sorted(group, key=lambda f: f.range.start)
+                if group and group[0].strand == "-":
+                    group = group[::-1]
+                expected = None
+                for f in group:
+                    phase = int(f.phase) \
+                        if str(f.phase) in ("0", "1", "2") else 0
+                    if expected is not None and phase != expected:
+                        if tidy:
+                            f.phase = expected
+                            phase = expected
+                        else:
+                            raise ValueError(
+                                f"CDS feature on {f.seqid} "
+                                f"{f.range.start}-{f.range.end} has "
+                                f"phase {phase}, expected {expected}")
+                    expected = (3 - (f.range.length - phase) % 3) % 3
+        yield node
