@@ -30,8 +30,16 @@ def cmd_suffixerator(args):
     _force_platform(args)
     from .core.encseq import READMODES, Encseq
     from .index.esa import build_esa, write_esa
+    from .utils.options import Logger, Showtime
 
+    st = Showtime(args.showtime)
+    log = Logger(getattr(args, "v", False))
     enc = Encseq.from_files(args.db)
+    log.log(f"indexname=\"{args.indexname or args.db[0]}\"")
+    log.log(f"prefixlength={args.pl if args.pl else 'automatic'}")
+    for i, f in enumerate(args.db):
+        log.log(f"inputfile[{i}]={f}")
+    st.phase("reading the input sequences")
     if args.mirrored:
         enc = enc.mirror()
     rm = READMODES[args.dir]
@@ -58,13 +66,16 @@ def cmd_suffixerator(args):
         os.environ["GT_TPU_DIST"] = str(args.dist)
     esa = build_esa(enc, rm, with_lcp=args.lcp,
                     prefixlength=args.pl or None, with_bck=args.bck)
+    st.phase("sorting the suffixes")
     if args.tis:
         enc.save(indexname)
     write_esa(esa, indexname, suf=args.suf, lcp=args.lcp, bwt=args.bwt,
               bck=args.bck)
+    st.phase("writing the output tables")
     if args.showtime:
         print(f"# indexed {enc.total_length} symbols, "
               f"{enc.num_sequences} sequences", file=sys.stderr)
+        st.overall()
     return 0
 
 
@@ -93,6 +104,7 @@ def _add_suffixerator(sub):
                    help="route the suffix sort over an N-device mesh "
                         "(0 = off; default: all attached devices)")
     p.add_argument("-showtime", action="store_true")
+    p.add_argument("-v", action="store_true", help="verbose logger")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_suffixerator)
 
@@ -3230,6 +3242,29 @@ _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
              _add_ltrclustering, _add_sketch_page]
 
 
+def _tool_constraints():
+    """Declarative option implications/exclusions per tool, mirroring
+    the reference's gt_option_imply/_exclude declarations (ref:
+    src/tools/gt_repfind.c:458-477, gt_seed_extend.c:272-380,
+    src/match/sfx-run.c; error texts byte-matched to core/option.c)."""
+    from .utils.options import Constraints
+    return {
+        "suffixerator": Constraints()
+            .exclude("parts", "memlimit"),
+        "repfind": Constraints()
+            .exclude("extendgreedy", "extendxdrop")
+            .imply_either("minidentity", "extendxdrop", "extendgreedy")
+            .imply("maxalilendiff", "extendgreedy")
+            .imply("percmathistory", "extendgreedy"),
+        "seed_extend": Constraints()
+            .exclude("extendgreedy", "extendxdrop")
+            .exclude("percmathistory", "extendxdrop")
+            .exclude("maxalilendiff", "extendxdrop")
+            .exclude("history", "extendxdrop")
+            .imply("pick", "parts"),
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="gt-tpu",
@@ -3238,6 +3273,10 @@ def main(argv=None):
     for add in _REGISTER:
         add(sub)
     args = parser.parse_args(argv)
+    cons = _tool_constraints().get(getattr(args, "tool", None))
+    if cons is not None:
+        raw = argv if argv is not None else sys.argv[1:]
+        cons.check(list(raw), lambda msg: parser.error(msg))
     try:
         return args.func(args)
     except BrokenPipeError:
