@@ -3192,6 +3192,182 @@ def cmd_dev_show_seedext(args):
                         sortmatches=args.sortmatches)
 
 
+def cmd_dev_sortbench(args):
+    """gt dev sortbench (ref: src/tools/gt_sortbench.c): time sort
+    implementations on random data; ours benches the device lax.sort
+    lane against numpy (the reference benches its qsort variants)."""
+    _force_platform(args)
+    import time as _time
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, args.maxvalue, args.n, dtype=np.int64)
+    out = vals
+    for _ in range(args.runs):
+        t0 = _time.perf_counter()
+        if args.impl == "numpy":
+            out = np.sort(vals)
+        else:
+            import jax
+            import jax.numpy as jnp
+            out = np.asarray(jax.jit(jnp.sort)(jnp.asarray(vals)))
+        el = _time.perf_counter() - t0
+        print(f"# TIME {args.impl} sort of {args.n} values "
+              f"{int(el)}.{int(el * 100) % 100:02d}")
+    if args.verify:
+        assert (np.diff(out) >= 0).all(), "output not sorted"
+        print("# verified")
+    return 0
+
+
+def cmd_dev_paircmp(args):
+    """gt dev paircmp (ref: src/tools/gt_paircmp.c): apply the unit
+    edit-distance checkfunction to string pairs — all pairs over a
+    character list up to a length (-a), or two given strings (-ss);
+    verifies the production aligner against the O(n*m) DP oracle."""
+    _force_platform(args)
+    from itertools import product
+
+    from .match.alignment import edit_distance
+
+    def dp_edist(u, v):
+        prev = list(range(len(v) + 1))
+        for i in range(1, len(u) + 1):
+            cur = [i] + [0] * len(v)
+            for j in range(1, len(v) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (u[i - 1] != v[j - 1]))
+            prev = cur
+        return prev[len(v)]
+
+    charset = sorted(set("".join(args.ss) if args.ss else args.a[0]))
+    if len(charset) > 4:
+        raise SystemExit("paircmp: at most 4 distinct characters "
+                         "(the production aligner's code domain)")
+    cmap = {c: i for i, c in enumerate(charset)}
+
+    def enc(w):
+        return np.asarray([cmap[c] for c in w], np.uint8)
+
+    pairs = 0
+    if args.ss:
+        u, v = args.ss
+        d = edit_distance(enc(u), enc(v))
+        if args.e:
+            print(f"edist({u},{v})={d}")
+        assert d == dp_edist(u, v)
+        pairs = 1
+    else:
+        chars, maxlen = args.a[0], int(args.a[1])
+        words = [""]
+        all_words = [""]
+        for _ in range(maxlen):
+            words = [w + c for w in words for c in chars]
+            all_words += words
+        for u, v in product(all_words, repeat=2):
+            d = edit_distance(enc(u), enc(v))
+            assert d == dp_edist(u, v), f"mismatch at ({u}, {v})"
+            pairs += 1
+    print(f"# number of compared pairs: {pairs}")
+    return 0
+
+
+def cmd_dev_patternmatch(args):
+    """gt dev patternmatch (ref: src/tools/gt_patternmatch.c): sample
+    random substrings of an indexed sequence set and check that the
+    index search finds each at its sampled position."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import load_esa
+    from .match.querysearch import query_substring_matches
+
+    enc = Encseq.load(args.ii)
+    esa = load_esa(args.ii, encseq=enc)
+    rng = np.random.default_rng(7)
+    n = enc.total_length
+    found = 0
+    for _ in range(args.samples):
+        pl = int(rng.integers(args.minpl, args.maxpl + 1))
+        p0 = int(rng.integers(0, max(n - pl, 1)))
+        pat = enc.codes[p0:p0 + pl]
+        if (pat >= 4).any():
+            continue
+        q = Encseq.from_string(enc.alphabet.decode(pat))
+        hits = [dbpos for dbpos, _, length in
+                query_substring_matches(esa, q, pl) if length >= pl]
+        assert p0 in hits, f"pattern at {p0} (len {pl}) not found"
+        found += 1
+    print(f"# {found} patterns checked")
+    return 0
+
+
+def cmd_dev_trieins(args):
+    """gt dev trieins (ref: src/tools/gt_trieins.c over
+    src/match/trieins.c): insert every suffix of an index into the
+    trie order and verify it equals the suffix array (the reference's
+    checktrie traversal)."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .index.esa import load_esa
+    from .index.suffix import check_suftab_order
+
+    enc = Encseq.load(args.indexname)
+    esa = load_esa(args.indexname, encseq=enc, need_lcp=False)
+    keys = enc.suffix_keys()
+    n1 = keys.size
+    sa = esa.suftab.astype(np.int64)
+    assert sorted(sa.tolist()) == list(range(n1))
+    assert check_suftab_order(keys, sa), "trie order violated"
+    print(f"# {n1} suffixes inserted and verified")
+    return 0
+
+
+def cmd_dev_kmer_database(args):
+    """gt dev kmer_database (ref: src/tools/gt_kmer_database.c over
+    src/extended/kmer_database.c): build the merged k-mer database of
+    a sequence file, optionally verify against brute-force counts."""
+    _force_platform(args)
+    from .core.encseq import Encseq
+    from .match.kmer_database import KmerDatabase
+
+    enc = Encseq.from_files(args.db)
+    db = KmerDatabase.from_encseq(enc, args.kmersize,
+                                  cutoff=args.cutoff)
+    assert db.check_consistency()
+    if args.verify:
+        from .match.tallymer import mkindex_bruteforce
+        ref = mkindex_bruteforce(enc, args.kmersize)
+        counts = np.diff(db.offsets)
+        assert db.num_keys == ref.num_mers
+        assert (db.codes == ref.mer_codes).all()
+        if args.cutoff is None:
+            assert (counts == ref.counts).all()
+        print("# verified against brute-force recount")
+    print(f"# {db.num_keys} distinct {args.kmersize}-mers, "
+          f"{db.num_occurrences} occurrences")
+    return 0
+
+
+def cmd_dev_skproto(args):
+    """gt dev skproto (ref: src/tools/gt_skproto.c): print a new-tool
+    skeleton (a Python subcommand module here, matching this CLI's
+    conventions instead of the reference's C boilerplate)."""
+    name = args.name or "newtool"
+    q3 = '"""'
+    lines = [
+        f"def cmd_{name}(args):",
+        f"    {q3}gt {name} (ref: src/tools/gt_{name}.c).{q3}",
+        "    _force_platform(args)",
+        "    return 0",
+        "",
+        "",
+        f"def _add_{name}(sub):",
+        f'    p = sub.add_parser("{name}", help="FIXME")',
+        '    p.add_argument("--cpu", action="store_true")',
+        f"    p.set_defaults(func=cmd_{name})",
+    ]
+    print("\n".join(lines))
+    return 0
+
+
 def cmd_dev(args):
     return args.devfunc(args)
 
@@ -3217,6 +3393,53 @@ def _add_dev(sub):
     s.add_argument("-relax_polish", action="store_true")  # accepted
     s.add_argument("--cpu", action="store_true")
     s.set_defaults(func=cmd_dev_show_seedext)
+
+    s = dsub.add_parser("sortbench", help="benchmark sorting")
+    s.add_argument("-impl", default="device",
+                   choices=["device", "numpy"])
+    s.add_argument("-size", dest="n", type=int, default=1 << 20)
+    s.add_argument("-maxvalue", type=int, default=1 << 30)
+    s.add_argument("-runs", type=int, default=1)
+    s.add_argument("-verify", action="store_true")
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_sortbench)
+
+    s = dsub.add_parser("paircmp", help="check pairwise aligners")
+    s.add_argument("-ss", nargs=2, default=None,
+                   help="use two strings")
+    s.add_argument("-a", nargs=2, default=None,
+                   help="use character list and length")
+    s.add_argument("-e", action="store_true",
+                   help="output unit edit distance")
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_paircmp)
+
+    s = dsub.add_parser("patternmatch",
+                        help="check index pattern search")
+    s.add_argument("-ii", required=True)
+    s.add_argument("-minpl", type=int, default=10)
+    s.add_argument("-maxpl", type=int, default=30)
+    s.add_argument("-samples", type=int, default=100)
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_patternmatch)
+
+    s = dsub.add_parser("trieins", help="suffix trie insertion check")
+    s.add_argument("indexname")
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_trieins)
+
+    s = dsub.add_parser("kmer_database", help="merged k-mer database")
+    s.add_argument("-db", nargs="+", required=True)
+    s.add_argument("-kmersize", type=int, default=8)
+    s.add_argument("-cutoff", type=int, default=None)
+    s.add_argument("-verify", action="store_true")
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_kmer_database)
+
+    s = dsub.add_parser("skproto", help="print a tool skeleton")
+    s.add_argument("name", nargs="?", default=None)
+    s.add_argument("--cpu", action="store_true")
+    s.set_defaults(func=cmd_dev_skproto)
 
 
 _REGISTER = [_add_suffixerator, _add_encseq, _add_tallymer, _add_repfind,
