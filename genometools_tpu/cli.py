@@ -3146,8 +3146,34 @@ def cmd_dev_sfxmap(args):
     from .core.encseq import Encseq
     from .index.esa import load_esa
     from .index.suffix import check_suftab_order, kasai_lcp
+    if args.esa and not args.indexname:
+        args.indexname = args.esa          # gt-compatible -esa alias
     enc = Encseq.load(args.indexname)
-    esa = load_esa(args.indexname, encseq=enc, need_lcp=args.lcp)
+    need_itv = args.enumlcpitvs or args.enumlcpitvtree or \
+        args.enumlcpitvtreeBU or args.spmitv
+    esa = load_esa(args.indexname, encseq=enc,
+                   need_lcp=args.lcp or need_itv)
+    if need_itv:
+        from .match.esa_bottomup import (LcpIntervalPrinter,
+                                         LcpTreePrinter, SpmitvsVisitor,
+                                         esa_bottomup)
+        sa = esa.suftab.astype(np.int64)
+        lcp = np.asarray(esa.lcptab, np.int64)
+        nonspecials = enc.total_length - enc.special_ranges.total
+        if args.enumlcpitvs:
+            esa_bottomup(sa, lcp, nonspecials,
+                         LcpIntervalPrinter(sys.stdout))
+            # the reference's interval enumerator closes with the root
+            # interval over the whole table (esa-lcpintervals.c)
+            print(f"N 0 0 {enc.total_length}")
+        if args.enumlcpitvtree or args.enumlcpitvtreeBU:
+            esa_bottomup(sa, lcp, nonspecials,
+                         LcpTreePrinter(sys.stdout))
+        if args.spmitv:
+            v = SpmitvsVisitor(enc)
+            esa_bottomup(sa, lcp, nonspecials, v)
+            v.print_results(nonspecials, sys.stdout)
+        return 0
     keys = enc.suffix_keys()
     bad = 0
     if args.suf:
@@ -3377,11 +3403,19 @@ def _add_dev(sub):
     dsub = p.add_subparsers(dest="devtool", required=True)
 
     s = dsub.add_parser("sfxmap", help="verify an on-disk ESA index")
-    s.add_argument("indexname")
+    s.add_argument("indexname", nargs="?", default=None)
     s.add_argument("-suf", action="store_true")
     s.add_argument("-lcp", action="store_true")
     s.add_argument("-tis", action="store_true")
     s.add_argument("-esa", default=None)       # accepted alias
+    s.add_argument("-enumlcpitvs", action="store_true",
+                   help="enumerate the lcp-intervals")
+    s.add_argument("-enumlcpitvtree", action="store_true",
+                   help="enumerate the lcp-interval tree")
+    s.add_argument("-enumlcpitvtreeBU", action="store_true",
+                   help="enumerate the lcp-interval tree (bottom-up)")
+    s.add_argument("-spmitv", action="store_true",
+                   help="distribution of intervals with whole leaves")
     s.add_argument("--cpu", action="store_true")
     s.set_defaults(func=cmd_dev_sfxmap)
 
