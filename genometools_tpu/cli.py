@@ -3529,6 +3529,22 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="tool", required=True)
     for add in _REGISTER:
         add(sub)
+    raw0 = (argv if argv is not None else sys.argv[1:])
+    # driver script fallback (ref: src/gtr.c:462-507): first argument
+    # is not a tool -> run it as a script with the `gt` namespace;
+    # `-i` opens the interactive shell
+    if raw0 and raw0[0] == "-i":
+        from .gtscript import interactive
+        return interactive()
+    if raw0 and raw0[0] not in sub.choices \
+            and not raw0[0].startswith("-"):
+        if os.path.isfile(raw0[0]):
+            from .gtscript import run_script
+            return run_script(raw0[0], list(raw0[1:]))
+        print(f"gt-tpu: error: neither tool nor script '{raw0[0]}' "
+              f"found; option -help lists possible tools",
+              file=sys.stderr)
+        return 1
     args = parser.parse_args(argv)
     cons = _tool_constraints().get(getattr(args, "tool", None))
     if cons is not None:
@@ -3537,7 +3553,6 @@ def main(argv=None):
     try:
         return args.func(args)
     except BrokenPipeError:
-        import os
         os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         return 0
 
