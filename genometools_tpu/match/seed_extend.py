@@ -617,6 +617,21 @@ def _device_extend_enabled() -> bool:
         return False
 
 
+def _wave_size() -> int:
+    """Tasks per extension wave: big on accelerators (each wave is a
+    full host->device->host round trip — on a remote TPU link the
+    per-call latency, not compute, is the cost), small on CPU where
+    skip-prediction accuracy saves real work. GT_TPU_WAVE overrides."""
+    env = os.environ.get("GT_TPU_WAVE")
+    if env:
+        return max(1, int(env))
+    try:
+        import jax
+        return 32768 if jax.default_backend() != "cpu" else 512
+    except Exception:
+        return 512
+
+
 class _WaveProvider:
     """Lazily extends candidate seeds in bounded device-batched waves.
 
@@ -627,10 +642,9 @@ class _WaveProvider:
     such a seed is simply requested later and starts a new wave, so the
     result stream is byte-identical to sequential extension."""
 
-    WAVE = 512
-
     def __init__(self, segments, order, states, k, greedy_ctx, use_apos,
                  belowscore=None):
+        self.WAVE = _wave_size()
         self.segments = segments
         self.order = order
         self.states = states

@@ -298,7 +298,8 @@ def _pallas_tiered(us, vs, belowscore: int, interpret: bool):
     the merged result is bit-equal to the scalar mirror everywhere."""
     from .xdrop_pallas import (_block_lanes, pack_xdrop_tasks,
                                xdrop_full_pallas)
-    D = 64
+    D = 32    # K=65: half the vector width of D=64; the rare lane
+    #           whose front leaves the band falls back exactly anyway
     N = len(us)
     iv = np.zeros(N, np.int64)
     jv = np.zeros(N, np.int64)

@@ -44,7 +44,7 @@ from .greedy_batch import (_U32, _ctz32, _match_from_planes,
                            _planes_from_bits, pack_codes)
 
 NEGINF = -(2 ** 30)
-UNROLL = 2
+UNROLL = 4
 
 
 def _block_lanes(K: int, N: int) -> int:
@@ -330,18 +330,29 @@ def xdrop_full_pallas(PK, belowscore: int, W: int, D: int = 64,
 
 def pack_xdrop_tasks(us, vs, W: int):
     """Host packing: (N, 6*W32+2) uint32 for xdrop_full_pallas.
-    Windows are padded with 255 (special — never matches)."""
+    Windows are padded with 255 (special — never matches); the window
+    fill runs through the C++ memcpy kernel when available."""
+    from ..core.native import fill_windows_native
     N = len(us)
-    W32 = W // 32
-    U = np.full((N, W), 255, np.uint8)
-    V = np.full((N, W), 255, np.uint8)
-    ulen = np.zeros(N, np.uint32)
-    vlen = np.zeros(N, np.uint32)
-    for i, (u, v) in enumerate(zip(us, vs)):
-        U[i, :len(u)] = u
-        V[i, :len(v)] = v
-        ulen[i] = len(u)
-        vlen[i] = len(v)
+    ulen = np.fromiter((len(u) for u in us), np.uint32, N)
+    vlen = np.fromiter((len(v) for v in vs), np.uint32, N)
+    sel = np.arange(N, dtype=np.int64)
+
+    def windows(seqs, lens):
+        flat = np.concatenate(seqs) if seqs else np.zeros(1, np.uint8)
+        lens64 = lens.astype(np.int64)
+        off = np.cumsum(lens64) - lens64
+        out = np.empty((N, W), np.uint8)
+        if fill_windows_native(np.ascontiguousarray(flat, np.uint8),
+                               off, lens64, sel, W, 255, out):
+            return out
+        out[:] = 255
+        for i, s in enumerate(seqs):
+            out[i, :len(s)] = s
+        return out
+
+    U = windows(us, ulen)
+    V = windows(vs, vlen)
     pu = pack_codes(U)
     pv = pack_codes(V)
     return np.concatenate(
