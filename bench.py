@@ -553,11 +553,6 @@ def bench_workloads(dev) -> None:
         "repfind": (
             [["repfind", "-l", "14", "-ii", "idx"]],
             [["repfind", "-l", "14", "-ii", "idx"]]),
-        "seed_extend": (
-            [["seed_extend", "-ii", "idx", "-l", "14", "-minidentity",
-              "90", "-extendgreedy"]],
-            [["seed_extend", "-ii", "idx", "-l", "14", "-minidentity",
-              "90", "-extendgreedy"]]),
         "readjoiner": (
             [["readjoiner", "prefilter", "-readset", "gtrs", "-db",
               "reads.fna"],
@@ -567,21 +562,14 @@ def bench_workloads(dev) -> None:
               "reads.fna"],
              ["readjoiner", "overlap", "-readset", "ors", "-l", "45"],
              ["readjoiner", "assembly", "-readset", "ors"]]),
+        # the heaviest leg runs LAST: if the driver watchdog fires
+        # mid-way, every other ratio is already recorded
+        "seed_extend": (
+            [["seed_extend", "-ii", "idx", "-l", "14", "-minidentity",
+              "90", "-extendgreedy"]],
+            [["seed_extend", "-ii", "idx", "-l", "14", "-minidentity",
+              "90", "-extendgreedy"]]),
     }
-    for name, (gt_cmds, our_cmds) in loads.items():
-        try:
-            gt_s = _gt_time(f"gt_wl_{name}_32M_s", gt_cmds)
-            ours_s = _ours_time(our_cmds)
-            ratio = (gt_s / ours_s) if gt_s else None
-            print(f"# workload {name}: ours={ours_s:.2f}s "
-                  f"gt={gt_s and f'{gt_s:.2f}'}s "
-                  f"ratio={ratio and f'{ratio:.2f}'}", file=sys.stderr)
-            _save_component(f"wl_{name}", {
-                "ratio": ratio, "gt_s": gt_s, "ours_s": ours_s})
-        except Exception as exc:               # noqa: BLE001
-            print(f"# workload {name} failed: "
-                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
-
     # honest small-input e2e: suffixerator at at1MB (round-3 verdict #7)
     try:
         gt_s = _gt_time("gt_suffixerator_at1MB_s",
@@ -604,6 +592,19 @@ def bench_workloads(dev) -> None:
         print(f"# workload suffixerator_at1MB failed: "
               f"{type(exc).__name__}: {exc}", file=sys.stderr)
 
+    for name, (gt_cmds, our_cmds) in loads.items():
+        try:
+            gt_s = _gt_time(f"gt_wl_{name}_32M_s", gt_cmds)
+            ours_s = _ours_time(our_cmds)
+            ratio = (gt_s / ours_s) if gt_s else None
+            print(f"# workload {name}: ours={ours_s:.2f}s "
+                  f"gt={gt_s and f'{gt_s:.2f}'}s "
+                  f"ratio={ratio and f'{ratio:.2f}'}", file=sys.stderr)
+            _save_component(f"wl_{name}", {
+                "ratio": ratio, "gt_s": gt_s, "ours_s": ours_s})
+        except Exception as exc:               # noqa: BLE001
+            print(f"# workload {name} failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
 
 # ------------------------------------------------------- vs reference gt
 

@@ -524,10 +524,34 @@ def _batch_greedy_extensions(cands, k, greedy_ctx, belowscore=None):
                 res = greedy_extend_batch(
                     us, vs, seedlengths=k, perc_mat_history=pmh,
                     maxalignedlendifference=mad, pol_info=pol,
-                    history=history)
+                    history=history, skip_chunked=True)
+                # stragglers (slot-drift/GENS lanes) go to the C++
+                # batch in one call — a chunked device subproblem costs
+                # seconds per wave, the host loop microseconds
+                fb = np.flatnonzero(res["fallback"])
+                fbres = None
+                if fb.size:
+                    from ..core.native import greedy_batch_native
+                    fbres = greedy_batch_native(
+                        [us[t] for t in fb], [vs[t] for t in fb],
+                        max_history=history, perc_mat_history=pmh,
+                        maxalignedlendifference=mad,
+                        seedlengths=[k] * fb.size, pol=pol)
+                fbmap = {int(t): r for t, r in
+                         zip(fb, fbres)} if fbres is not None else {}
                 slack = mad + history + k
                 for t, sp in enumerate(pending):
                     ci, _, mx = sp
+                    if t in fbmap:
+                        r = fbmap[t]
+                        al = int(r[0])
+                        if mx > cap and (al >= 2 * cap - slack
+                                         or r[5]):
+                            retry.append(sp)
+                            continue
+                        side[ci] = (int(r[1]), al - int(r[1]),
+                                    int(r[2]), int(r[3]))
+                        continue
                     al = int(res["alignedlen"][t])
                     if mx > cap and al >= 2 * cap - slack:
                         retry.append(sp)

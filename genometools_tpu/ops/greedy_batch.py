@@ -491,7 +491,8 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
                         history: int = 64, matchscore_bias: float = 1.0,
                         pol_info=None,
                         cfg: _GreedyBatchConfig | None = None,
-                        _single_shot: bool = True):
+                        _single_shot: bool = True,
+                        skip_chunked: bool = False):
     """Batched greedy extension of prefixes of us[i] vs vs[i].
 
     Returns a dict of int32 arrays (alignedlen, row, distance,
@@ -500,6 +501,12 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
     overflow or chunk budget); callers must recompute those with the
     host engine.  All non-fallback lanes are bit-exact vs
     ops.greedy.greedy_extend.
+
+    skip_chunked=True marks every lane the single-shot kernel could
+    not finish as `fallback` instead of entering the chunked windowed
+    machinery — wave-dispatch callers clean the few stragglers up with
+    the C++ batch in microseconds, while a chunked subproblem costs
+    seconds per wave and its own compile per lane-count shape.
     """
     if not 30 <= history <= 64:
         # cut_depth shrinks below 15 for history < 30; not mirrored here
@@ -625,6 +632,16 @@ def greedy_extend_batch(us, vs, *, seedlengths, perc_mat_history: int,
 
     # ---- host generation 0: initial run from the seed ---------------
     ntodo = int(todo.sum())
+    if skip_chunked and ntodo:
+        _mark(f"skip_chunked: {ntodo} lanes left to host fallback")
+        return {
+            "alignedlen": results["alignedlen"],
+            "row": results["row"],
+            "distance": results["distance"],
+            "mismatches": results["mismatches"],
+            "died": died,
+            "fallback": todo.copy(),
+        }
     if ntodo == 0:
         # the single-shot path finished every lane; skip the chunked
         # machinery entirely (its (N, K) state arrays are ~1.5GB at
