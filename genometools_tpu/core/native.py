@@ -94,6 +94,10 @@ def get_lib():
         ctypes.c_uint8, u8p]
     u64p = ctypes.POINTER(ctypes.c_uint64)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.gt_write_match_lines.restype = ctypes.c_int
+    lib.gt_write_match_lines.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_char, ctypes.c_char_p,
+        ctypes.c_int]
     lib.gt_tallymer_mkindex.argtypes = [
         u8p, ctypes.c_int64, u64p, u8p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, u8p, u32p, u8p, i64p]
@@ -377,3 +381,18 @@ def pack_suf_native(low: np.ndarray, hp: np.ndarray,
         hp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         low.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return True
+
+
+def write_match_lines_native(rows: np.ndarray, direction: str,
+                             path: str, append: bool) -> bool:
+    """Bulk "len s1 r1 D len s2 r2" line emission in C; False without
+    the lib (caller falls back to Python formatting)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, np.int64)
+    rc = lib.gt_write_match_lines(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rows.shape[0], direction.encode()[0:1], path.encode(),
+        1 if append else 0)
+    return rc == 0

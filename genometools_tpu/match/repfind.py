@@ -216,8 +216,22 @@ def format_match_lines(rows: np.ndarray, direction: str = "F") -> list[str]:
 
 def write_match_lines(out, rows: np.ndarray, direction: str = "F",
                       chunk: int = 1 << 17) -> None:
-    """Bulk emission: join+write in chunks (one syscall per ~128k rows
-    instead of one print per match — matters at millions of matches)."""
+    """Bulk emission: the C formatter writes straight to the output fd
+    when one exists (an itoa loop instead of per-row Python
+    formatting); otherwise join+write in chunks. Callers must emit
+    nothing else between bulk calls on the same stream (the C side
+    appends through its own fd)."""
+    if rows.shape[0] > (1 << 14):
+        try:
+            fd = out.fileno()
+        except Exception:
+            fd = None
+        if fd is not None:
+            from ..core.native import write_match_lines_native
+            out.flush()
+            if write_match_lines_native(rows, direction,
+                                        f"/dev/fd/{fd}", True):
+                return
     d = f" {direction} "
     lst = rows.tolist()
     for s in range(0, len(lst), chunk):

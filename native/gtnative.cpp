@@ -1005,3 +1005,46 @@ void gt_tallymer_mkindex(const uint8_t *codes, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Bulk match-line formatter: rows of (len, seq1, rel1, len2, seq2,
+// rel2) printed as "len seq1 rel1 <dir> len2 seq2 rel2\n" — the
+// repfind output record (ref: src/match/querymatch.c display) written
+// with a local itoa instead of per-line Python formatting.
+static inline char *put_u64(char *p, unsigned long long v) {
+  char tmp[24];
+  int i = 0;
+  if (v == 0) tmp[i++] = '0';
+  while (v) { tmp[i++] = (char)('0' + v % 10); v /= 10; }
+  while (i) *p++ = tmp[--i];
+  return p;
+}
+
+int gt_write_match_lines(const int64_t *rows, int64_t n, char dir,
+                         const char *path, int append) {
+  FILE *fp = fopen(path, append ? "ab" : "wb");
+  if (!fp) return -1;
+  std::vector<char> buf(1 << 20);
+  char *p = buf.data();
+  char *end = buf.data() + buf.size() - 160;
+  for (int64_t r = 0; r < n; r++) {
+    const int64_t *q = rows + 6 * r;
+    p = put_u64(p, (unsigned long long)q[0]); *p++ = ' ';
+    p = put_u64(p, (unsigned long long)q[1]); *p++ = ' ';
+    p = put_u64(p, (unsigned long long)q[2]); *p++ = ' ';
+    *p++ = dir; *p++ = ' ';
+    p = put_u64(p, (unsigned long long)q[3]); *p++ = ' ';
+    p = put_u64(p, (unsigned long long)q[4]); *p++ = ' ';
+    p = put_u64(p, (unsigned long long)q[5]); *p++ = '\n';
+    if (p >= end) {
+      fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
+      p = buf.data();
+    }
+  }
+  if (p > buf.data()) fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
+  fclose(fp);
+  return 0;
+}
+
+}  // extern "C"
