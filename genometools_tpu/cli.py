@@ -3522,6 +3522,30 @@ def _tool_constraints():
     }
 
 
+def _proc_env_options():
+    """Parse $GT_ENV_OPTIONS (ref: src/core/init.c:52-95
+    proc_env_options): `-spacepeak` turns on the space-peak ledger
+    printed at exit, `-showtime` enables run-time statistics globally.
+    Bad options report on stderr without aborting the tool, exactly
+    like the reference."""
+    env = os.environ.get("GT_ENV_OPTIONS")
+    if not env:
+        return
+    for tok in env.split():
+        if tok == "-spacepeak":
+            bookkeeping = os.environ.get("GT_MEM_BOOKKEEPING")
+            if bookkeeping != "on":
+                print("warning: GT_ENV_OPTIONS=-spacepeak used without "
+                      "GT_MEM_BOOKKEEPING=on", file=sys.stderr)
+            from .utils import spacepeak
+            spacepeak.show_at_exit()
+        elif tok == "-showtime":
+            os.environ["GT_SHOWTIME"] = "1"
+        elif tok:
+            print(f'error parsing $GT_ENV_OPTIONS: unknown option: '
+                  f'"{tok}"', file=sys.stderr)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="gt-tpu",
@@ -3529,7 +3553,16 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="tool", required=True)
     for add in _REGISTER:
         add(sub)
+    _proc_env_options()
     raw0 = (argv if argv is not None else sys.argv[1:])
+    # man page sources for every tool (ref: src/gtr.c:227 -createman,
+    # gtr.c:325 create_manpages)
+    if len(raw0) >= 2 and raw0[0] == "-createman":
+        from .utils.manpage import create_manpages
+        n = create_manpages(parser, raw0[1])
+        print(f"# wrote {n} man page sources to {raw0[1]}",
+              file=sys.stderr)
+        return 0
     # driver script fallback (ref: src/gtr.c:462-507): first argument
     # is not a tool -> run it as a script with the `gt` namespace;
     # `-i` opens the interactive shell

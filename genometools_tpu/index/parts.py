@@ -295,10 +295,17 @@ def stream_esa_parts(enc, readmode: int, indexname: str, budget: int,
     maxbranchdepth = 0
     lcpsum = 0
     nonspec = _nonspecial_window_starts(tcodes, pl) if lcp else None
+    # live progress over suffix positions written (ref: the reference
+    # suffixerator's progressbar over its part iterator,
+    # src/match/sfx-suffixer.c gt_progressbar_start) + combined space
+    # ledger fed with each part buffer (ref: src/core/spacepeak.c)
+    from ..utils import progressbar, spacepeak
+    progressbar.start(lambda: offset, n)
     try:
         for seg in iter_suftab_parts(tcodes, budget, sigma, plan=plan):
             if seg.size == 0:
                 continue
+            spacepeak.add(seg.nbytes)
             if fsuf is not None:
                 seg.astype(dt).tofile(fsuf)
             z = np.flatnonzero(seg == 0)
@@ -332,7 +339,9 @@ def stream_esa_parts(enc, readmode: int, indexname: str, budget: int,
                 v.tofile(fbwt)
             offset += seg.size
             prev_last = int(seg[-1])
+            spacepeak.free(seg.nbytes)
     finally:
+        progressbar.stop()
         for f in (fsuf, flcp, fllv, fbwt):
             if f is not None:
                 f.close()

@@ -102,7 +102,9 @@ class Showtime:
     (gt_showtime_enable, src/core/showtime.c)."""
 
     def __init__(self, enabled: bool = False, out=None):
-        self.enabled = enabled
+        # GT_ENV_OPTIONS=-showtime enables timers globally
+        # (ref: src/core/init.c:58-60 + showtime.c gt_showtime_enable)
+        self.enabled = enabled or bool(os.environ.get("GT_SHOWTIME"))
         self.out = out if out is not None else sys.stderr
         self._t0 = time.perf_counter()
         self._last = self._t0
