@@ -494,7 +494,17 @@ def cmd_seed_extend(args):
                   f"{m.querystart + 1:10d}")
         return 0
     events = [] if show_failed else None
-    result = seed_extend(aenc, benc, p, events=events)
+    if args.dist is not None and args.parts > 1:
+        # mesh-dispatched grid: cells fan out over devices, output
+        # stays in grid-cell order (parallel/dist_seed_grid)
+        import jax
+        from .parallel.dist_seed_grid import distributed_seed_extend
+        ndev = args.dist or len(jax.devices())
+        result = distributed_seed_extend(
+            aenc, benc, p, events=events,
+            devices=jax.devices()[:ndev] if ndev else None)
+    else:
+        result = seed_extend(aenc, benc, p, events=events)
     if show_failed:
         stream = events
     else:
@@ -565,6 +575,10 @@ def _add_seed_extend(sub):
     p.add_argument("-maxalilendiff", type=int, default=None)
     p.add_argument("-outfmt", nargs="+", default=None)
     p.add_argument("-maxmat", action="store_true")
+    p.add_argument("-dist", type=int, nargs="?", const=0, default=None,
+                   metavar="N",
+                   help="fan the -parts grid cells out over N mesh "
+                        "devices (0 = all attached devices)")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_seed_extend)
 

@@ -279,7 +279,15 @@ class Encseq:
         c = self.codes_view(readmode)
         n = c.size
         if n + self.alphabet.num_chars >= 2 ** 31:
-            raise NotImplementedError("int64 index path not yet wired")
+            # wide inputs: int64 keys; the sharded engine carries them
+            # as base-C int32 pairs (parallel/dist_doubling_sharded
+            # pair lanes), the host parts engine natively
+            keys = np.empty(n + 1, np.int64)
+            keys[:n] = c
+            sp = np.flatnonzero(is_special(c))
+            keys[sp] = self.alphabet.num_chars + sp
+            keys[n] = self.alphabet.num_chars + n
+            return keys
         keys = np.empty(n + 1, np.int32)
         keys[:n] = c                       # uint8 -> int32, one pass
         sp = np.flatnonzero(is_special(c)).astype(np.int32)

@@ -421,25 +421,43 @@ def _seed_extend_grid(aenc, benc, params, events, k, mincov, belowscore,
     blists = {d: enumerate_kmers(benc, k, revcomp=(d == "P"))
               for d in strands}
     for ai, (alo, ahi) in enumerate(aranges):
-        alist = _filter_list(alist_full, alo, ahi)
         bstart = ai if selfcomp else 0
         for bi in range(bstart, len(branges)):
             if params.pick is not None and \
                     (ai + 1, bi + 1) != tuple(params.pick):
                 continue
-            blo, bhi = branges[bi]
-            diag_cell = selfcomp and ai == bi
-            for direction in strands:
-                blist = _filter_list(blists[direction], blo, bhi)
-                pa_seq, pb_seq, pb_pos, pa_pos = build_seed_pairs(
-                    alist, blist, diag_cell or (selfcomp and ai < bi),
-                    params.maxfreq, inseqseeds=diag_cell,
-                    mindist=k if direction == "F" else 0)
-                matches.extend(_process_seed_pairs(
-                    aenc, benc, direction, pa_seq, pb_seq, pb_pos,
-                    pa_pos, k, mincov, belowscore, params,
-                    diag_cell, amaxlen, events))
+            matches.extend(grid_cell_matches(
+                aenc, benc, params, k, mincov, belowscore, selfcomp,
+                strands, amaxlen, alist_full, blists, aranges[ai],
+                branges[bi], ai == bi, events))
     return matches
+
+
+def grid_cell_matches(aenc, benc, params, k, mincov, belowscore,
+                      selfcomp, strands, amaxlen, alist_full, blists,
+                      arange, brange, diagonal, events=None):
+    """One part x part grid cell's full two-strand pipeline
+    (seed pairing -> diagband filter -> extension -> match records).
+    Cells are mutually independent — the property the reference's
+    thread fan-out exploits (ref: src/match/diagbandseed.c:5982) and
+    the distributed dispatcher (parallel/dist_seed_grid.
+    distributed_seed_extend) shards over the device mesh."""
+    alo, ahi = arange
+    blo, bhi = brange
+    alist = _filter_list(alist_full, alo, ahi)
+    diag_cell = selfcomp and diagonal
+    out: list[SeedExtendMatch] = []
+    for direction in strands:
+        blist = _filter_list(blists[direction], blo, bhi)
+        pa_seq, pb_seq, pb_pos, pa_pos = build_seed_pairs(
+            alist, blist, diag_cell or (selfcomp and not diagonal),
+            params.maxfreq, inseqseeds=diag_cell,
+            mindist=k if direction == "F" else 0)
+        out.extend(_process_seed_pairs(
+            aenc, benc, direction, pa_seq, pb_seq, pb_pos,
+            pa_pos, k, mincov, belowscore, params,
+            diag_cell, amaxlen, events))
+    return out
 
 
 def _seq_codes(enc: Encseq, s: int, revcomp: bool) -> np.ndarray:

@@ -81,9 +81,11 @@ def _shifted_fetch(blk, h: int, nP: int, axis: str, C: int, fill):
     """out[j] = global_array[m*C + j + h] (fill beyond the end).
 
     h static => the two source blocks are static neighbors m+q, m+q+1;
-    two ppermutes move exactly one block per device."""
+    two ppermutes move exactly one block per device. Position guards
+    run in int64 when blk does (n1 can exceed 2^31)."""
     q, rrem = divmod(h, C)
     n1 = nP * C
+    pdt = np.int64 if blk.dtype == jnp.int64 else np.int32
     if q < nP:
         perm_a = [(i, i - q) for i in range(q, nP)]
         a = jax.lax.ppermute(blk, axis, perm_a)
@@ -96,8 +98,8 @@ def _shifted_fetch(blk, h: int, nP: int, axis: str, C: int, fill):
         b = jnp.zeros_like(blk)
     out = jnp.concatenate([a[rrem:], b[:rrem]]) if rrem else a
     my = jax.lax.axis_index(axis)
-    pos = my * C + jnp.arange(C, dtype=jnp.int32)
-    return jnp.where(pos + h < n1, out, fill)
+    pos = my.astype(pdt) * pdt(C) + jnp.arange(C, dtype=pdt)
+    return jnp.where(pos + pdt(h) < pdt(n1), out, fill)
 
 
 def _dense_rank_stitched(sorted_keys, nP: int, axis: str, C: int):
@@ -434,6 +436,174 @@ def sharded_build_sa_sample(keys: jnp.ndarray, n1: int, mesh: Mesh):
     return sa, ovf
 
 
+# ---------------------------------------------------------------------------
+# int32-pair lanes for >2^31 positions / key values
+#
+# TPUs have no native int64 (XLA emulates it as int32 pairs), and
+# jax_enable_x64 is off in this deployment — so the 64-bit path carries
+# every wide value as TWO int32 planes (hi, lo) in base C (the block
+# size): value = hi*C + lo, lo in [0, C).  Base C makes the routing
+# arithmetic free: a rank's owner device IS its hi plane and its slot
+# IS its lo plane, so `rank // C` and `rank - my*C` never materialize.
+# Comparisons cost nothing extra either: the tuple-sort helpers already
+# take column lists, so a wide key is simply two adjacent sort columns.
+# Constraint: C < 2^29 per device (so carry sums stay inside int32) —
+# far above any real per-device HBM budget.
+# (ref capability: the reference's GT_LONGLONG suftab mode,
+# src/match/sfx-suffixer.c + sfx-partssuf.c int64 part planning.)
+# ---------------------------------------------------------------------------
+
+
+def _pair_carry(hi, lo, C: int):
+    """Normalize (hi, lo) so lo lands in [0, C); lo may be up to a few
+    multiples of C over/under."""
+    return hi + lo // np.int32(C), lo % np.int32(C)
+
+
+def _dense_rank_ragged_pair(skeys, svalid, nP: int, axis: str, C: int):
+    """_dense_rank_ragged with pair-valued ranks: global dense rank of
+    each valid sorted row as (hi, lo) base-C planes, plus a replicated
+    all-distinct flag (the >2^31-safe replacement for comparing the
+    distinct COUNT, which no longer fits int32)."""
+    M = svalid.shape[0]
+    my = jax.lax.axis_index(axis)
+    neq = jnp.zeros(M, jnp.bool_)
+    for s in skeys:
+        neq = neq.at[1:].set(neq[1:] | (s[1:] != s[:-1]))
+    R = svalid.sum().astype(jnp.int32)
+    last = [jnp.where(R > 0, s[jnp.maximum(R - 1, 0)], np.int32(-1))
+            for s in skeys]
+    lasts = [jax.lax.all_gather(x, axis) for x in last]
+    counts = jax.lax.all_gather(R, axis)
+    idxs = jnp.arange(nP, dtype=jnp.int32)
+    jl = jnp.max(jnp.where((idxs < my) & (counts > 0), idxs, -1))
+    first_differs = jl < 0
+    for s, l in zip(skeys, lasts):
+        first_differs = first_differs | (s[0] != l[jnp.maximum(jl, 0)])
+    starts = neq.at[0].set(first_differs) & svalid
+    local_cum = jnp.cumsum(starts.astype(jnp.int32))
+    totals = jax.lax.all_gather(local_cum[-1], axis)
+    # base-C pair accumulation of the earlier devices' group counts
+    # (unrolled over the static mesh size; each addend < 2^31, carries
+    # bounded because C < 2^29)
+    off_hi = jnp.zeros((), jnp.int32)
+    off_lo = jnp.zeros((), jnp.int32)
+    for i in range(nP):
+        off_lo = off_lo + jnp.where(np.int32(i) < my, totals[i],
+                                    np.int32(0))
+        off_hi, off_lo = _pair_carry(off_hi, off_lo, C)
+    r_lo = off_lo + local_cum - np.int32(1)
+    r_hi, r_lo = _pair_carry(off_hi + jnp.zeros(M, jnp.int32), r_lo, C)
+    # all ranks distinct <=> every valid row starts a group
+    not_all = jnp.any(svalid & jnp.logical_not(starts))
+    all_distinct = jax.lax.pmax(
+        not_all.astype(jnp.int32), axis) == np.int32(0)
+    return r_hi, r_lo, all_distinct
+
+
+def _exchange_rank_roundtrip_pair(keycols, poscols, nP: int, axis: str,
+                                  C: int):
+    """_exchange_rank_roundtrip with pair keys/positions: keycols and
+    poscols are int32 plane lists (wide values as adjacent hi,lo
+    columns). Returns (rank_hi_blk, rank_lo_blk, all_distinct, ovf)."""
+    nk = len(keycols)
+    loc = jax.lax.sort(tuple(keycols) + tuple(poscols),
+                       num_keys=nk + len(poscols))
+    spl = _splitters(list(loc), nP, axis, C)
+    dest = _dest_lex(keycols + poscols, spl, nP - 1)
+    recv, rvalid, ovf, ctx = _route2(
+        keycols, dest, jnp.ones(C, jnp.bool_), C, 2 * C + 2 * nP, nP,
+        axis)
+    M = recv[0].shape[0]
+    slot = jnp.arange(M, dtype=jnp.int32)
+    srt = jax.lax.sort(
+        (jnp.logical_not(rvalid).astype(jnp.int32),) + tuple(recv)
+        + (slot,), num_keys=1 + nk)
+    svalid = srt[0] == 0
+    r_hi_s, r_lo_s, all_distinct = _dense_rank_ragged_pair(
+        list(srt[1:1 + nk]), svalid, nP, axis, C)
+    vals_hi = jnp.zeros(M, jnp.int32).at[srt[-1]].set(r_hi_s)
+    vals_lo = jnp.zeros(M, jnp.int32).at[srt[-1]].set(r_lo_s)
+    rank_hi = _route2_back(vals_hi, ctx, nP, axis)
+    rank_lo = _route2_back(vals_lo, ctx, nP, axis)
+    return rank_hi, rank_lo, all_distinct, ovf
+
+
+def _shifted_fetch_pair(hi, lo, h: int, nP: int, axis: str, C: int):
+    """Pair-plane shifted fetch with sentinel (-1, 0) beyond the end —
+    hi=-1 sorts before every real rank, matching the int32 engine's
+    np.int32(-1) fill."""
+    return (_shifted_fetch(hi, h, nP, axis, C, np.int32(-1)),
+            _shifted_fetch(lo, h, nP, axis, C, np.int32(0)))
+
+
+@partial(jax.jit, static_argnames=("n1", "mesh"))
+def sharded_build_sa_sample_pair(keys_hi: jnp.ndarray,
+                                 keys_lo: jnp.ndarray, n1: int,
+                                 mesh: Mesh):
+    """sharded_build_sa_sample for inputs whose positions or key values
+    exceed int32: all wide values travel as base-C int32 pairs. Returns
+    (sa_hi, sa_lo, ovf) sharded planes; sa = sa_hi*C + sa_lo."""
+    nP = mesh.devices.size
+    assert nP > 1 and n1 % nP == 0
+    C = n1 // nP
+    assert C < 2 ** 29, "per-device block must stay below 2^29"
+    levels = max(1, math.ceil(math.log2(max(n1 / _BOOT, 2))))
+
+    def stage(khi_blk, klo_blk):
+        khi_blk = khi_blk.reshape(C)
+        klo_blk = klo_blk.reshape(C)
+        my = jax.lax.axis_index("shard")
+        # global position my*C + j in base-C pair form: (my, j) — free
+        pos_hi = jnp.broadcast_to(my, (C,))
+        pos_lo = jnp.arange(C, dtype=jnp.int32)
+
+        kcols = [khi_blk, klo_blk]
+        for j in range(1, _BOOT):
+            kcols.extend(_shifted_fetch_pair(khi_blk, klo_blk, j, nP,
+                                             "shard", C))
+        rank_hi, rank_lo, _, ovf = _exchange_rank_roundtrip_pair(
+            kcols, [pos_hi, pos_lo], nP, "shard", C)
+
+        done = jnp.zeros((), jnp.bool_)
+
+        def round_body(rank_hi, rank_lo, ovf, h: int):
+            r2_hi, r2_lo = _shifted_fetch_pair(rank_hi, rank_lo, h, nP,
+                                               "shard", C)
+            nhi, nlo, all_distinct, o = _exchange_rank_roundtrip_pair(
+                [rank_hi, rank_lo, r2_hi, r2_lo],
+                [pos_hi, pos_lo], nP, "shard", C)
+            return nhi, nlo, ovf | o, all_distinct
+
+        for t in range(levels):
+            h = _BOOT << t
+            if h >= n1:
+                break
+            rank_hi, rank_lo, ovf, done = jax.lax.cond(
+                done,
+                lambda a, b, o: (a, b, o, np.bool_(True)),
+                lambda a, b, o: round_body(a, b, o, h),
+                rank_hi, rank_lo, ovf)
+
+        # SA delivery: owner device IS rank_hi, slot IS rank_lo
+        recv, rvalid, o3, _ = _route2(
+            [rank_lo, pos_hi, pos_lo], jnp.minimum(rank_hi, nP - 1),
+            jnp.ones(C, jnp.bool_), C, C + 2 * nP, nP, "shard")
+        rlo, rph, rpl = recv
+        slot = jnp.where(rvalid, rlo, np.int32(C))
+        sa_hi = jnp.zeros(C, jnp.int32).at[slot].set(rph, mode="drop")
+        sa_lo = jnp.zeros(C, jnp.int32).at[slot].set(rpl, mode="drop")
+        ovf = ovf | o3
+        return sa_hi, sa_lo, jax.lax.pmax(ovf.astype(jnp.int32),
+                                          "shard")
+
+    sa_hi, sa_lo, ovf = jax.shard_map(
+        stage, mesh=mesh, in_specs=(P("shard"), P("shard")),
+        out_specs=(P("shard"), P("shard"), P()),
+        check_vma=False)(keys_hi, keys_lo)
+    return sa_hi, sa_lo, ovf
+
+
 def sharded_suffix_array(keys, mesh: Mesh,
                          engine: str = "sample") -> np.ndarray:
     """Host wrapper: pad to a power of two (pad keys sort last, as in
@@ -444,15 +614,36 @@ def sharded_suffix_array(keys, mesh: Mesh,
     (~1/P per-device traffic per round, skew-immune by construction);
     engine="bitonic" forces the block-bitonic path. Any overflow-flagged
     sample run (provably unreachable, checked anyway) falls back to the
-    bitonic engine."""
-    keys = np.asarray(keys, np.int32)
+    bitonic engine.
+
+    Inputs whose positions or padded key values exceed int32 (and any
+    input when GT_TPU_FORCE_PAIR=1) run on the int32-pair lanes — see
+    sharded_build_sa_sample_pair."""
+    import os
+    keys = np.asarray(keys)
     n1 = keys.size
     nP = mesh.devices.size
     npad = max(nP, 1 << max(0, (n1 - 1).bit_length()))
-    if npad > 2 ** 30 or int(keys.max()) + (npad - n1) >= 2 ** 31 - 1:
-        raise NotImplementedError("int64 path not wired for sharded build")
+    kmax = int(keys.max(initial=0))
+    wide = (npad > 2 ** 30 or kmax + (npad - n1) >= 2 ** 31 - 1
+            or os.environ.get("GT_TPU_FORCE_PAIR") == "1")
+    if wide and nP > 1:
+        keys = keys.astype(np.int64)
+        C = npad // nP
+        if npad > n1:
+            pad = kmax + 1 + np.arange(npad - n1, dtype=np.int64)
+            keys = np.concatenate([keys, pad])
+        khi = (keys // C).astype(np.int32)
+        klo = (keys % C).astype(np.int32)
+        sa_hi, sa_lo, ovf = sharded_build_sa_sample_pair(
+            jnp.asarray(khi), jnp.asarray(klo), npad, mesh)
+        assert not int(np.asarray(ovf)), \
+            "pair-lane exchange overflow (capacity bound violated)"
+        sa = np.asarray(sa_hi).astype(np.int64) * C + np.asarray(sa_lo)
+        return sa[:n1]
+    keys = keys.astype(np.int32)
     if npad > n1:
-        pad = int(keys.max()) + 1 + np.arange(npad - n1, dtype=np.int32)
+        pad = kmax + 1 + np.arange(npad - n1, dtype=np.int32)
         keys = np.concatenate([keys, pad])
     if engine == "sample" and nP > 1:
         sa, ovf = sharded_build_sa_sample(jnp.asarray(keys), npad, mesh)
