@@ -101,6 +101,13 @@ def get_lib():
     lib.gt_tallymer_mkindex.argtypes = [
         u8p, ctypes.c_int64, u64p, u8p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, u8p, u32p, u8p, i64p]
+    lib.gt_seed_pair_join.restype = ctypes.c_int64
+    lib.gt_seed_pair_join.argtypes = [
+        i64p, i32p, i32p, ctypes.c_int64,
+        i64p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        pp, pp, pp, pp]
     _lib = lib
     return _lib
 
@@ -396,3 +403,54 @@ def write_match_lines_native(rows: np.ndarray, direction: str,
         rows.shape[0], direction.encode()[0:1], path.encode(),
         1 if append else 0)
     return rc == 0
+
+
+def seed_pair_join_native(alist, blist, selfcomp: bool,
+                          maxfreq, inseqseeds: bool, mindist: int,
+                          maxdist):
+    """Seed-pair join (gt_seed_pair_join, the gt_diagbandseed_merge
+    capability — ref: src/match/diagbandseed.c:2654): returns
+    (aseq, bseq, bpos, apos) int64 arrays sorted by
+    (aseq, bseq, bpos, apos), or None when the native lib is absent or
+    the inputs exceed the packed 64-bit budget (caller falls back to
+    the numpy join)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    acode, aseq, apos = alist
+    bcode, bseq, bpos = blist
+    same = blist is alist or acode is bcode
+    if acode.size == 0 or bcode.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    # seq/pos must fit int32 planes (wide inputs: numpy fallback)
+    if max(int(aseq.max()), int(bseq.max()), int(apos.max()),
+           int(bpos.max())) >= 2 ** 31:
+        return None
+    ac = np.ascontiguousarray(acode, np.int64)
+    as_ = np.ascontiguousarray(aseq, np.int32)
+    ap = np.ascontiguousarray(apos, np.int32)
+    if same:
+        bc, bs, bp = ac, as_, ap
+    else:
+        bc = np.ascontiguousarray(bcode, np.int64)
+        bs = np.ascontiguousarray(bseq, np.int32)
+        bp = np.ascontiguousarray(bpos, np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    oas, obs, obp, oap = i32p(), i32p(), i32p(), i32p()
+    cnt = lib.gt_seed_pair_join(
+        ac.ctypes.data_as(i64p), as_.ctypes.data_as(i32p),
+        ap.ctypes.data_as(i32p), ac.size,
+        bc.ctypes.data_as(i64p), bs.ctypes.data_as(i32p),
+        bp.ctypes.data_as(i32p), bc.size,
+        int(same), int(selfcomp), int(inseqseeds),
+        int(maxfreq) if maxfreq is not None else 0,
+        int(mindist), int(maxdist) if maxdist is not None else -1,
+        os.cpu_count() or 1,
+        ctypes.byref(oas), ctypes.byref(obs), ctypes.byref(obp),
+        ctypes.byref(oap))
+    if cnt < 0:
+        return None
+    return tuple(_take_array(lib, p, cnt).astype(np.int64)
+                 for p in (oas, obs, obp, oap))

@@ -153,6 +153,13 @@ def build_seed_pairs(alist, blist, selfcomp: bool, maxfreq: int | None,
     apos + mindist <= bpos <= apos + maxdist (ref: seedpairdistance;
     default start is seedlength unless -overlapping-seeds,
     ref: gt_seed_extend.c:1199-1204)."""
+    # threaded C++ radix join (native/gtnative.cpp gt_seed_pair_join):
+    # identical output order, no comparison sorts / boolean temp planes
+    from ..core.native import seed_pair_join_native
+    native = seed_pair_join_native(alist, blist, selfcomp, maxfreq,
+                                   inseqseeds, mindist, maxdist)
+    if native is not None:
+        return native
     acode, aseq, apos = alist
     bcode, bseq, bpos = blist
     same = blist is alist or (acode is bcode)

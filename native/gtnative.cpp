@@ -1048,3 +1048,222 @@ int gt_write_match_lines(const int64_t *rows, int64_t n, char dir,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seed-pair join: the gt_diagbandseed_merge capability
+// (ref: src/match/diagbandseed.c:2654 seed-pair merge of two sorted
+// k-mer lists, with maxfreq capping and the self-comparison rules).
+//
+// Inputs are the raw (code, seqnum, endpos) k-mer lists in strand
+// reading order; the join radix-sorts (code, index) packs, walks the
+// matched code groups once, applies the selfcomp / same-sequence
+// distance window / maxfreq rules inline at emission, packs surviving
+// pairs as (aseq, bseq, bpos, apos) bit fields in one uint64, radix
+// sorts those, and unpacks — so the output order is exactly the
+// numpy engine's lexsort order at a fraction of its cost (no
+// comparison sorts, no boolean temp planes).  Returns -2 when the bit
+// budget does not fit 64 (caller falls back to numpy).
+// ---------------------------------------------------------------------------
+
+namespace seedjoin {
+
+static inline int bits_for(uint64_t maxval) {
+  int b = 0;
+  while ((maxval >> b) != 0) b++;
+  return b < 1 ? 1 : b;
+}
+
+// LSD radix sort, 16-bit digits, low `nbits` significant.
+static void radix_u64(std::vector<uint64_t> &v, int nbits) {
+  const size_t n = v.size();
+  if (n < 2) return;
+  std::vector<uint64_t> tmp(n);
+  std::vector<size_t> cnt(1 << 16);
+  uint64_t *src = v.data(), *dst = tmp.data();
+  int passes = (nbits + 15) / 16;
+  for (int p = 0; p < passes; p++) {
+    const int shift = p * 16;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (size_t i = 0; i < n; i++) cnt[(src[i] >> shift) & 0xFFFF]++;
+    size_t sum = 0;
+    for (size_t d = 0; d < (1u << 16); d++) {
+      size_t c = cnt[d]; cnt[d] = sum; sum += c;
+    }
+    for (size_t i = 0; i < n; i++)
+      dst[cnt[(src[i] >> shift) & 0xFFFF]++] = src[i];
+    std::swap(src, dst);
+  }
+  if (src != v.data()) std::memcpy(v.data(), src, n * sizeof(uint64_t));
+}
+
+}  // namespace seedjoin
+
+extern "C" {
+
+// Returns the pair count (>= 0) with *out_* set to malloc'd int32
+// planes (caller frees via gt_free), or -2 if the inputs exceed the
+// packed 64-bit budget (caller falls back).
+int64_t gt_seed_pair_join(
+    const int64_t *acode, const int32_t *aseq, const int32_t *apos,
+    int64_t na,
+    const int64_t *bcode, const int32_t *bseq, const int32_t *bpos,
+    int64_t nb,
+    int same_list, int selfcomp, int inseqseeds,
+    int64_t maxfreq, int64_t mindist, int64_t maxdist, int nthreads,
+    int32_t **out_aseq, int32_t **out_bseq, int32_t **out_bpos,
+    int32_t **out_apos) {
+  using seedjoin::bits_for;
+  using seedjoin::radix_u64;
+  if (na <= 0 || nb <= 0) {
+    *out_aseq = *out_bseq = *out_bpos = *out_apos = nullptr;
+    return 0;
+  }
+  // bit budgets
+  int64_t maxac = 0, maxbc = 0;
+  int32_t max_as = 0, max_ap = 0, max_bs = 0, max_bp = 0;
+  for (int64_t i = 0; i < na; i++) {
+    if (acode[i] > maxac) maxac = acode[i];
+    if (aseq[i] > max_as) max_as = aseq[i];
+    if (apos[i] > max_ap) max_ap = apos[i];
+  }
+  if (same_list) {
+    maxbc = maxac; max_bs = max_as; max_bp = max_ap;
+  } else {
+    for (int64_t i = 0; i < nb; i++) {
+      if (bcode[i] > maxbc) maxbc = bcode[i];
+      if (bseq[i] > max_bs) max_bs = bseq[i];
+      if (bpos[i] > max_bp) max_bp = bpos[i];
+    }
+  }
+  const int cb = bits_for((uint64_t)(maxac > maxbc ? maxac : maxbc));
+  const int iab = bits_for((uint64_t)(na > nb ? na : nb));
+  const int f_as = bits_for((uint64_t)max_as);
+  const int f_bs = bits_for((uint64_t)max_bs);
+  const int f_bp = bits_for((uint64_t)max_bp);
+  const int f_ap = bits_for((uint64_t)max_ap);
+  if (cb + iab > 64 || f_as + f_bs + f_bp + f_ap > 64) return -2;
+
+  // sort (code, idx) packs per list
+  std::vector<uint64_t> sa(na);
+  for (int64_t i = 0; i < na; i++)
+    sa[i] = ((uint64_t)acode[i] << iab) | (uint64_t)i;
+  radix_u64(sa, cb + iab);
+  std::vector<uint64_t> sb_store;
+  const std::vector<uint64_t> *sb = &sa;
+  if (!same_list) {
+    sb_store.resize(nb);
+    for (int64_t i = 0; i < nb; i++)
+      sb_store[i] = ((uint64_t)bcode[i] << iab) | (uint64_t)i;
+    radix_u64(sb_store, cb + iab);
+    sb = &sb_store;
+  }
+  const uint64_t idxmask = (iab >= 64) ? ~0ull : ((1ull << iab) - 1);
+
+  // group boundaries per list (starts of equal-code runs)
+  auto group_starts = [&](const std::vector<uint64_t> &s,
+                          std::vector<int64_t> &g) {
+    const int64_t n = (int64_t)s.size();
+    g.clear();
+    for (int64_t i = 0; i < n; i++)
+      if (i == 0 || (s[i] >> iab) != (s[i - 1] >> iab)) g.push_back(i);
+    g.push_back(n);
+  };
+  std::vector<int64_t> ga, gb_store;
+  group_starts(sa, ga);
+  const std::vector<int64_t> *gb = &ga;
+  if (!same_list) { group_starts(*sb, gb_store); gb = &gb_store; }
+
+  // matched (a-group, b-group) list
+  struct GP { int64_t a0, a1, b0, b1; };
+  std::vector<GP> gps;
+  {
+    const int64_t nga = (int64_t)ga.size() - 1;
+    const int64_t ngb = (int64_t)gb->size() - 1;
+    int64_t j = 0;
+    for (int64_t i = 0; i < nga; i++) {
+      const uint64_t ca = sa[ga[i]] >> iab;
+      if (same_list) {
+        gps.push_back({ga[i], ga[i + 1], ga[i], ga[i + 1]});
+        continue;
+      }
+      while (j < ngb && ((*sb)[(*gb)[j]] >> iab) < ca) j++;
+      if (j >= ngb) break;
+      if (((*sb)[(*gb)[j]] >> iab) != ca) continue;
+      gps.push_back({ga[i], ga[i + 1], (*gb)[j], (*gb)[j + 1]});
+    }
+  }
+
+  // parallel emission of packed surviving pairs
+  const int sh_ap = 0, sh_bp = f_ap, sh_bs = f_ap + f_bp,
+            sh_as = f_ap + f_bp + f_bs;
+  if (nthreads < 1) nthreads = 1;
+  const int64_t ng = (int64_t)gps.size();
+  std::vector<std::vector<uint64_t>> parts((size_t)nthreads);
+  auto work = [&](int t) {
+    std::vector<uint64_t> &out = parts[(size_t)t];
+    for (int64_t g = t; g < ng; g += nthreads) {
+      const GP &gp = gps[(size_t)g];
+      const int64_t an = gp.a1 - gp.a0, bn = gp.b1 - gp.b0;
+      if (maxfreq > 0 && (an > maxfreq || bn > maxfreq)) continue;
+      if (selfcomp && same_list && an < 2) continue;
+      for (int64_t x = gp.a0; x < gp.a1; x++) {
+        const int64_t ai = (int64_t)(sa[x] & idxmask);
+        const int64_t as = aseq[ai], ap = apos[ai];
+        for (int64_t y = gp.b0; y < gp.b1; y++) {
+          const int64_t bi = (int64_t)((*sb)[y] & idxmask);
+          const int64_t bs = bseq[bi], bp = bpos[bi];
+          if (selfcomp) {
+            if (as > bs) continue;
+            if (as == bs) {
+              if (!inseqseeds) continue;
+              if (ap + mindist > bp) continue;
+              if (maxdist >= 0 && bp > ap + maxdist) continue;
+            }
+          }
+          out.push_back(((uint64_t)as << sh_as) |
+                        ((uint64_t)bs << sh_bs) |
+                        ((uint64_t)bp << sh_bp) |
+                        ((uint64_t)ap << sh_ap));
+        }
+      }
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nthreads; t++) th.emplace_back(work, t);
+    for (auto &x : th) x.join();
+  }
+  int64_t total = 0;
+  for (auto &p : parts) total += (int64_t)p.size();
+  std::vector<uint64_t> pairs;
+  pairs.reserve((size_t)total);
+  for (auto &p : parts) {
+    pairs.insert(pairs.end(), p.begin(), p.end());
+    p.clear(); p.shrink_to_fit();
+  }
+  radix_u64(pairs, f_as + f_bs + f_bp + f_ap);
+
+  int32_t *oas = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
+  int32_t *obs = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
+  int32_t *obp = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
+  int32_t *oap = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
+  if (!oas || !obs || !obp || !oap) {
+    free(oas); free(obs); free(obp); free(oap);
+    return -1;
+  }
+  const uint64_t m_ap = (1ull << f_ap) - 1, m_bp = (1ull << f_bp) - 1,
+                 m_bs = (1ull << f_bs) - 1;
+  for (int64_t i = 0; i < total; i++) {
+    const uint64_t v = pairs[(size_t)i];
+    oap[i] = (int32_t)(v & m_ap);
+    obp[i] = (int32_t)((v >> sh_bp) & m_bp);
+    obs[i] = (int32_t)((v >> sh_bs) & m_bs);
+    oas[i] = (int32_t)(v >> sh_as);
+  }
+  *out_aseq = oas; *out_bseq = obs; *out_bpos = obp; *out_apos = oap;
+  return total;
+}
+
+}  // extern "C"
