@@ -174,6 +174,42 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
     _mark("parse+encode")
     n = enc.total_length
     n1 = n + 1
+    # small-input latency floor: below ~4M symbols the remote-link
+    # round trip alone exceeds the whole build, so run the host C++
+    # SA-IS + Kasai path (independent second constructor, gt
+    # byte-exact) with the encseq writers overlapped. Threshold via
+    # GT_E2E_HOST_MAX (0 disables).
+    host_max = int(os.environ.get("GT_E2E_HOST_MAX", 4 << 20))
+    if 0 < n1 <= host_max:
+        from ..core.native import kasai_lcp_native, sais_native
+        keys = enc.suffix_keys()
+        sa = sais_native(keys)
+        if sa is not None:
+            herrs: list[BaseException] = []
+
+            def _esq():
+                try:
+                    from ..core.esq import write_all
+                    write_all(enc, indexname)
+                except BaseException as exc:   # noqa: BLE001
+                    herrs.append(exc)
+
+            wt = threading.Thread(target=_esq)
+            wt.start()
+            lcp = kasai_lcp_native(keys, sa)
+            from . import esa as esa_mod
+            esa = esa_mod.EnhancedSuffixArray(
+                encseq=enc, readmode=0, suftab=np.asarray(sa),
+                lcptab=None if lcp is None else np.asarray(lcp),
+                prefixlength=esa_mod.recommended_prefixlength(
+                    enc.alphabet.num_chars, n))
+            esa_mod.write_esa(esa, indexname, suf=True,
+                              lcp=lcp is not None)
+            wt.join()
+            if herrs:
+                raise herrs[0]
+            _mark("host sais+kasai e2e")
+            return
     sigma = enc.alphabet.num_chars
     npad = max(16, _pad_size(n1))
     if npad > 2 ** 26:

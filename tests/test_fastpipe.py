@@ -73,3 +73,32 @@ def test_fastpipe_wildcards(tmp_path):
         sp, fp = slow + ext, fast + ext
         if os.path.exists(sp) and os.path.getsize(sp):
             assert filecmp.cmp(sp, fp, shallow=False), f"{ext} differs"
+
+
+@pytest.mark.parametrize("db", ["Atinsert.fna", "at1MB"])
+def test_device_pipeline_still_exact(db, tmp_path, monkeypatch):
+    # GT_E2E_HOST_MAX=0 disables the small-input host SA-IS path so the
+    # device pipeline keeps its own byte-parity coverage
+    monkeypatch.setenv("GT_E2E_HOST_MAX", "0")
+    src = os.path.join(TD, db)
+    slow = str(tmp_path / "slow")
+    fast = str(tmp_path / "fast")
+    _slow(src, slow)
+    suffixerator_e2e([src], fast)
+    for ext in EXTS:
+        sp, fp = slow + ext, fast + ext
+        if os.path.exists(sp) and os.path.getsize(sp) and ext != ".prj":
+            assert filecmp.cmp(sp, fp, shallow=False), f"{ext} differs"
+
+
+def test_host_path_threshold_env(tmp_path, monkeypatch):
+    # the branch respects GT_E2E_HOST_MAX
+    src = os.path.join(TD, "Atinsert.fna")
+    monkeypatch.setenv("GT_E2E_HOST_MAX", "10")   # too small -> device
+    suffixerator_e2e([src], str(tmp_path / "d"))
+    monkeypatch.setenv("GT_E2E_HOST_MAX", str(64 << 20))
+    suffixerator_e2e([src], str(tmp_path / "h"))
+    for ext in (".suf", ".lcp", ".llv", ".esq"):
+        assert filecmp.cmp(str(tmp_path / "d") + ext,
+                           str(tmp_path / "h") + ext,
+                           shallow=False), f"{ext} differs"
