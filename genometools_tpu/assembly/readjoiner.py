@@ -355,6 +355,31 @@ def find_spms(readset: ReadSet, minlen: int,
     total = int(blob.size)
     if total < k:
         return empty
+
+    # threaded C++ window-scan join (native/gtnative.cpp gt_spm_find):
+    # identical hit set and emission order, no 20M-row index planes
+    from ..core.native import spm_find_native
+    native = spm_find_native(blob, starts, lens, k, minlen,
+                             strand_canon=not singlestrand)
+    if native is not None:
+        A, B, LL = native
+        sr = np.where(A < n, A, m_count - 1 - A)
+        ss = A < n
+        pr = np.where(B < n, B, m_count - 1 - B)
+        ps_ = B < n
+        out = list(zip(sr.tolist(), ss.tolist(), pr.tolist(),
+                       ps_.tolist(), LL.tolist()))
+        if irreducible and out:
+            out = _drop_transitive_spms(out, readset)
+        if not out:
+            return empty
+        return SpmList(
+            np.array([o[0] for o in out], np.int64),
+            np.array([o[1] for o in out], bool),
+            np.array([o[2] for o in out], np.int64),
+            np.array([o[3] for o in out], bool),
+            np.array([o[4] for o in out], np.int64))
+
     rid = np.repeat(np.arange(m_count, dtype=np.int64), lens)
 
     npos = total - k + 1
@@ -454,33 +479,64 @@ def _drop_transitive_spms(out, readset: ReadSet):
     (incl. dual edges), drop a->b when some a->c->b composes to the
     same layout (the redtrans criterion, ref: rdj-strgraph.c:987 —
     applied at SPM level because the reference overlap phase only ever
-    emits irreducible matches)."""
-    best: dict[tuple, int] = {}
-    for sr, ss, pr, ps, L in out:
-        for key in (((sr, ss), (pr, ps)), ((pr, not ps), (sr, not ss))):
-            if best.get(key, -1) < L:
-                best[key] = L
-    adj: dict[tuple, list] = {}
-    for (va, vb), L in best.items():
-        adj.setdefault(va, []).append((vb, L))
-    rl = [len(r) for r in readset.reads]
+    emits irreducible matches).
 
-    def reducible(va, vb, l_ab):
-        for vc, l_ac in adj.get(va, []):
-            if vc == vb or vc == va or l_ac <= l_ab:
-                continue
-            for vb2, l_cb in adj.get(vc, []):
-                if vb2 == vb and l_ab == l_ac + l_cb - rl[vc[0]]:
-                    return True
-        return False
+    Vectorized: vertices (read, strand) pack to ints, the max-L edge
+    table to sorted packed keys, and the a->c->b triangle test to a
+    CSR neighbor expansion + one searchsorted — no per-edge dicts."""
+    m = len(out)
+    if m == 0:
+        return out
+    arr = np.asarray([(sr, ss, pr, ps, L) for sr, ss, pr, ps, L in out],
+                     np.int64)
+    n2 = 2 * readset.num_reads
+    va0 = 2 * arr[:, 0] + arr[:, 1]
+    vb0 = 2 * arr[:, 2] + arr[:, 3]
+    L0 = arr[:, 4]
+    # dual edge: (pr, !ps) -> (sr, !ss)
+    va = np.concatenate([va0, 2 * arr[:, 2] + (1 - arr[:, 3])])
+    vb = np.concatenate([vb0, 2 * arr[:, 0] + (1 - arr[:, 1])])
+    L = np.concatenate([L0, L0])
+    key = va * n2 + vb
+    # best (max L) per directed pair
+    o = np.lexsort((-L, key))
+    ks, Ls = key[o], L[o]
+    first = np.concatenate([[True], ks[1:] != ks[:-1]])
+    ukey, ul = ks[first], Ls[first]
+    uva, uvb = ukey // n2, ukey % n2
+    # CSR over source vertex (ukey sorted => uva sorted)
+    deg = np.bincount(uva, minlength=n2)
+    adj_start = np.concatenate([[0], np.cumsum(deg)])
+    rl = np.fromiter((len(r) for r in readset.reads), np.int64,
+                     readset.num_reads)
 
-    kept = []
-    for sr, ss, pr, ps, L in out:
-        if best[((sr, ss), (pr, ps))] != L:
-            continue                      # a longer same-pair SPM wins
-        if not reducible((sr, ss), (pr, ps), L):
-            kept.append((sr, ss, pr, ps, L))
-    return kept
+    # candidate edges: the original rows whose L is the pair maximum
+    k0 = va0 * n2 + vb0
+    pos = np.searchsorted(ukey, k0)
+    is_best = ul[pos] == L0
+    # triangle test per best edge: c in adj[va], l_ac > l_ab,
+    # edge (c -> vb) with l_ab == l_ac + l_cb - len(c)
+    cand = np.flatnonzero(is_best)
+    if cand.size:
+        d = deg[va0[cand]]
+        rep = np.repeat(np.arange(cand.size), d)
+        within = np.arange(rep.size) - np.repeat(np.cumsum(d) - d, d)
+        ei = adj_start[va0[cand]][rep] + within    # index into u* rows
+        vc, l_ac = uvb[ei], ul[ei]
+        lab = L0[cand][rep]
+        vbb = vb0[cand][rep]
+        ok = (vc != vbb) & (vc != va0[cand][rep]) & (l_ac > lab)
+        need = lab - l_ac + rl[vc // 2]            # required l_cb
+        k2 = vc * n2 + vbb
+        p2 = np.searchsorted(ukey, k2)
+        p2c = np.minimum(p2, ukey.size - 1)
+        hit = ok & (ukey[p2c] == k2) & (ul[p2c] == need)
+        red = np.zeros(cand.size, bool)
+        np.logical_or.at(red, rep, hit)
+        keep_rows = cand[~red]
+    else:
+        keep_rows = cand
+    return [out[i] for i in keep_rows]
 
 
 # ---------------------------------------------------------------------------

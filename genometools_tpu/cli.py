@@ -95,6 +95,9 @@ def _add_suffixerator(sub):
     p.add_argument("-mirrored", action="store_true")
     p.add_argument("-ssp", action="store_true")
     p.add_argument("-des", action="store_true")
+    p.add_argument("-sds", action="store_true",
+                   help="output sequence description separator table")
+    p.add_argument("-md5", action="store_true")
     p.add_argument("-dir", default="fwd", choices=["fwd", "rev", "cpl", "rcl"])
     p.add_argument("-parts", type=int, default=1,
                    help="build the suffix table in N memory-bounded parts")
@@ -276,7 +279,8 @@ def cmd_repfind(args):
             print(m.line())
         return 0
     if args.f or not (args.r or args.p):
-        esa = load_esa(args.ii, encseq=enc)
+        # i32 planes feed the native walker without int64 intermediates
+        esa = load_esa(args.ii, encseq=enc, signed_suftab="i32")
         write_match_lines(sys.stdout, repfind_self(enc, args.l, esa=esa),
                           "F")
     if args.r:

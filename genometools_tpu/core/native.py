@@ -454,3 +454,47 @@ def seed_pair_join_native(alist, blist, selfcomp: bool,
         return None
     return tuple(_take_array(lib, p, cnt).astype(np.int64)
                  for p in (oas, obs, obp, oap))
+
+
+def spm_find_native(blob, starts, lens, k: int, minlen: int,
+                    strand_canon: bool):
+    """Readjoiner SPM join (gt_spm_find; capability of firstcodes +
+    gt_spmsk, ref: src/match/firstcodes.c + esa-spmsk.c). Returns
+    (aidx, bidx, L) int64 arrays in ascending-position emission order,
+    or None without the lib / k > 31."""
+    lib = get_lib()
+    if lib is None or k > 31 or k <= 0:
+        return None
+    try:
+        lib.gt_spm_find
+    except AttributeError:
+        return None
+    blob = np.ascontiguousarray(blob, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if lib.gt_spm_find.argtypes is None:
+        lib.gt_spm_find.restype = ctypes.c_int64
+        lib.gt_spm_find.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(i64p), ctypes.POINTER(i64p),
+            ctypes.POINTER(i64p)]
+    oa, ob, ol = i64p(), i64p(), i64p()
+    cnt = lib.gt_spm_find(
+        blob.ctypes.data_as(u8p), starts.ctypes.data_as(i64p),
+        lens.ctypes.data_as(i64p), starts.size, k, minlen,
+        int(strand_canon), os.cpu_count() or 1,
+        ctypes.byref(oa), ctypes.byref(ob), ctypes.byref(ol))
+    if cnt < 0:
+        return None
+
+    def take64(ptr, n):
+        if n == 0:
+            lib.gt_free(ptr)
+            return np.zeros(0, np.int64)
+        out = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+        lib.gt_free(ptr)
+        return out
+    return take64(oa, cnt), take64(ob, cnt), take64(ol, cnt)

@@ -384,7 +384,13 @@ def load_esa(indexname: str, encseq: Encseq | None = None,
     if encseq is None:
         encseq = Encseq.load(indexname)
     suftab = np.fromfile(indexname + ".suf", dtype=dt)
-    if signed_suftab:
+    # signed_suftab="i32": single direct conversion to the int32 planes
+    # the native walkers consume (no int64 intermediate — the tables
+    # are hundreds of MB at 32Mbp)
+    i32 = signed_suftab == "i32" and n + 1 < 2 ** 31
+    if i32:
+        suftab = suftab.astype(np.int32)
+    elif signed_suftab:
         suftab = suftab.astype(np.int64)
     assert suftab.size == n + 1, "suftab size mismatch with .prj"
     lcptab = None
@@ -392,12 +398,14 @@ def load_esa(indexname: str, encseq: Encseq | None = None,
     if need_lcp and Path(indexname + ".lcp").exists():
         small = np.fromfile(indexname + ".lcp", dtype=np.uint8)
         if need_lcp != "small":    # "small": capped bytes are enough
-            lcptab = small.astype(np.int64)
+            lcptab = small.astype(np.int32 if i32 else np.int64)
             llv_path = Path(indexname + ".llv")
             if llv_path.exists() and llv_path.stat().st_size:
                 llv = np.fromfile(indexname + ".llv",
                                   dtype=dt).reshape(-1, 2)
-                lcptab[llv[:, 0].astype(np.int64)] = llv[:, 1]
+                lcptab[llv[:, 0].astype(np.int64)] = \
+                    np.minimum(llv[:, 1], 2 ** 31 - 1) if i32 \
+                    else llv[:, 1]
     esa = EnhancedSuffixArray(
         encseq=encseq, readmode=int(prj.get("readmode", FWD)),
         suftab=suftab, lcptab=lcptab,

@@ -1267,3 +1267,126 @@ int64_t gt_seed_pair_join(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Suffix-prefix-match (SPM) finder: the readjoiner overlap phase's hot
+// join (capability of firstcodes + gt_spmsk, ref: src/match/firstcodes.c
+// + esa-spmsk.c; brute-force oracle rdj-ovlfind-bf.c).
+//
+// blob holds the mirrored read symbols (values 0..3); a window of
+// length k at suffix offset `off` of read a matches read b's k-prefix
+// iff their rolling 2-bit codes agree; the tail [k, L) is then
+// memcmp-verified.  A 2^24-bit presence filter in front of the sorted
+// prefix-code array rejects nearly every window without a binary
+// search.  Threads take contiguous read ranges; per-thread outputs are
+// concatenated in range order, so emission order equals the numpy
+// engine's ascending-position order.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Returns SPM count; fills malloc'd int64 planes (caller gt_free's).
+// strand_canon: apply the mirrored-dual rule a + b <= m_count-1.
+int64_t gt_spm_find(const uint8_t *blob, const int64_t *starts,
+                    const int64_t *lens, int64_t m_count,
+                    int64_t k, int64_t minlen, int strand_canon,
+                    int nthreads,
+                    int64_t **out_a, int64_t **out_b, int64_t **out_l) {
+  if (m_count <= 0 || k <= 0 || k > 31) return -2;
+  // sorted (prefix code, read) list over reads with len >= k
+  std::vector<std::pair<uint64_t, int64_t>> pref;
+  pref.reserve((size_t)m_count);
+  for (int64_t r = 0; r < m_count; r++) {
+    if (lens[r] < k) continue;
+    uint64_t c = 0;
+    const uint8_t *p = blob + starts[r];
+    for (int64_t j = 0; j < k; j++) c = (c << 2) | p[j];
+    pref.emplace_back(c, r);
+  }
+  std::sort(pref.begin(), pref.end());
+  const size_t np = pref.size();
+  std::vector<uint64_t> pcodes(np);
+  for (size_t i = 0; i < np; i++) pcodes[i] = pref[i].first;
+  // 2^24-bit presence filter
+  const uint64_t FB = 24, FMASK = (1ull << FB) - 1;
+  std::vector<uint64_t> filt((size_t)1 << (FB - 6), 0);
+  for (size_t i = 0; i < np; i++) {
+    const uint64_t h = pcodes[i] & FMASK;
+    filt[h >> 6] |= 1ull << (h & 63);
+  }
+  const uint64_t kmask =
+      (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+
+  if (nthreads < 1) nthreads = 1;
+  struct Hit { int64_t a, b, l; };
+  std::vector<std::vector<Hit>> parts((size_t)nthreads);
+  // contiguous read ranges balanced by total length
+  std::vector<int64_t> rsplit((size_t)nthreads + 1, 0);
+  {
+    int64_t total_syms = 0;
+    for (int64_t r = 0; r < m_count; r++) total_syms += lens[r];
+    int64_t acc = 0, t = 1;
+    for (int64_t r = 0; r < m_count && t < nthreads; r++) {
+      acc += lens[r];
+      if (acc >= total_syms * t / nthreads) rsplit[(size_t)t++] = r + 1;
+    }
+    for (; t <= nthreads; t++) rsplit[(size_t)t] = m_count;
+  }
+  auto work = [&](int t) {
+    std::vector<Hit> &out = parts[(size_t)t];
+    for (int64_t a = rsplit[(size_t)t]; a < rsplit[(size_t)t + 1];
+         a++) {
+      const int64_t la = lens[a], sa = starts[a];
+      if (la < minlen) continue;
+      const uint8_t *p = blob + sa;
+      uint64_t code = 0;
+      for (int64_t j = 0; j < k; j++) code = (code << 2) | p[j];
+      const int64_t maxoff = la - minlen;
+      for (int64_t off = 0;; off++) {
+        if (off > 0)
+          code = ((code << 2) | (uint64_t)p[off + k - 1]) & kmask;
+        const uint64_t h = code & FMASK;
+        if (filt[h >> 6] & (1ull << (h & 63))) {
+          auto lo = std::lower_bound(pcodes.begin(), pcodes.end(),
+                                     code) - pcodes.begin();
+          const int64_t L = la - off;
+          for (size_t i = (size_t)lo;
+               i < np && pcodes[i] == code; i++) {
+            const int64_t b = pref[i].second;
+            if (b == a || L >= la || L >= lens[b]) continue;
+            if (strand_canon && a + b > m_count - 1) continue;
+            if (L > k &&
+                std::memcmp(p + off + k, blob + starts[b] + k,
+                            (size_t)(L - k)) != 0)
+              continue;
+            out.push_back({a, b, L});
+          }
+        }
+        if (off >= maxoff) break;
+      }
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < nthreads; t++) th.emplace_back(work, t);
+    for (auto &x : th) x.join();
+  }
+  int64_t total = 0;
+  for (auto &pt : parts) total += (int64_t)pt.size();
+  int64_t *oa = (int64_t *)malloc(sizeof(int64_t) *
+                                  (size_t)(total ? total : 1));
+  int64_t *ob = (int64_t *)malloc(sizeof(int64_t) *
+                                  (size_t)(total ? total : 1));
+  int64_t *ol = (int64_t *)malloc(sizeof(int64_t) *
+                                  (size_t)(total ? total : 1));
+  if (!oa || !ob || !ol) { free(oa); free(ob); free(ol); return -1; }
+  int64_t w = 0;
+  for (auto &pt : parts)
+    for (const Hit &h : pt) { oa[w] = h.a; ob[w] = h.b; ol[w] = h.l; w++; }
+  *out_a = oa; *out_b = ob; *out_l = ol;
+  return total;
+}
+
+}  // extern "C"
