@@ -92,6 +92,34 @@ class Diagram:
         return diagram
 
 
+class RecMap:
+    """One drawn feature rectangle (ref:
+    src/annotationsketch/rec_map.c GtRecMap: nw/se corners + node)."""
+
+    def __init__(self, nw_x, nw_y, se_x, se_y, node):
+        self.nw_x, self.nw_y = float(nw_x), float(nw_y)
+        self.se_x, self.se_y = float(se_x), float(se_y)
+        self.node = node
+
+    def html_imagemap_coords(self) -> str:
+        """ref: rec_map.c gt_rec_map_format_html_imagemap_coords —
+        '%.0f,%.0f,%.0f,%.0f'."""
+        return (f"{self.nw_x:.0f},{self.nw_y:.0f},"
+                f"{self.se_x:.0f},{self.se_y:.0f}")
+
+
+class ImageInfo:
+    """Pixel rectangles of the drawn features, for HTML image maps
+    (ref: src/annotationsketch/image_info.c GtImageInfo)."""
+
+    def __init__(self):
+        self.rec_maps: list[RecMap] = []
+        self.height = 0
+
+    def add_rec_map(self, rm: RecMap) -> None:
+        self.rec_maps.append(rm)
+
+
 class SVGCanvas:
     """Minimal SVG writer standing in for canvas_cairo (ref: canvas.c)."""
 
@@ -104,7 +132,8 @@ class SVGCanvas:
         self.line_gap = line_gap
         self.track_gap = track_gap
 
-    def render(self, diagram: Diagram) -> str:
+    def render(self, diagram: Diagram,
+               image_info: "ImageInfo | None" = None) -> str:
         view = diagram.view
         span = max(view.length, 1)
         inner = self.width - 2 * self.margin
@@ -138,6 +167,10 @@ class SVGCanvas:
                         f'<rect x="{x0:.1f}" y="{y}" width="{w:.1f}" '
                         f'height="{self.bar_height}" fill="{color}" '
                         f'stroke="#555"/>')
+                    if image_info is not None:
+                        image_info.add_rec_map(RecMap(
+                            x0, y, x0 + w, y + self.bar_height,
+                            block.node))
                     if strand in "+-" and w > 8:
                         ax = x1 - 6 if strand == "+" else x0 + 6
                         tip = x1 if strand == "+" else x0
@@ -153,6 +186,8 @@ class SVGCanvas:
                 y += self.bar_height + self.line_gap
             y += self.track_gap - self.line_gap
         height = y + self.margin
+        if image_info is not None:
+            image_info.height = height
         return (f'<svg xmlns="http://www.w3.org/2000/svg" '
                 f'width="{self.width}" height="{height}">\n'
                 f'<rect width="100%" height="100%" fill="white"/>\n'
@@ -188,7 +223,8 @@ class RasterCanvas:
             y += self.track_gap - self.line_gap
         return y + self.margin
 
-    def render(self, diagram: Diagram):
+    def render(self, diagram: Diagram,
+               image_info: "ImageInfo | None" = None):
         """Returns a PIL Image of the diagram."""
         from PIL import Image, ImageDraw
         view = diagram.view
@@ -219,6 +255,10 @@ class RasterCanvas:
                     x1 = max(x1, x0 + 1)
                     d.rectangle([x0, y, x1, y + self.bar_height],
                                 fill=fill, outline=stroke)
+                    if image_info is not None:
+                        image_info.add_rec_map(RecMap(
+                            x0, y, x1, y + self.bar_height,
+                            block.node))
                     strand = block.node.strand
                     if strand in "+-" and x1 - x0 > 8:
                         ax = x1 - 6 if strand == "+" else x0 + 6
@@ -237,9 +277,12 @@ class RasterCanvas:
 def sketch(nodes: list[GenomeNode], seqid: str | None = None,
            width: int = 800, fmt: str = "svg",
            style: dict | None = None,
-           view: "Range | None" = None):
+           view: "Range | None" = None,
+           image_info: "ImageInfo | None" = None):
     """`gt sketch` equivalent. fmt="svg" returns the SVG string;
-    "png"/"pdf" return the encoded image bytes (PIL canvas)."""
+    "png"/"pdf" return the encoded image bytes (PIL canvas).
+    image_info, when given, collects the drawn feature rectangles
+    (ref: gt_sketch.c:421 gt_image_info_new + -showrecmaps)."""
     diagram = Diagram.from_nodes(nodes, seqid, view=view)
     styles = {}
     if style:
@@ -251,9 +294,10 @@ def sketch(nodes: list[GenomeNode], seqid: str | None = None,
             for t, e in styles.items():
                 if "fill" in e:
                     _TRACK_COLORS[t] = e["fill"]
-        return canvas.render(diagram)
+        return canvas.render(diagram, image_info=image_info)
     import io
-    img = RasterCanvas(width=width, styles=styles).render(diagram)
+    img = RasterCanvas(width=width, styles=styles).render(
+        diagram, image_info=image_info)
     buf = io.BytesIO()
     img.save(buf, format=fmt.upper())
     return buf.getvalue()

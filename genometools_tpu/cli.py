@@ -2400,11 +2400,19 @@ def cmd_sketch(args):
     if fmt == "auto":
         ext = args.out.rsplit(".", 1)[-1].lower()
         fmt = ext if ext in ("svg", "png", "pdf") else "svg"
+    ii = None
+    if args.showrecmaps:
+        from .anno.sketch import ImageInfo
+        ii = ImageInfo()
     out = sketch(nodes, seqid=args.seqid, width=args.width, fmt=fmt,
-                 style=style)
+                 style=style, image_info=ii)
     mode = "w" if isinstance(out, str) else "wb"
     with open(args.out, mode) as f:
         f.write(out)
+    if ii is not None:
+        # ref: gt_sketch.c:449-458 — "<coords>, <type>" per rec map
+        for rm in ii.rec_maps:
+            print(f"{rm.html_imagemap_coords()}, {rm.node.type}")
     return 0
 
 
@@ -2420,6 +2428,8 @@ def _add_sketch(sub):
     p.add_argument("-style", default=None,
                    help="annotation style file (reference .style "
                         "table format)")
+    p.add_argument("-showrecmaps", action="store_true",
+                   help="show recmaps after image creation")
     p.set_defaults(func=cmd_sketch)
 
 

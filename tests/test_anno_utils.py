@@ -354,3 +354,48 @@ style = {
         # 1..80000 at 30000 bp/page -> 3 pages
         assert pdf.count(b"/Type /Page") >= 3 or \
             pdf.count(b"/Page") >= 3
+
+
+class TestImageInfo:
+    """Image maps (ref: src/annotationsketch/image_info.c + rec_map.c;
+    `gt sketch -showrecmaps`, gt_sketch.c:449)."""
+
+    def _nodes(self):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        return parse_gff3(open(
+            "/root/reference/testdata/standard_gene_as_tree.gff3").read())
+
+    def test_recmaps_collected_svg(self):
+        from genometools_tpu.anno.sketch import ImageInfo, sketch
+        ii = ImageInfo()
+        svg = sketch(self._nodes(), image_info=ii)
+        assert svg.count("<rect") - 1 == len(ii.rec_maps)  # -1: bg rect
+        assert ii.height > 0
+        rm = ii.rec_maps[0]
+        # ref format: '%.0f,%.0f,%.0f,%.0f'
+        parts = rm.html_imagemap_coords().split(",")
+        assert len(parts) == 4 and all(
+            p.lstrip("-").isdigit() for p in parts)
+        assert rm.nw_x <= rm.se_x and rm.nw_y <= rm.se_y
+        assert rm.node.type
+
+    def test_recmaps_collected_png(self):
+        from genometools_tpu.anno.sketch import ImageInfo, sketch
+        ii = ImageInfo()
+        sketch(self._nodes(), fmt="png", image_info=ii)
+        assert len(ii.rec_maps) > 3
+
+    def test_cli_showrecmaps(self, tmp_path):
+        import subprocess
+        import sys
+        r = subprocess.run(
+            [sys.executable, "-m", "genometools_tpu", "sketch",
+             str(tmp_path / "o.svg"),
+             "/root/reference/testdata/standard_gene_as_tree.gff3",
+             "-showrecmaps"], capture_output=True, text=True,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        lines = [l for l in r.stdout.splitlines() if l]
+        assert lines and all(", " in l for l in lines)
+        coords = lines[0].split(", ")[0].split(",")
+        assert len(coords) == 4
