@@ -62,8 +62,21 @@ class ReadSet:
         phred quality <= ``lowqual`` (ref: reads2twobit.c:573
         gt_reads2twobit_apply_quality_filter)."""
         alpha = dna_alphabet()
-        reads = []
         quals = seqset.quals if maxlow is not None else None
+        if quals is None and seqset.seqs:
+            # bulk path: one LUT gather over the concatenated bytes,
+            # per-read clean/empty test via reduceat, one split
+            lens = np.fromiter((len(s) for s in seqset.seqs), np.int64,
+                               len(seqset.seqs))
+            codes = alpha.encode(np.concatenate(seqset.seqs))
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            wc = np.concatenate([[0], np.cumsum(codes >= 4)])
+            nbad = wc[ends] - wc[starts]       # wildcards per read
+            keepers = np.flatnonzero((lens > 0) & (nbad == 0))
+            pieces = np.split(codes, ends[:-1])
+            return cls([pieces[i] for i in keepers])
+        reads = []
         for i, seq in enumerate(seqset.seqs):
             if quals is not None and i < len(quals) \
                     and quals[i] is not None:
