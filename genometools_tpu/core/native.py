@@ -482,10 +482,12 @@ def spm_find_native(blob, starts, lens, k: int, minlen: int,
             ctypes.POINTER(i64p), ctypes.POINTER(i64p),
             ctypes.POINTER(i64p)]
     oa, ob, ol = i64p(), i64p(), i64p()
+    nlanes = int(os.environ.get("GT_SPM_LANES", 0)) or \
+        (os.cpu_count() or 1)
     cnt = lib.gt_spm_find(
         blob.ctypes.data_as(u8p), starts.ctypes.data_as(i64p),
         lens.ctypes.data_as(i64p), starts.size, k, minlen,
-        int(strand_canon), os.cpu_count() or 1,
+        int(strand_canon), nlanes,
         ctypes.byref(oa), ctypes.byref(ob), ctypes.byref(ol))
     if cnt < 0:
         return None

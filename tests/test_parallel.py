@@ -310,3 +310,60 @@ class TestDistributedSeedExtend:
                 for x in ev]
 
         assert run(seed_extend) == run(distributed_seed_extend)
+
+
+class TestDistributedReadjoiner:
+    """Sharded overlap counting (dist_readjoiner — the firstcodes
+    analog, ref: src/match/firstcodes.c pass-A accumulation)."""
+
+    def _readset(self, nreads=60, L=50, seed=3):
+        from genometools_tpu.assembly.readjoiner import ReadSet
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 4, 2000).astype(np.uint8)
+        reads = []
+        for _ in range(nreads):
+            s = int(rng.integers(0, g.size - L))
+            reads.append(g[s:s + L].copy())
+        return ReadSet(reads)
+
+    def _host_count(self, rs, minlen):
+        # host mirror of the pass-A candidate count
+        from collections import Counter
+        n = rs.num_reads
+        k = min(minlen, 31)
+        lens_f = np.fromiter((len(x) for x in rs.reads), np.int64, n)
+        blob_f = np.concatenate(rs.reads)
+        lens = np.concatenate([lens_f, lens_f[::-1]])
+        blob = np.concatenate([blob_f,
+                               (3 - blob_f[::-1]).astype(np.uint8)])
+        starts = np.cumsum(lens) - lens
+        total = blob.size
+        npos = total - k + 1
+        wcode = np.zeros(npos, np.int64)
+        for j in range(k):
+            wcode = wcode * 4 + blob[j:j + npos]
+        pc = Counter(wcode[starts[lens >= k]].tolist())
+        cnt = 0
+        for m, (s, ln) in enumerate(zip(starts, lens)):
+            for off in range(0, ln - minlen + 1):
+                cnt += pc.get(int(wcode[s + off]), 0)
+        return cnt
+
+    def test_count_matches_host_mirror(self):
+        from genometools_tpu.parallel.dist_readjoiner import \
+            sharded_spm_candidate_count
+        rs = self._readset()
+        mesh = make_mesh(8)
+        got = sharded_spm_candidate_count(rs, 20, mesh)
+        assert got == self._host_count(rs, 20)
+        assert got > 0
+
+    def test_distributed_find_spms_identical(self):
+        from genometools_tpu.assembly.readjoiner import find_spms
+        from genometools_tpu.parallel.dist_readjoiner import \
+            distributed_find_spms
+        rs = self._readset(nreads=120, L=80, seed=9)
+        mesh = make_mesh(8)
+        ref = find_spms(rs, 30)
+        got = distributed_find_spms(rs, 30, mesh)
+        assert got.lines() == ref.lines()
