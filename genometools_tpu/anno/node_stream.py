@@ -466,3 +466,117 @@ def cds_check_stream(stream, tidy: bool = False) -> Iterator[GenomeNode]:
                                 f"phase {phase}, expected {expected}")
                     expected = (3 - (f.range.length - phase) % 3) % 3
         yield node
+
+
+def dot_out_stream(stream, out=None) -> Iterator[GenomeNode]:
+    """Pass-through stream printing the feature graph as graphviz dot
+    (ref: src/extended/dot_out_stream.c over dot_visitor.c: a record
+    node per feature labeled with id | type, edges to children)."""
+    import sys as _sys
+    out = out or _sys.stdout
+    print("\ndigraph nodes {", file=out)
+    counter = [0]
+    ids: dict[int, int] = {}
+
+    def nid(f):
+        key = id(f)
+        if key not in ids:
+            ids[key] = counter[0]
+            counter[0] += 1
+        return ids[key]
+
+    def walk(f):
+        i = nid(f)
+        print(f'{i} [shape=record, label="{{ {i} | {f.type} }}"]',
+              file=out)
+        for c in f.children:
+            print(f"{i} -> {nid(c)}", file=out)
+            walk(c)
+
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            walk(node)
+        yield node
+    print("}", file=out)
+
+
+def _gff3_feature_lines(node) -> list[str]:
+    from .gff3 import GFF3Writer
+    w = GFF3Writer()
+    w.visit(node)
+    return [ln for ln in w.lines if not ln.startswith("#")]
+
+
+def gff3_linesorted_out_stream(stream, out=None) -> None:
+    """Drain the stream and print every GFF3 feature line in full
+    lexicographic line order (ref:
+    src/extended/gff3_linesorted_out_stream.c: token-pair comparator
+    over seqid / source / type / coordinates — a total line sort)."""
+    import sys as _sys
+    out = out or _sys.stdout
+    lines = []
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            lines.extend(_gff3_feature_lines(node))
+    for ln in sorted(lines):
+        print(ln, file=out)
+
+
+def gff3_numsorted_out_stream(stream, out=None) -> None:
+    """Like gff3_linesorted_out_stream with numeric coordinate order
+    within (seqid) groups (ref:
+    src/extended/gff3_numsorted_out_stream.c)."""
+    import sys as _sys
+    out = out or _sys.stdout
+    rows = []
+    for node in stream:
+        if isinstance(node, FeatureNode):
+            for ln in _gff3_feature_lines(node):
+                c = ln.split("\t")
+                rows.append(((c[0], int(c[3]), int(c[4]), ln), ln))
+    for _, ln in sorted(rows, key=lambda r: r[0]):
+        print(ln, file=out)
+
+
+def sequence_node_add_stream(stream, seqs: dict[str, str]
+                             ) -> Iterator[GenomeNode]:
+    """Append one SequenceNode per region referenced by the features,
+    taken from `seqs` (ref: src/extended/sequence_node_add_stream.c —
+    adds the region sequences ahead of an embedded-FASTA writer)."""
+    from .genome_node import SequenceNode
+    seen = []
+    for node in stream:
+        if isinstance(node, FeatureNode) and node.seqid in seqs and \
+                node.seqid not in seen:
+            seen.append(node.seqid)
+        yield node
+    for sid in seen:
+        yield SequenceNode(sid, seqs[sid])
+
+
+def sequence_node_out_stream(stream, out=None) -> Iterator[GenomeNode]:
+    """Split off SequenceNodes as FASTA on `out`, forward the rest
+    (ref: src/extended/sequence_node_out_stream.c)."""
+    import sys as _sys
+    out = out or _sys.stdout
+    for node in stream:
+        from .genome_node import SequenceNode
+        if isinstance(node, SequenceNode):
+            print(f">{node.description}", file=out)
+            for i in range(0, len(node.sequence), 80):
+                print(node.sequence[i:i + 80], file=out)
+        else:
+            yield node
+
+
+def add_ids_stream(stream) -> Iterator[GenomeNode]:
+    """Assign fresh IDs to top-level features lacking one
+    (ref: src/extended/add_ids_stream.c / id assignment in
+    gff3_out: the writer needs IDs to express Parent links)."""
+    counter = [0]
+    for node in stream:
+        if isinstance(node, FeatureNode) and node.children and \
+                not node.get_attribute("ID"):
+            counter[0] += 1
+            node.attributes["ID"] = f"gene{counter[0]}"
+        yield node

@@ -114,3 +114,65 @@ class TestTidyTargetCds:
         cds = [f for n in out if isinstance(n, FeatureNode)
                for f in n.traverse() if f.type == "CDS"]
         assert all(str(f.phase) == "0" for f in cds)
+
+
+class TestRound4bStreams:
+    """dot_out / linesorted / numsorted / sequence-node / add_ids
+    streams (ref: src/extended/dot_out_stream.c,
+    gff3_linesorted_out_stream.c, gff3_numsorted_out_stream.c,
+    sequence_node_{add,out}_stream.c, add_ids_stream.c)."""
+
+    def _nodes(self):
+        from genometools_tpu.anno.gff3 import parse_gff3
+        return parse_gff3(open(
+            "/root/reference/testdata/standard_gene_as_tree.gff3"
+        ).read())
+
+    def test_dot_out_stream(self):
+        import io
+        from genometools_tpu.anno.node_stream import dot_out_stream
+        buf = io.StringIO()
+        nodes = list(dot_out_stream(self._nodes(), out=buf))
+        text = buf.getvalue()
+        assert text.strip().startswith("digraph nodes {")
+        assert text.strip().endswith("}")
+        assert "shape=record" in text and "->" in text
+        assert nodes  # pass-through preserved
+
+    def test_linesorted_and_numsorted(self):
+        import io
+        from genometools_tpu.anno.node_stream import (
+            gff3_linesorted_out_stream, gff3_numsorted_out_stream)
+        b1, b2 = io.StringIO(), io.StringIO()
+        gff3_linesorted_out_stream(self._nodes(), out=b1)
+        gff3_numsorted_out_stream(self._nodes(), out=b2)
+        l1 = b1.getvalue().splitlines()
+        l2 = b2.getvalue().splitlines()
+        assert l1 == sorted(l1)
+        assert set(l1) == set(l2)
+        starts = [(x.split("\t")[0], int(x.split("\t")[3]))
+                  for x in l2]
+        assert starts == sorted(starts)
+
+    def test_sequence_node_add_and_out(self):
+        import io
+        from genometools_tpu.anno.genome_node import SequenceNode
+        from genometools_tpu.anno.node_stream import (
+            sequence_node_add_stream, sequence_node_out_stream)
+        seqs = {"ctg123": "ACGT" * 25}
+        st = sequence_node_add_stream(self._nodes(), seqs)
+        buf = io.StringIO()
+        rest = list(sequence_node_out_stream(st, out=buf))
+        assert not any(isinstance(x, SequenceNode) for x in rest)
+        fasta = buf.getvalue()
+        assert fasta.startswith(">ctg123")
+        assert "ACGT" in fasta
+
+    def test_add_ids_stream(self):
+        from genometools_tpu.anno.genome_node import FeatureNode
+        from genometools_tpu.anno.node_stream import add_ids_stream
+        parent = FeatureNode("c", "gene", 1, 10, "+")
+        child = FeatureNode("c", "exon", 1, 10, "+")
+        parent.children.append(child)
+        out = list(add_ids_stream([parent]))
+        assert out[0].get_attribute("ID") == "gene1"
