@@ -1,23 +1,32 @@
-"""Xdrop alignment extension (Zhang et al. arbitrary-score fronts).
+"""Xdrop alignment extension — cost-wave band scan.
 
-Semantics equivalent of the reference gt_evalxdroparbitscoresextend
-(ref: src/match/xdrop.c:224-430), including its exact tie-breaking
-(deletion preferred over replacement over insertion at equal row), the
-X-drop test against the best score dback generations back, the
-MININFINITY-generation termination rule, and bound pruning — so extension
-coordinates match the reference bit for bit.
+Behavioral spec: the reference's arbitrary-score X-drop extender
+(`gt_evalxdroparbitscoresextend`, ref: src/match/xdrop.c:224-430) — the
+reference is used as a *spec* only (tie-breaking, the drop test against
+the running peak a fixed number of waves back, the stalled-wave
+termination rule, band clipping); the formulation here is our own:
+
+Each *wave* w holds, for every live diagonal, the furthest row any
+alignment of total unit cost w has reached ("reach").  Waves are dense
+numpy windows over the live diagonal range — the whole band advances
+with vectorized source merges per wave, and only the match-run sprint
+down each freshly advanced diagonal touches scalars.  History is a tiny
+dict of the last max-unit-cost windows (the deepest any edit source
+looks back).
+
+Exactness bar: extension coordinates match the reference bit for bit
+(golden seedextend/repfind suites).
 
 Two implementations:
-  * `xdrop_extend` — host scalar mirror (numpy arrays, Python loop over
-    d-generations). This is the correctness oracle and the fallback.
-  * a batched device version lives in ops/xdrop_batch.py (lanes over
-    seeds; same front recurrence expressed as fixed-shape lax ops).
+  * `xdrop_extend` below — the host engine / correctness oracle.
+  * batched device versions in ops/xdrop_batch.py and ops/xdrop_pallas.py
+    (fixed-shape lanes over many seeds).
 
 Score model (ref: seed-extend.c:73-76 defaults): mat=2 mis=-1 ins=-2
-del=-2; distances derived as in gt_calculatedistancesfromscores
-(ref: xdrop.c:129): with doubled scores if mat is odd,
-gcd = gcd(mat-mis, mat/2-ins, mat/2-del), unit costs = diffs/gcd,
-EVAL(k, d) = k*mat/2 - d*gcd.
+del=-2; unit costs derived as in the reference's score-to-distance
+reduction (ref: xdrop.c:129): scores doubled if mat is odd,
+quantum = gcd(mat-mis, mat/2-ins, mat/2-del), unit costs = diffs/quantum,
+score(total, w) = total*mat/2 - w*quantum.
 """
 
 from __future__ import annotations
@@ -76,20 +85,27 @@ class XdropBest:
     best_k: int
 
 
-def _lcp(u: np.ndarray, v: np.ndarray, i: int, j: int) -> int:
-    """Length of the longest common prefix of u[i:] and v[j:]. Only equal
-    *regular* symbols match (special codes never equal anything — callers
-    pass raw uint8 codes where specials are >= 254 and distinct positions
-    of equal special codes must not match; the reference compares decoded
-    characters where wildcards never match, ref: seqabstract.c)."""
+def _match_run(u: np.ndarray, v: np.ndarray, i: int, j: int) -> int:
+    """How many rows does u[i:] match v[j:] for?  Only equal *regular*
+    symbols match (special codes >= 4 never equal anything, matching the
+    reference's wildcard rule, ref: seqabstract.c).  Compares in chunks
+    so long perfect runs stay vectorized."""
     n, m = len(u), len(v)
-    l = 0
-    while i + l < n and j + l < m:
-        a, b = u[i + l], v[j + l]
-        if a != b or a >= 4:
-            break
-        l += 1
-    return l
+    total, chunk = 0, 64
+    while True:
+        a = u[i + total:i + total + chunk]
+        b = v[j + total:j + total + chunk]
+        span = min(a.size, b.size)
+        if span == 0:
+            return total
+        eq = (a[:span] == b[:span]) & (a[:span] < 4)
+        miss = np.flatnonzero(~eq)
+        if miss.size:
+            return total + int(miss[0])
+        total += span
+        if span < chunk:
+            return total
+        chunk = min(chunk * 4, 4096)
 
 
 def xdrop_extend(u: np.ndarray, v: np.ndarray, belowscore: int,
@@ -97,125 +113,146 @@ def xdrop_extend(u: np.ndarray, v: np.ndarray, belowscore: int,
     """One-direction extension: how far do prefixes of u and v align?
 
     u, v: uint8 code arrays, already oriented (pass reversed slices for a
-    left extension). Mirrors the reference front loop exactly.
+    left extension).  Cost-wave band scan (see module docstring).
     """
-    ulen, vlen = len(u), len(v)
-    if ulen == 0 or vlen == 0:
+    m, n = len(u), len(v)
+    if m == 0 or n == 0:
         return XdropBest(0, 0, 0, 0, 0)
-    dis_mis, dis_ins, dis_del, gcd, mat2 = scores.distances()
-    half_mat = mat2 // 2
-    end_k = ulen - vlen
-    integermax = max(ulen, vlen)
-    integermin = -integermax
-    dback = (belowscore + half_mat) // gcd + 1
-    allowed_mininf = max(dis_mis, dis_ins, dis_del) - 1
+    sub_cost, ins_cost, del_cost, quantum, mat2 = scores.distances()
+    half = mat2 // 2
+    goal_diag = m - n                 # the diagonal where u runs out last
+    UNSEEN = -max(m, n)               # "no front on this diagonal" row
+    NEG = -(1 << 62)                  # below any candidate row
+    # the drop test compares against the peak this many waves back
+    lookback = (belowscore + half) // quantum + 1
+    # waves where no diagonal advanced are tolerated up to the deepest
+    # edit-source look-back minus one, then the band is declared dead
+    stall_limit = max(sub_cost, ins_cost, del_cost) - 1
+    keep = max(sub_cost, ins_cost, del_cost)
 
-    def EVAL(K, D):
-        return K * half_mat - D * gcd
+    def grade(total: int, wave: int) -> int:
+        return total * half - wave * quantum
 
-    fronts = {}
-    big_t = []
+    run0 = _match_run(u, v, 0, 0)
+    peak = XdropBest(run0, run0, grade(2 * run0, 0), 0, 0)
+    if run0 >= m or run0 >= n:
+        return peak                   # a sequence is exhausted already
+    waves = {0: (0, np.array([run0], np.int64))}
+    peak_log = [peak.score]           # best score as of each wave
+    lo = hi = 0                       # live diagonal range
+    w = 0
+    stall = 0
 
-    idx = _lcp(u, v, 0, 0)
-    if idx >= ulen or idx >= vlen:
-        lbound, ubound = 1, -1
-    else:
-        lbound, ubound = 0, 0
-    fronts[(0, 0)] = idx
-    best = XdropBest(idx, idx, EVAL(2 * idx, 0), 0, 0)
-    bigt_tmp = best.score
-    big_t.append(bigt_tmp)
+    while lo <= hi:
+        w += 1
+        diags = np.arange(lo - 1, hi + 2)
+        nd = diags.size
 
-    currd = 0
-    current_mininf_gen = 0
-    always_mininf = True
-    while lbound <= ubound:
-        currd += 1
-        for k in range(lbound - 1, ubound + 2):
-            i = integermin
-            direction = 0
-            d_del = currd - dis_del
-            if lbound < k and d_del >= 0 and -d_del <= k - 1 <= d_del:
-                i = fronts.get((d_del, k - 1), integermin) + 1
-                direction = 1  # deletion
-            d_mis = currd - dis_mis
-            if lbound <= k <= ubound and d_mis >= 0 and -d_mis <= k <= d_mis:
-                row = fronts.get((d_mis, k), integermin) + 1
-                if direction == 0 or row > i:
-                    i = row
-                    direction = 2  # replacement
-            d_ins = currd - dis_ins
-            if k < ubound and d_ins >= 0 and -d_ins <= k + 1 <= d_ins:
-                row = fronts.get((d_ins, k + 1), integermin)
-                if direction == 0 or row > i:
-                    i = row
-                    direction = 3  # insertion
-            if i < 0:
-                if direction == 0:
-                    always_mininf = False
-                fronts[(currd, k)] = integermin
-                continue
-            j = i - k
-            previousd = currd - dback
-            if previousd > 0 and big_t and \
-                    EVAL(i + j, currd) < big_t[previousd] - belowscore:
-                fronts[(currd, k)] = integermin
-                continue
-            if k <= -currd or k >= currd or \
-                    (fronts.get((currd - 1, k), integermin) < i
-                     <= min(ulen, vlen + k)):
-                if ulen > i and vlen > j:
-                    l = _lcp(u, v, i, j)
-                    i += l
-                    j += l
-                always_mininf = False
-                fronts[(currd, k)] = i
-                if EVAL(i + j, currd) > bigt_tmp:
-                    bigt_tmp = EVAL(i + j, currd)
-                    best = XdropBest(i, j, bigt_tmp, currd, k)
-            else:
-                always_mininf = False
-                fronts[(currd, k)] = fronts.get((currd - 1, k), integermin)
-        if always_mininf:
-            current_mininf_gen += 1
-            if current_mininf_gen > allowed_mininf:
-                break
+        def rows_at(wave: int, at: np.ndarray) -> np.ndarray:
+            ent = waves.get(wave)
+            out = np.full(at.size, UNSEEN, np.int64)
+            if ent is None:
+                return out
+            base, arr = ent
+            ix = at - base
+            ok = (ix >= 0) & (ix < arr.size)
+            out[ok] = arr[ix[ok]]
+            return out
+
+        # merge the three edit sources; each is gated by the band range
+        # and by its source wave's own diagonal reach
+        cand = np.full(nd, NEG, np.int64)
+        sourced = np.zeros(nd, bool)
+        pw = w - del_cost             # consume a u symbol: diag-1, +1 row
+        if pw >= 0:
+            ok = (diags > lo) & (diags - 1 >= -pw) & (diags - 1 <= pw)
+            cand = np.where(ok, np.maximum(cand, rows_at(pw, diags - 1) + 1),
+                            cand)
+            sourced |= ok
+        pw = w - sub_cost             # substitute: same diag, +1 row
+        if pw >= 0:
+            ok = (diags >= lo) & (diags <= hi) & (np.abs(diags) <= pw)
+            cand = np.where(ok, np.maximum(cand, rows_at(pw, diags) + 1),
+                            cand)
+            sourced |= ok
+        pw = w - ins_cost             # consume a v symbol: diag+1, same row
+        if pw >= 0:
+            ok = (diags < hi) & (diags + 1 >= -pw) & (diags + 1 <= pw)
+            cand = np.where(ok, np.maximum(cand, rows_at(pw, diags + 1)),
+                            cand)
+            sourced |= ok
+
+        reach = np.full(nd, UNSEEN, np.int64)
+        alive = cand >= 0
+        # the drop test: kill fronts whose score fell more than
+        # belowscore under the peak as of `lookback` waves ago
+        if w - lookback > 0:
+            floor = peak_log[w - lookback] - belowscore
+            alive &= (cand + (cand - diags)) * half - w * quantum >= floor
+        # a diagonal only advances if it beat the previous wave's front
+        # and stayed inside both sequences; band-edge diagonals are new
+        # and always advance.  Everyone else carries the old front.
+        prev = rows_at(w - 1, diags)
+        fresh = alive & ((diags <= -w) | (diags >= w) |
+                         ((prev < cand) & (cand <= np.minimum(m, n + diags))))
+        carry = alive & ~fresh
+        reach[carry] = prev[carry]
+        # the wave moved if any diagonal was source-less, advanced, or
+        # carried — only all-killed waves count toward the stall limit
+        moved = bool((~sourced).any() or alive.any())
+        for t in np.flatnonzero(fresh):
+            i, d = int(cand[t]), int(diags[t])
+            j = i - d
+            if i < m and j < n:       # sprint down the diagonal
+                r = _match_run(u, v, i, j)
+                i += r
+                j += r
+            reach[t] = i
+            sc = grade(i + j, w)
+            if sc > peak.score:       # first diagonal wins ties
+                peak = XdropBest(i, j, sc, w, d)
+        waves[w] = (lo - 1, reach)
+        waves.pop(w - keep, None)
+
+        if moved:
+            stall = 0
         else:
-            current_mininf_gen = 0
-            always_mininf = True
-        big_t.append(bigt_tmp)
-        # alignment complete?
-        if -currd <= end_k <= currd and \
-                fronts.get((currd, end_k), integermin) == ulen:
-            break
-        # prune bounds
-        for k in range(lbound - 1, ubound + 2):
-            if fronts.get((currd, k), integermin) > integermin:
-                lbound = k
+            stall += 1
+            if stall > stall_limit:
                 break
-        for k in range(ubound + 1, lbound - 2, -1):
-            if fronts.get((currd, k), integermin) > integermin:
-                ubound = k
+        peak_log.append(peak.score)
+        # complete alignment: u exhausted on the goal diagonal
+        if -w <= goal_diag <= w:
+            t = goal_diag - (lo - 1)
+            if 0 <= t < nd and reach[t] == m:
                 break
-        for k in range(0, lbound - 1, -1):
-            if fronts.get((currd, k), integermin) == vlen + k:
-                lbound = k
-                break
-        for k in range(0, ubound + 1):
-            if fronts.get((currd, k), integermin) == ulen:
-                ubound = k
-                break
-    return best
+        # shrink the band to the live diagonals …
+        live = np.flatnonzero(reach > UNSEEN)
+        if live.size:
+            lo = int(diags[live[0]])
+            hi = int(diags[live[-1]])
+        # … then clip diagonals past a sequence end: below a diagonal
+        # that exhausted v nothing can improve, likewise above one that
+        # exhausted u (innermost such diagonal on each side)
+        done_v = np.flatnonzero((diags <= 0) & (diags >= lo) &
+                                (reach == n + diags))
+        if done_v.size:
+            lo = int(diags[done_v[-1]])
+        done_u = np.flatnonzero((diags >= 0) & (diags <= hi) &
+                                (reach == m))
+        if done_u.size:
+            hi = int(diags[done_u[0]])
+    return peak
 
 
 def xdrop_extend_bruteforce(u: np.ndarray, v: np.ndarray, belowscore: int,
                             scores: XdropScores = XdropScores()):
     """Banded DP oracle (exhaustive over all prefix pairs within
-    distance bound): best EVAL score over alignments of (u-prefix,
+    distance bound): best score over alignments of (u-prefix,
     v-prefix). Ignores the X-drop pruning, so it upper-bounds
-    xdrop_extend's score — used to check the front recurrence."""
+    xdrop_extend's score — used to check the wave recurrence."""
     ulen, vlen = len(u), len(v)
-    dis_mis, dis_ins, dis_del, gcd, mat2 = scores.distances()
+    sub_cost, ins_cost, del_cost, quantum, mat2 = scores.distances()
     half = mat2 // 2
     INF = 10 ** 9
     D = np.full((ulen + 1, vlen + 1), INF, np.int64)
@@ -225,14 +262,14 @@ def xdrop_extend_bruteforce(u: np.ndarray, v: np.ndarray, belowscore: int,
             if i < ulen and j < vlen and u[i] == v[j] and u[i] < 4:
                 D[i + 1, j + 1] = min(D[i + 1, j + 1], D[i, j])
             if i < ulen and j < vlen:
-                D[i + 1, j + 1] = min(D[i + 1, j + 1], D[i, j] + dis_mis)
+                D[i + 1, j + 1] = min(D[i + 1, j + 1], D[i, j] + sub_cost)
             if i < ulen:
-                D[i + 1, j] = min(D[i + 1, j], D[i, j] + dis_del)
+                D[i + 1, j] = min(D[i + 1, j], D[i, j] + del_cost)
             if j < vlen:
-                D[i, j + 1] = min(D[i, j + 1], D[i, j] + dis_ins)
+                D[i, j + 1] = min(D[i, j + 1], D[i, j] + ins_cost)
     best = 0
     for i in range(ulen + 1):
         for j in range(vlen + 1):
             if D[i, j] < INF:
-                best = max(best, (i + j) * half - D[i, j] * gcd)
+                best = max(best, (i + j) * half - D[i, j] * quantum)
     return best

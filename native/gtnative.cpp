@@ -325,13 +325,14 @@ int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Xdrop extension (Zhang et al. arbitrary-score fronts) — native mirror of
-// the Python reference in ops/xdrop.py (semantics equivalent of
-// ref: src/match/xdrop.c:224). Batched over many (u, v) pairs.
+// Xdrop extension -- cost-wave band scan, native twin of ops/xdrop.py
+// (behavioral spec: ref src/match/xdrop.c:224, used as spec only; see the
+// Python module docstring for the formulation). Batched over (u, v) pairs.
 //
 // Sequences are uint8 codes; specials (>= 4 in DNA space; anything >= 250)
 // never match. Scores fixed to the seed-extend defaults mat=2 mis=-1
-// ins=-2 del=-2 => unit distances, gcd 3 (general scores stay in Python).
+// ins=-2 del=-2 => unit edit costs, score quantum 3 (general scores stay
+// in Python).
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -351,138 +352,121 @@ static inline int64_t xlcp(const uint8_t *u, int64_t ulen, const uint8_t *v,
 
 static XBest xdrop_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
                        int64_t vlen, int64_t belowscore) {
-  XBest best{0, 0, 0};
-  if (ulen == 0 || vlen == 0) return best;
-  const int64_t gcd = 3, half_mat = 1;
-  const int64_t end_k = ulen - vlen;
-  const int64_t integermax = (ulen > vlen ? ulen : vlen);
-  const int64_t integermin = -integermax;
-  const int64_t dback = (belowscore + half_mat) / gcd + 1;
-  const int allowed_mininf = 0;  // max(dis)-1 = 0 for unit distances
+  XBest peak{0, 0, 0};
+  if (ulen == 0 || vlen == 0) return peak;
+  // unit edit costs; score(total rows+cols, wave) = total - 3 * wave
+  const int64_t quantum = 3, half = 1;
+  const int64_t goal_diag = ulen - vlen;
+  const int64_t UNSEEN = -(ulen > vlen ? ulen : vlen);
+  const int64_t lookback = (belowscore + half) / quantum + 1;
 
-  auto EVAL = [&](int64_t K, int64_t D) { return K * half_mat - D * gcd; };
-
-  // fronts stored per (d, k) in a flat vector indexed d*d+d+k
-  std::vector<int64_t> fronts;
-  auto fget = [&](int64_t d, int64_t k) -> int64_t {
-    size_t idx = (size_t)(d * d + d + k);
-    return idx < fronts.size() ? fronts[idx] : integermin;
+  auto grade = [&](int64_t total, int64_t wv) {
+    return total * half - wv * quantum;
   };
-  auto fset = [&](int64_t d, int64_t k, int64_t val) {
-    size_t idx = (size_t)(d * d + d + k);
-    if (idx >= fronts.size()) fronts.resize(idx + 64, integermin);
-    fronts[idx] = val;
+
+  const int64_t run0 = xlcp(u, ulen, v, vlen, 0, 0);
+  peak = {run0, run0, grade(2 * run0, 0)};
+  if (run0 >= ulen || run0 >= vlen) return peak;
+
+  // dense reach windows: previous and current wave only (unit costs)
+  std::vector<int64_t> peak_log{peak.score};
+  std::vector<int64_t> prow{run0}, crow;
+  int64_t pbase = 0;
+  int64_t lo = 0, hi = 0, w = 0;
+
+  auto at = [&](const std::vector<int64_t> &rows, int64_t base,
+                int64_t d) -> int64_t {
+    const int64_t ix = d - base;
+    return (ix >= 0 && ix < (int64_t)rows.size()) ? rows[ix] : UNSEEN;
   };
-  std::vector<int64_t> big_t;
 
-  int64_t idx0 = xlcp(u, ulen, v, vlen, 0, 0);
-  int64_t lbound, ubound;
-  if (idx0 >= ulen || idx0 >= vlen) {
-    lbound = 1;
-    ubound = -1;
-  } else {
-    lbound = 0;
-    ubound = 0;
-  }
-  fset(0, 0, idx0);
-  best = {idx0, idx0, EVAL(2 * idx0, 0)};
-  int64_t bigt_tmp = best.score;
-  big_t.push_back(bigt_tmp);
-
-  int64_t currd = 0;
-  int cur_mininf = 0;
-  bool always_mininf = true;
-  while (lbound <= ubound) {
-    currd++;
-    for (int64_t k = lbound - 1; k <= ubound + 1; k++) {
-      int64_t i = integermin;
-      int direction = 0;
-      int64_t dd = currd - 1;  // all unit distances
-      if (lbound < k && dd >= 0 && -dd <= k - 1 && k - 1 <= dd) {
-        i = fget(dd, k - 1) + 1;
-        direction = 1;
+  while (lo <= hi) {
+    w++;
+    const int64_t cbase = lo - 1;
+    crow.assign((size_t)(hi - lo + 3), UNSEEN);
+    bool moved = false;
+    const bool dropping = w - lookback > 0;
+    const int64_t floor_sc =
+        dropping ? peak_log[(size_t)(w - lookback)] - belowscore : 0;
+    for (int64_t d = cbase; d <= hi + 1; d++) {
+      // merge the three unit-cost edit sources from the previous wave
+      int64_t cand = INT64_MIN / 2;
+      bool sourced = false;
+      if (d > lo && d - 1 >= -(w - 1) && d - 1 <= w - 1) {  // consume u
+        const int64_t c = at(prow, pbase, d - 1) + 1;
+        if (c > cand) cand = c;
+        sourced = true;
       }
-      if (lbound <= k && k <= ubound && dd >= 0 && -dd <= k && k <= dd) {
-        int64_t row = fget(dd, k) + 1;
-        if (direction == 0 || row > i) {
-          i = row;
-          direction = 2;
-        }
+      if (d >= lo && d <= hi && d >= -(w - 1) && d <= w - 1) {  // subst
+        const int64_t c = at(prow, pbase, d) + 1;
+        if (c > cand) cand = c;
+        sourced = true;
       }
-      if (k < ubound && dd >= 0 && -dd <= k + 1 && k + 1 <= dd) {
-        int64_t row = fget(dd, k + 1);
-        if (direction == 0 || row > i) {
-          i = row;
-          direction = 3;
-        }
+      if (d < hi && d + 1 >= -(w - 1) && d + 1 <= w - 1) {  // consume v
+        const int64_t c = at(prow, pbase, d + 1);
+        if (c > cand) cand = c;
+        sourced = true;
       }
-      if (i < 0) {
-        if (direction == 0) always_mininf = false;
-        fset(currd, k, integermin);
+      if (!sourced) {  // band edge never fed: the wave still moved
+        moved = true;
         continue;
       }
-      int64_t j = i - k;
-      int64_t previousd = currd - dback;
-      if (previousd > 0 && previousd < (int64_t)big_t.size() &&
-          EVAL(i + j, currd) < big_t[previousd] - belowscore) {
-        fset(currd, k, integermin);
-        continue;
-      }
-      int64_t mn = ulen < vlen + k ? ulen : vlen + k;
-      if (k <= -currd || k >= currd ||
-          (fget(currd - 1, k) < i && i <= mn)) {
-        if (ulen > i && vlen > j) {
-          int64_t l = xlcp(u, ulen, v, vlen, i, j);
-          i += l;
-          j += l;
+      if (cand < 0) continue;  // unreachable front stays UNSEEN
+      int64_t col = cand - d;
+      // the drop test: kill fronts that fell more than belowscore under
+      // the peak as of `lookback` waves ago
+      if (dropping && grade(cand + col, w) < floor_sc) continue;
+      moved = true;
+      const int64_t prev = at(prow, pbase, d);
+      const int64_t cap = ulen < vlen + d ? ulen : vlen + d;
+      // a diagonal only advances past the previous wave's front inside
+      // both sequences; band-edge diagonals are new and always advance;
+      // everyone else carries the old front
+      if (d <= -w || d >= w || (prev < cand && cand <= cap)) {
+        if (cand < ulen && col < vlen) {  // sprint down the diagonal
+          const int64_t r = xlcp(u, ulen, v, vlen, cand, col);
+          cand += r;
+          col += r;
         }
-        always_mininf = false;
-        fset(currd, k, i);
-        if (EVAL(i + j, currd) > bigt_tmp) {
-          bigt_tmp = EVAL(i + j, currd);
-          best = {i, j, bigt_tmp};
-        }
+        crow[(size_t)(d - cbase)] = cand;
+        const int64_t sc = grade(cand + col, w);
+        if (sc > peak.score) peak = {cand, col, sc};
       } else {
-        always_mininf = false;
-        fset(currd, k, fget(currd - 1, k));
+        crow[(size_t)(d - cbase)] = prev;
       }
     }
-    if (always_mininf) {
-      cur_mininf++;
-      if (cur_mininf > allowed_mininf) break;
-    } else {
-      cur_mininf = 0;
-      always_mininf = true;
-    }
-    big_t.push_back(bigt_tmp);
-    if (-currd <= end_k && end_k <= currd && fget(currd, end_k) == ulen)
+    if (!moved) break;  // an all-killed wave ends the extension
+    peak_log.push_back(peak.score);
+    // complete alignment: u exhausted on the goal diagonal
+    if (goal_diag >= -w && goal_diag <= w &&
+        at(crow, cbase, goal_diag) == ulen)
       break;
-    for (int64_t k = lbound - 1; k <= ubound + 1; k++) {
-      if (fget(currd, k) > integermin) {
-        lbound = k;
+    // shrink the band to the live diagonals ...
+    for (int64_t e = cbase; e <= hi + 1; e++)
+      if (crow[(size_t)(e - cbase)] > UNSEEN) {
+        lo = e;
         break;
       }
-    }
-    for (int64_t k = ubound + 1; k >= lbound - 1; k--) {
-      if (fget(currd, k) > integermin) {
-        ubound = k;
+    for (int64_t e = hi + 1; e >= cbase; e--)
+      if (crow[(size_t)(e - cbase)] > UNSEEN) {
+        hi = e;
         break;
       }
-    }
-    for (int64_t k = 0; k >= lbound; k--) {
-      if (fget(currd, k) == vlen + k) {
-        lbound = k;
+    // ... then clip diagonals past a sequence end (innermost first)
+    for (int64_t e = 0; e >= lo; e--)
+      if (at(crow, cbase, e) == vlen + e) {
+        lo = e;
         break;
       }
-    }
-    for (int64_t k = 0; k <= ubound; k++) {
-      if (fget(currd, k) == ulen) {
-        ubound = k;
+    for (int64_t e = 0; e <= hi; e++)
+      if (at(crow, cbase, e) == ulen) {
+        hi = e;
         break;
       }
-    }
+    prow.swap(crow);
+    pbase = cbase;
   }
-  return best;
+  return peak;
 }
 
 static inline int popcount64(uint64_t v) {
