@@ -785,17 +785,28 @@ def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
         if not params.no_diagband_filter:
             band = (amaxlen + bpos - apos) >> logw
             nb = int(band.max()) + 2
-            score = np.zeros(nb + 2, np.int64)
-            lastpos = np.zeros(nb + 2, np.int64)
-            for i in range(apos.size):
-                d = int(band[i]) + 1  # +1 so band-1/band+1 indexing is safe
-                key = int(bpos[i])
-                if lastpos[d] == 0 or lastpos[d] + k <= key:
-                    lastpos[d] = key
-                    score[d] += k
-                elif lastpos[d] < key:
-                    score[d] += key - lastpos[d]
-                    lastpos[d] = key
+            # per-band non-overlapping coverage (ref: diagband-struct.c
+            # gt_diagband_struct_single_update): walking seeds in bpos
+            # order per band, each adds min(k, bpos - prev_bpos) new
+            # covered B positions (k for the first; 0 for equal bpos).
+            # Seeds arrive bpos-sorted, so a stable sort by band makes
+            # each band a contiguous ascending-bpos run — the whole
+            # update collapses to one vectorized segmented scan.
+            bo = np.argsort(band, kind="stable")
+            bs, bb = bpos[bo], band[bo]
+            first = np.empty(bs.size, bool)
+            first[0] = True
+            first[1:] = bb[1:] != bb[:-1]
+            contrib = np.empty(bs.size, np.int64)
+            contrib[first] = k
+            nf = ~first
+            if nf.any():
+                delta = np.empty(bs.size, np.int64)
+                delta[1:] = bs[1:] - bs[:-1]
+                contrib[nf] = np.minimum(k, delta[nf])
+            score = np.zeros(nb + 4, np.int64)
+            acc = np.bincount(bb + 1, weights=contrib)
+            score[:acc.size] = acc.astype(np.int64)
             coverage = score[band + 1] + np.maximum(score[band],
                                                     score[band + 2])
             sel = coverage >= mincov
