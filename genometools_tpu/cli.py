@@ -508,7 +508,36 @@ def cmd_seed_extend(args):
             aenc, benc, p, events=events,
             devices=jax.devices()[:ndev] if ndev else None)
     else:
-        result = seed_extend(aenc, benc, p, events=events)
+        plain = not (show_failed or col_fmts or show_alignment)
+        raw = [] if plain else None
+        result = seed_extend(aenc, benc, p, events=events, raw_sink=raw)
+        if raw:
+            # bulk emission: fused-engine record blocks go through the
+            # native line formatter straight to the output fd; object
+            # blocks (non-fused strands) print normally — emission
+            # order is the generation order either way
+            from .core.native import seedext_write_lines_native
+            for block in raw:
+                if block[0] == "recs":
+                    _, d, _k, recs = block
+                    done = False
+                    if recs.shape[0]:
+                        try:
+                            fd = sys.stdout.fileno()
+                        except Exception:
+                            fd = None
+                        if fd is not None:
+                            sys.stdout.flush()
+                            done = seedext_write_lines_native(
+                                recs, d, f"/dev/fd/{fd}", True)
+                    if not done:
+                        from .match.seed_extend import _recs_to_matches
+                        for m in _recs_to_matches(recs, d, _k):
+                            print(m.line())
+                else:
+                    for m in block[1]:
+                        print(m.line())
+            return 0
     if show_failed:
         stream = events
     else:

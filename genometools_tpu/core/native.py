@@ -500,3 +500,124 @@ def spm_find_native(blob, starts, lens, k: int, minlen: int,
         lib.gt_free(ptr)
         return out
     return take64(oa, cnt), take64(ob, cnt), take64(ol, cnt)
+
+
+def seedext_greedy_run_native(aflat, bflat, a_start, a_len, b_start, b_len,
+                              pa_seq, pb_seq, pb_pos, pa_pos, *, k, amaxlen,
+                              logw, mincov, use_filter, selfcomp, is_p,
+                              max_combine, history, pmh, mad, pol,
+                              errperc, leastlen2):
+    """Fused seed_extend greedy engine (gt_seedext_greedy_run): the whole
+    per-strand diagband-filter + sequential skip/extend/accept walk over
+    the joined pair lists, flanks extended in place over the flat code
+    arrays (capability of gt_diagbandseed_process_seeds + gt_extend_sesp,
+    ref: src/match/diagbandseed.c:4136).  Returns int64[n, 12] match
+    records in emission order, or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_seedext_greedy_run
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, u8p, i64p, i64p, i64p, i64p,
+                       i32p, i32p, i32p, i32p,
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                       i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int64, ctypes.c_int64,
+                       ctypes.POINTER(i64p)]
+    aflat = np.ascontiguousarray(aflat, np.uint8)
+    bflat = np.ascontiguousarray(bflat, np.uint8)
+    a_start = np.ascontiguousarray(a_start, np.int64)
+    a_len = np.ascontiguousarray(a_len, np.int64)
+    b_start = np.ascontiguousarray(b_start, np.int64)
+    b_len = np.ascontiguousarray(b_len, np.int64)
+    pa_seq = _as_i32(pa_seq)
+    pb_seq = _as_i32(pb_seq)
+    pb_pos = _as_i32(pb_pos)
+    pa_pos = _as_i32(pa_pos)
+    dfm = np.ascontiguousarray(pol.diff_from_max, np.int32)
+    ssum = np.ascontiguousarray(pol.score_sum, np.int32)
+    out = i64p()
+    cnt = fn(aflat.ctypes.data_as(u8p), bflat.ctypes.data_as(u8p),
+             a_start.ctypes.data_as(i64p), a_len.ctypes.data_as(i64p),
+             b_start.ctypes.data_as(i64p), b_len.ctypes.data_as(i64p),
+             _i32ptr(pa_seq), _i32ptr(pb_seq), _i32ptr(pb_pos),
+             _i32ptr(pa_pos), pa_seq.size, int(k), int(amaxlen),
+             int(logw), int(mincov), int(use_filter), int(selfcomp),
+             int(is_p), int(max_combine), int(history), int(pmh),
+             int(mad), _i32ptr(dfm), _i32ptr(ssum), pol.cut_depth,
+             pol.mask, int(errperc), int(leastlen2), ctypes.byref(out))
+    if cnt < 0:
+        lib.gt_free(out)
+        return None
+    if cnt == 0:
+        lib.gt_free(out)
+        return np.zeros((0, 12), np.int64)
+    recs = np.ctypeslib.as_array(out, shape=(int(cnt) * 12,)).copy()
+    lib.gt_free(out)
+    return recs.reshape(int(cnt), 12)
+
+
+def kmer_list_native(flat, seq_start, seq_len, k: int):
+    """All valid k-windows over per-sequence spans of a flat code array
+    (gt_kmer_list; capability of gt_diagbandseed_get_kmers, ref:
+    src/match/diagbandseed.c:1189). Returns (code int64, seq int32,
+    endpos int32) or None without the lib / k > 31."""
+    lib = get_lib()
+    if lib is None or k > 31:
+        return None
+    try:
+        fn = lib.gt_kmer_list
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                       i64p, ctypes.POINTER(ctypes.c_int32),
+                       ctypes.POINTER(ctypes.c_int32)]
+    flat = np.ascontiguousarray(flat, np.uint8)
+    seq_start = np.ascontiguousarray(seq_start, np.int64)
+    seq_len = np.ascontiguousarray(seq_len, np.int64)
+    cap = int(np.maximum(seq_len - k + 1, 0).sum())
+    if cap == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    code = np.empty(cap, np.int64)
+    seq = np.empty(cap, np.int32)
+    pos = np.empty(cap, np.int32)
+    n = fn(flat.ctypes.data_as(u8p), seq_start.ctypes.data_as(i64p),
+           seq_len.ctypes.data_as(i64p), seq_start.size, int(k),
+           code.ctypes.data_as(i64p), _i32ptr(seq), _i32ptr(pos))
+    return code[:n], seq[:n], pos[:n]
+
+
+def seedext_write_lines_native(recs, direction: str, path: str,
+                               append: bool) -> bool:
+    """Bulk seed_extend match-line emission (gt_seedext_write_lines)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    try:
+        fn = lib.gt_seedext_write_lines
+    except AttributeError:
+        return False
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [i64p, ctypes.c_int64, ctypes.c_char,
+                       ctypes.c_char_p, ctypes.c_int]
+    recs = np.ascontiguousarray(recs, np.int64)
+    rc = fn(recs.ctypes.data_as(i64p), recs.shape[0],
+            direction.encode()[0:1], path.encode(), 1 if append else 0)
+    return rc == 0

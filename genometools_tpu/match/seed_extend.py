@@ -118,6 +118,19 @@ def enumerate_kmers(encseq: Encseq, k: int, revcomp: bool = False,
     span-k window (ref: diagbandseed spaced-seed k-mer extraction,
     src/match/dbs_spaced_seeds.c)."""
     from ..ops.kmer import spaced_kmer_codes_np
+    if spaced_mask is None and k <= 31:
+        # native single-pass enumerator over the flat code array (the
+        # P strand enumerates the cached per-sequence revcomp plane)
+        from ..core.native import kmer_list_native
+        n = encseq.num_sequences
+        flat = _revcomp_codes(encseq) if revcomp else encseq.codes
+        starts = np.asarray([encseq.seq_startpos(s) for s in range(n)],
+                            np.int64)
+        lens = np.asarray(encseq.seq_length(np.arange(n)), np.int64) \
+            if n else np.zeros(0, np.int64)
+        res = kmer_list_native(flat, starts, lens, k)
+        if res is not None:
+            return res
     codes_all, seqs_all, end_all = [], [], []
     comp = encseq.alphabet.complement_table()
     for s in range(encseq.num_sequences):
@@ -329,10 +342,17 @@ def _extend_one_seed(useq: np.ndarray, vseq: np.ndarray, same_seq: bool,
 
 def seed_extend(aenc: Encseq, benc: Encseq | None = None,
                 params: SeedExtendParams | None = None,
-                events: list | None = None) -> list[SeedExtendMatch]:
+                events: list | None = None,
+                raw_sink: list | None = None) -> list[SeedExtendMatch]:
     """events, when a list is passed, receives ('match', m) and
     ('failed', seedlen, aseq, apos, dir, bseq, bpos) records in seed
-    processing order (for -outfmt failed_seed)."""
+    processing order (for -outfmt failed_seed).
+
+    raw_sink, when a list is passed, receives the per-strand output
+    blocks in emission order — ('recs', direction, k, int64[n,12]) from
+    the fused native engine or ('objs', [SeedExtendMatch...]) — and the
+    fused blocks are then NOT also returned as objects (bulk emitters
+    write them without materialization)."""
     params = params or SeedExtendParams()
     selfcomp = benc is None
     benc = benc or aenc
@@ -358,7 +378,8 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
         strands.append("P")
     if params.parts > 1 or params.pick:
         return _seed_extend_grid(aenc, benc, params, events, k, mincov,
-                                 belowscore, selfcomp, strands, amaxlen)
+                                 belowscore, selfcomp, strands, amaxlen,
+                                 raw_sink)
     for direction in strands:
         # selfcomp forward strand: the b-list IS the a-list
         blist = alist if (selfcomp and direction == "F") else \
@@ -371,9 +392,13 @@ def seed_extend(aenc: Encseq, benc: Encseq | None = None,
         pa_seq, pb_seq, pb_pos, pa_pos = build_seed_pairs(
             alist, blist, selfcomp, params.maxfreq,
             inseqseeds=True, mindist=k if direction == "F" else 0)
-        matches.extend(_process_seed_pairs(
+        m = _process_seed_pairs(
             aenc, benc, direction, pa_seq, pb_seq, pb_pos, pa_pos, k,
-            mincov, belowscore, params, selfcomp, amaxlen, events))
+            mincov, belowscore, params, selfcomp, amaxlen, events,
+            raw_sink)
+        if raw_sink is not None and m:
+            raw_sink.append(("objs", m))
+        matches.extend(m)
     return matches
 
 
@@ -406,7 +431,7 @@ def _filter_list(lst, lo: int, hi: int):
 
 
 def _seed_extend_grid(aenc, benc, params, events, k, mincov, belowscore,
-                      selfcomp, strands, amaxlen):
+                      selfcomp, strands, amaxlen, raw_sink=None):
     """Part x part grid scheduling (ref: gt_seed_extend.c:1251,
     diagbandseed.c:6044-6050 loop): A-ranges x B-ranges, B starting at
     the A range for self-comparison; per cell the full two-strand
@@ -436,13 +461,14 @@ def _seed_extend_grid(aenc, benc, params, events, k, mincov, belowscore,
             matches.extend(grid_cell_matches(
                 aenc, benc, params, k, mincov, belowscore, selfcomp,
                 strands, amaxlen, alist_full, blists, aranges[ai],
-                branges[bi], ai == bi, events))
+                branges[bi], ai == bi, events, raw_sink))
     return matches
 
 
 def grid_cell_matches(aenc, benc, params, k, mincov, belowscore,
                       selfcomp, strands, amaxlen, alist_full, blists,
-                      arange, brange, diagonal, events=None):
+                      arange, brange, diagonal, events=None,
+                      raw_sink=None):
     """One part x part grid cell's full two-strand pipeline
     (seed pairing -> diagband filter -> extension -> match records).
     Cells are mutually independent — the property the reference's
@@ -460,10 +486,13 @@ def grid_cell_matches(aenc, benc, params, k, mincov, belowscore,
             alist, blist, diag_cell or (selfcomp and not diagonal),
             params.maxfreq, inseqseeds=diag_cell,
             mindist=k if direction == "F" else 0)
-        out.extend(_process_seed_pairs(
+        m = _process_seed_pairs(
             aenc, benc, direction, pa_seq, pb_seq, pb_pos,
             pa_pos, k, mincov, belowscore, params,
-            diag_cell, amaxlen, events))
+            diag_cell, amaxlen, events, raw_sink)
+        if raw_sink is not None and m:
+            raw_sink.append(("objs", m))
+        out.extend(m)
     return out
 
 
@@ -754,13 +783,89 @@ class _WaveProvider:
                 self.cache[key] = ext
 
 
+def _revcomp_codes(enc: Encseq) -> np.ndarray:
+    """Whole-encseq code array with every sequence span reverse-
+    complemented in place (separator gaps untouched — flank windows clip
+    at sequence bounds so they are never read).  Cached per encseq."""
+    cached = enc.__dict__.get("_rc_codes")
+    if cached is not None:
+        return cached
+    comp = enc.alphabet.complement_table()
+    out = np.array(enc.codes, copy=True)
+    for s in range(enc.num_sequences):
+        lo = int(enc.seq_startpos(s))
+        hi = int(enc.seq_endpos(s))
+        seg = out[lo:hi + 1][::-1]
+        out[lo:hi + 1] = np.where(is_special(seg), seg, comp[seg])
+    enc.__dict__["_rc_codes"] = out
+    return out
+
+
+def _native_segment_recs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
+                         pa_pos, k, mincov, params, selfcomp, amaxlen):
+    """Fused native engine for the product greedy path: the whole
+    diagband-filter + sequential skip/extend/accept walk in one native
+    call over the flat code arrays (no per-seed marshalling).  Returns
+    the raw int64[n, 12] record array, or None when the engine does not
+    apply (the wave / per-seed paths take over)."""
+    if params.extension != "greedy" or params.use_apos != 0:
+        return None
+    if os.environ.get("GT_TPU_DEVICE_EXTEND"):
+        return None                     # explicit device-path request
+    from ..core.native import seedext_greedy_run_native
+    pmh, mad = params.greedy_params()
+    pol = PolishingInfo.new(float(params.errorpercentage), params.history)
+    na, nb = aenc.num_sequences, benc.num_sequences
+    a_start = np.asarray([aenc.seq_startpos(s) for s in range(na)],
+                         np.int64)
+    a_len = np.asarray(aenc.seq_length(np.arange(na)), np.int64)
+    b_start = np.asarray([benc.seq_startpos(s) for s in range(nb)],
+                         np.int64)
+    b_len = np.asarray(benc.seq_length(np.arange(nb)), np.int64)
+    bflat = benc.codes if direction == "F" else _revcomp_codes(benc)
+    recs = seedext_greedy_run_native(
+        aenc.codes, bflat, a_start, a_len, b_start, b_len,
+        pa_seq, pb_seq, pb_pos, pa_pos, k=k, amaxlen=amaxlen,
+        logw=params.logdiagbandwidth, mincov=mincov,
+        use_filter=0 if params.no_diagband_filter else 1,
+        selfcomp=selfcomp, is_p=direction == "P",
+        max_combine=params.max_combine_mode, history=params.history,
+        pmh=pmh, mad=mad, pol=pol, errperc=params.errorpercentage,
+        leastlen2=2 * params.userdefinedleastlength)
+    return recs
+
+
+def _recs_to_matches(recs, direction, k):
+    """Materialize SeedExtendMatch objects from fused-engine records."""
+    matches = []
+    for (dblen, aseq, astart, querylen, bseq, bsf, score, dist,
+         db, qs, mm, braw) in recs.tolist():
+        alignedlen = dblen + querylen
+        err = 200.0 * dist / alignedlen
+        matches.append(SeedExtendMatch(
+            dblen, aseq, astart, direction, querylen, bseq, bsf,
+            score, dist, 100.0 - err, db, qs, k, mm, braw))
+    return matches
+
+
 def _process_seed_pairs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
                         pa_pos, k, mincov, belowscore, params, selfcomp,
-                        amaxlen, events=None):
+                        amaxlen, events=None, raw_sink=None):
     matches = []
     n = pa_seq.size
     if n == 0:
         return matches
+    if events is None:
+        recs = _native_segment_recs(aenc, benc, direction, pa_seq,
+                                    pb_seq, pb_pos, pa_pos, k, mincov,
+                                    params, selfcomp, amaxlen)
+        if recs is not None:
+            if raw_sink is not None:
+                # bulk consumers (CLI line emission) take the raw
+                # records; object materialization is skipped entirely
+                raw_sink.append(("recs", direction, k, recs))
+                return []
+            return _recs_to_matches(recs, direction, k)
     # segment boundaries: contiguous (aseq,bseq) runs
     seg_break = np.zeros(n, bool)
     seg_break[0] = True

@@ -17,6 +17,7 @@
 #include <cstring>
 #include <vector>
 #include <thread>
+#include <atomic>
 
 extern "C" {
 
@@ -484,14 +485,18 @@ struct GBest {
 };
 
 // Greedy front-prune extension — native mirror of ops/greedy.py
-// (ref: src/match/ft-front-prune.c:633).
-static GBest greedy_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
-                        int64_t vlen, int64_t max_history,
-                        int64_t perc_mat_history,
-                        int64_t maxalignedlendifference, int64_t seedlength,
-                        const int32_t *pol_diff_from_max,
-                        const int32_t *pol_score_sum, int64_t pol_cut_depth,
-                        int64_t pol_mask, int trim_enabled) {
+// (ref: src/match/ft-front-prune.c:633).  STEP is the read stride over
+// u and v: +1 for forward flanks, -1 for left flanks read in place from
+// the flat code array (u/v then point at the FIRST symbol in reading
+// order, i.e. the rightmost) — no window copies.
+template <int STEP>
+static GBest greedy_one_t(const uint8_t *u, int64_t ulen, const uint8_t *v,
+                          int64_t vlen, int64_t max_history,
+                          int64_t perc_mat_history,
+                          int64_t maxalignedlendifference, int64_t seedlength,
+                          const int32_t *pol_diff_from_max,
+                          const int32_t *pol_score_sum, int64_t pol_cut_depth,
+                          int64_t pol_mask, int trim_enabled) {
   struct FV {
     int64_t row;
     uint64_t hist;
@@ -510,8 +515,9 @@ static GBest greedy_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
 
   auto lcp = [&](int64_t row, int64_t vpos) {
     int64_t l = 0;
-    while (row + l < ulen && vpos + l < vlen && u[row + l] == v[vpos + l] &&
-           u[row + l] < 4)
+    while (row + l < ulen && vpos + l < vlen &&
+           u[(row + l) * STEP] == v[(vpos + l) * STEP] &&
+           u[(row + l) * STEP] < 4)
       l++;
     return l;
   };
@@ -699,7 +705,7 @@ void gt_greedy_batch(const uint8_t *useq, const int64_t *uoff,
                      const int32_t *pol_score_sum, int64_t pol_cut_depth,
                      int64_t pol_mask, int trim_enabled, int64_t *out) {
   for (int64_t p = 0; p < n; p++) {
-    GBest b = greedy_one(useq + uoff[2 * p], uoff[2 * p + 1],
+    GBest b = greedy_one_t<1>(useq + uoff[2 * p], uoff[2 * p + 1],
                          vseq + voff[2 * p], voff[2 * p + 1], max_history,
                          perc_mat_history, maxalignedlendifference,
                          seedlengths[p], pol_diff_from_max, pol_score_sum,
@@ -711,6 +717,245 @@ void gt_greedy_batch(const uint8_t *useq, const int64_t *uoff,
     out[6 * p + 4] = b.died;
     out[6 * p + 5] = b.touched;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused seed_extend greedy engine (use_apos=0 product path).
+//
+// One call runs the whole per-strand tail of the seed_extend pipeline over
+// the already-joined seed-pair lists: per-(aseq,bseq) segment it applies
+// the diagonal-band coverage filter, then the exact sequential
+// skip/extend/accept recurrence (capability equivalent of
+// gt_diagbandseed_process_seeds + gt_extend_sesp, ref:
+// src/match/diagbandseed.c:4136, src/match/seed-extend.c:994), extending
+// both flanks IN PLACE over the flat code arrays via the strided greedy
+// kernel — no window copies, no per-seed marshalling.  Segments are
+// mutually independent and run on a small thread pool; match records are
+// emitted in exact segment/seed order.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SeedExtRec {
+  int64_t dblen, aseq, astart, querylen, bseq, bstart_fwd, score, dist;
+  int64_t db_seedpos, query_seedpos, mm, bstart_raw;
+};
+
+struct SeedExtCtx {
+  const uint8_t *aflat, *bflat;
+  const int64_t *a_start, *a_len, *b_start, *b_len;
+  const int32_t *pa_seq, *pb_seq, *pb_pos, *pa_pos;
+  int64_t k, amaxlen, logw, mincov;
+  int use_filter, selfcomp, is_p, max_combine;
+  int64_t history, pmh, mad;
+  const int32_t *pol_dfm, *pol_ssum;
+  int64_t pol_cut, pol_mask;
+  int64_t errperc, leastlen2;
+};
+
+// per-thread diagband scratch: band-indexed score/lastpos planes plus a
+// touched list so clearing costs O(seeds), not O(bands)
+struct DiagScratch {
+  std::vector<int64_t> score, lastpos;
+  std::vector<int64_t> touched;
+  void ensure(int64_t cap) {
+    if ((int64_t)score.size() < cap) {
+      score.assign((size_t)cap, 0);
+      lastpos.assign((size_t)cap, 0);
+    }
+  }
+  void clear_touched() {
+    for (int64_t d : touched) {
+      score[(size_t)d] = 0;
+      lastpos[(size_t)d] = 0;
+    }
+    touched.clear();
+  }
+};
+
+static void seedext_run_segment(const SeedExtCtx &C, int64_t s0, int64_t s1,
+                                DiagScratch &ds,
+                                std::vector<SeedExtRec> &out) {
+  const int64_t aseq = C.pa_seq[s0], bseq = C.pb_seq[s0];
+  const uint8_t *useq = C.aflat + C.a_start[aseq];
+  const uint8_t *vseq = C.bflat + C.b_start[bseq];
+  const int64_t ulen_t = C.a_len[aseq], vlen_t = C.b_len[bseq];
+  const bool same = C.selfcomp && aseq == bseq;
+  const int64_t k = C.k;
+
+  if (C.use_filter) {
+    int64_t bmax = 0;
+    for (int64_t i = s0; i < s1; i++) {
+      int64_t band = (C.amaxlen + (int64_t)C.pb_pos[i] -
+                      (int64_t)C.pa_pos[i]) >> C.logw;
+      if (band > bmax) bmax = band;
+    }
+    ds.ensure(bmax + 4);
+    for (int64_t i = s0; i < s1; i++) {
+      int64_t d = ((C.amaxlen + (int64_t)C.pb_pos[i] -
+                    (int64_t)C.pa_pos[i]) >> C.logw) + 1;
+      int64_t key = C.pb_pos[i];
+      if (ds.lastpos[(size_t)d] == 0 || ds.lastpos[(size_t)d] + k <= key) {
+        ds.lastpos[(size_t)d] = key;
+        ds.score[(size_t)d] += k;
+        ds.touched.push_back(d);
+      } else if (ds.lastpos[(size_t)d] < key) {
+        ds.score[(size_t)d] += key - ds.lastpos[(size_t)d];
+        ds.lastpos[(size_t)d] = key;
+      }
+    }
+  }
+
+  bool has_prev = false;
+  int64_t T = -1;
+  for (int64_t i = s0; i < s1; i++) {
+    const int64_t bp = C.pb_pos[i], ap = C.pa_pos[i];
+    if (C.use_filter) {
+      int64_t band = (C.amaxlen + bp - ap) >> C.logw;
+      int64_t cov = ds.score[(size_t)(band + 1)] +
+                    std::max(ds.score[(size_t)band],
+                             ds.score[(size_t)(band + 2)]);
+      if (cov < C.mincov) continue;
+    }
+    const int64_t db = ap + 1 - k, qs = bp + 1 - k;
+    if (same && db + k - 1 >= qs) continue;  // overlapping seed instances
+    if (has_prev && T >= bp) continue;       // use_apos=0 skip rule
+    int64_t u_l = 0, v_l = 0, sd_l = 0, mm_l = 0;
+    if (db > 0 && qs > 0) {
+      const int64_t voff = same ? db + k : 0;
+      const int64_t ulen = db, vlen = qs - voff;
+      if (ulen > 0 && vlen > 0) {
+        GBest g = greedy_one_t<-1>(
+            useq + db - 1, ulen, vseq + qs - 1, vlen, C.history, C.pmh,
+            C.mad, k, C.pol_dfm, C.pol_ssum, C.pol_cut, C.pol_mask, 1);
+        u_l = g.row;
+        v_l = g.alignedlen - g.row;
+        sd_l = g.distance;
+        mm_l = g.max_mismatches;
+      }
+    }
+    const int64_t urb = same ? std::min(ulen_t, qs - v_l) : ulen_t;
+    int64_t u_r = 0, v_r = 0, sd_r = 0, mm_r = 0;
+    if (db + k < urb && qs + k < vlen_t) {
+      GBest g = greedy_one_t<1>(
+          useq + db + k, urb - db - k, vseq + qs + k, vlen_t - qs - k,
+          C.history, C.pmh, C.mad, k, C.pol_dfm, C.pol_ssum, C.pol_cut,
+          C.pol_mask, 1);
+      u_r = g.row;
+      v_r = g.alignedlen - g.row;
+      sd_r = g.distance;
+      mm_r = g.max_mismatches;
+    }
+    has_prev = true;
+    bool got = false;
+    SeedExtRec rec;
+    for (int mode = 0; mode <= C.max_combine; mode++) {
+      const int64_t ul = mode != 2 ? u_l : 0, vl = mode != 2 ? v_l : 0;
+      const int64_t sl = mode != 2 ? sd_l : 0, ml = mode != 2 ? mm_l : 0;
+      const int64_t ur = mode != 1 ? u_r : 0, vr = mode != 1 ? v_r : 0;
+      const int64_t sr = mode != 1 ? sd_r : 0, mr = mode != 1 ? mm_r : 0;
+      const int64_t dblen = k + ul + ur, querylen = k + vl + vr;
+      const int64_t alignedlen = dblen + querylen;
+      const int64_t dist = sl + sr;
+      const int64_t astart_ = db - ul, bstart_ = qs - vl;
+      if (mode == 0) T = bstart_ + querylen - 1;
+      const double err = 200.0 * (double)dist / (double)alignedlen;
+      if (err > (double)C.errperc) continue;
+      if (alignedlen < C.leastlen2) continue;
+      const int64_t bsf =
+          C.is_p ? vlen_t - bstart_ - querylen : bstart_;
+      rec = SeedExtRec{dblen,    aseq, astart_, querylen, bseq, bsf,
+                       alignedlen - 3 * dist, dist, db, qs, ml + mr,
+                       bstart_};
+      got = true;
+      break;
+    }
+    // selfmatch canonical-orientation rule (ref: querymatch.c:357)
+    if (got && C.selfcomp && aseq == bseq) {
+      if (C.is_p) {
+        if (!(rec.astart < rec.bstart_fwd + 1)) got = false;
+      } else if (!(rec.astart < rec.bstart_fwd)) {
+        got = false;
+      }
+    }
+    if (got) out.push_back(rec);
+  }
+  if (C.use_filter) ds.clear_touched();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the accepted match count; *out_recs is a malloc'd flat
+// int64[12 * count] in segment/seed order (free with gt_free).
+int64_t gt_seedext_greedy_run(
+    const uint8_t *aflat, const uint8_t *bflat, const int64_t *a_start,
+    const int64_t *a_len, const int64_t *b_start, const int64_t *b_len,
+    const int32_t *pa_seq, const int32_t *pb_seq, const int32_t *pb_pos,
+    const int32_t *pa_pos, int64_t n, int64_t k, int64_t amaxlen,
+    int64_t logw, int64_t mincov, int use_filter, int selfcomp, int is_p,
+    int max_combine, int64_t history, int64_t pmh, int64_t mad,
+    const int32_t *pol_dfm, const int32_t *pol_ssum, int64_t pol_cut,
+    int64_t pol_mask, int64_t errperc, int64_t leastlen2,
+    int64_t **out_recs) {
+  SeedExtCtx C{aflat,  bflat,  a_start, a_len, b_start, b_len,
+               pa_seq, pb_seq, pb_pos,  pa_pos, k,      amaxlen,
+               logw,   mincov, use_filter, selfcomp, is_p, max_combine,
+               history, pmh,   mad,    pol_dfm, pol_ssum, pol_cut,
+               pol_mask, errperc, leastlen2};
+  // segment boundaries: contiguous (aseq, bseq) runs
+  std::vector<std::pair<int64_t, int64_t>> segs;
+  for (int64_t i = 0; i < n;) {
+    int64_t j = i + 1;
+    while (j < n && pa_seq[j] == pa_seq[i] && pb_seq[j] == pb_seq[i]) j++;
+    segs.emplace_back(i, j);
+    i = j;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min<unsigned>(hw ? hw : 1, 8);
+  if ((int64_t)segs.size() < 2) nt = 1;
+  std::vector<std::vector<SeedExtRec>> outs(segs.size());
+  std::atomic<size_t> next{0};
+  auto work = [&]() {
+    DiagScratch ds;
+    for (;;) {
+      size_t si = next.fetch_add(1);
+      if (si >= segs.size()) break;
+      seedext_run_segment(C, segs[si].first, segs[si].second, ds, outs[si]);
+    }
+  };
+  if (nt <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) pool.emplace_back(work);
+    for (auto &th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto &o : outs) total += (int64_t)o.size();
+  int64_t *flat = (int64_t *)malloc(sizeof(int64_t) * 12 *
+                                    (size_t)(total ? total : 1));
+  int64_t pos = 0;
+  for (auto &o : outs)
+    for (const SeedExtRec &r : o) {
+      flat[pos++] = r.dblen;
+      flat[pos++] = r.aseq;
+      flat[pos++] = r.astart;
+      flat[pos++] = r.querylen;
+      flat[pos++] = r.bseq;
+      flat[pos++] = r.bstart_fwd;
+      flat[pos++] = r.score;
+      flat[pos++] = r.dist;
+      flat[pos++] = r.db_seedpos;
+      flat[pos++] = r.query_seedpos;
+      flat[pos++] = r.mm;
+      flat[pos++] = r.bstart_raw;
+    }
+  *out_recs = flat;
+  return total;
 }
 
 }  // extern "C"
@@ -1021,6 +1266,81 @@ int gt_write_match_lines(const int64_t *rows, int64_t n, char dir,
     p = put_u64(p, (unsigned long long)q[3]); *p++ = ' ';
     p = put_u64(p, (unsigned long long)q[4]); *p++ = ' ';
     p = put_u64(p, (unsigned long long)q[5]); *p++ = '\n';
+    if (p >= end) {
+      fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
+      p = buf.data();
+    }
+  }
+  if (p > buf.data()) fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
+  fclose(fp);
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seed-extend k-mer enumeration + bulk match-line emission.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Enumerate all valid k-windows over the per-sequence spans of a flat
+// code array (capability of gt_diagbandseed_get_kmers, ref:
+// src/match/diagbandseed.c:1189): windows containing a special code
+// (>= 4) are dropped.  Outputs are parallel (code int64, seq int32,
+// endpos int32) arrays, endpos relative to its sequence start, in span
+// reading order.  Returns the entry count (caller sized the outputs to
+// sum(len - k + 1)).
+int64_t gt_kmer_list(const uint8_t *flat, const int64_t *seq_start,
+                     const int64_t *seq_len, int64_t nseq, int64_t k,
+                     int64_t *out_code, int32_t *out_seq,
+                     int32_t *out_pos) {
+  const int64_t mask = (k >= 32) ? -1 : ((int64_t)1 << (2 * k)) - 1;
+  int64_t w = 0;
+  for (int64_t s = 0; s < nseq; s++) {
+    const uint8_t *p = flat + seq_start[s];
+    const int64_t len = seq_len[s];
+    if (len < k) continue;
+    int64_t code = 0;
+    int64_t bad = -1;  // index of the latest special seen
+    for (int64_t i = 0; i < len; i++) {
+      const uint8_t c = p[i];
+      if (c >= 4) {
+        bad = i;
+        code = ((code << 2)) & mask;
+      } else {
+        code = ((code << 2) | c) & mask;
+      }
+      if (i >= k - 1 && bad <= i - k) {
+        out_code[w] = code;
+        out_seq[w] = (int32_t)s;
+        out_pos[w] = (int32_t)i;
+        w++;
+      }
+    }
+  }
+  return w;
+}
+
+// Bulk seed_extend match-line emission: recs are the 12-column
+// gt_seedext_greedy_run records; line format mirrors
+// SeedExtendMatch.line().
+int gt_seedext_write_lines(const int64_t *recs, int64_t n, char dir,
+                           const char *path, int append) {
+  FILE *fp = fopen(path, append ? "ab" : "wb");
+  if (!fp) return -1;
+  std::vector<char> buf(1 << 20);
+  char *p = buf.data();
+  char *end = buf.data() + buf.size() - 256;
+  for (int64_t r = 0; r < n; r++) {
+    const int64_t *q = recs + 12 * r;
+    const double ident =
+        100.0 - 200.0 * (double)q[7] / (double)(q[0] + q[3]);
+    p += snprintf(p, 200,
+                  "%lld %lld %lld %c %lld %lld %lld %lld %lld %.2f\n",
+                  (long long)q[0], (long long)q[1], (long long)q[2], dir,
+                  (long long)q[3], (long long)q[4], (long long)q[5],
+                  (long long)q[6], (long long)q[7], ident);
     if (p >= end) {
       fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
       p = buf.data();
