@@ -547,7 +547,9 @@ static GBest greedy_one_t(const uint8_t *u, int64_t ulen, const uint8_t *v,
   };
 
   // diag-indexed window [lo, hi]; store in vector with offset
-  std::vector<FV> cur, nxt;
+  // (thread_local: the fused engine calls this millions of times per
+  // segment -- reusing capacity beats a malloc per extension)
+  static thread_local std::vector<FV> cur, nxt;
   int64_t lo = 0, hi = 0, base = 0;  // cur[k - base]
   cur.assign(1, FV{0, 0, 0, 0, true});
   if (seedlength >= 64)
@@ -1400,6 +1402,56 @@ static void radix_u64(std::vector<uint64_t> &v, int nbits) {
   if (src != v.data()) std::memcpy(v.data(), src, n * sizeof(uint64_t));
 }
 
+// parallel LSD radix: per-thread digit histograms, one (digit, thread)
+// prefix, then each thread scatters its own contiguous slice with its
+// base offsets -- stable, same order as the serial sort.
+static void radix_u64_mt(std::vector<uint64_t> &v, int nbits,
+                         int nthreads) {
+  const size_t n = v.size();
+  if (n < (1u << 17) || nthreads < 2) return radix_u64(v, nbits);
+  const int T = nthreads > 8 ? 8 : nthreads;
+  std::vector<uint64_t> tmp(n);
+  uint64_t *src = v.data(), *dst = tmp.data();
+  const int passes = (nbits + 15) / 16;
+  std::vector<std::vector<size_t>> cnt((size_t)T,
+                                       std::vector<size_t>(1 << 16));
+  std::vector<size_t> bounds((size_t)T + 1);
+  for (int t = 0; t <= T; t++) bounds[(size_t)t] = n * (size_t)t / (size_t)T;
+  for (int p = 0; p < passes; p++) {
+    const int shift = p * 16;
+    {
+      std::vector<std::thread> th;
+      for (int t = 0; t < T; t++)
+        th.emplace_back([&, t]() {
+          auto &c = cnt[(size_t)t];
+          std::fill(c.begin(), c.end(), 0);
+          for (size_t i = bounds[(size_t)t]; i < bounds[(size_t)t + 1]; i++)
+            c[(src[i] >> shift) & 0xFFFF]++;
+        });
+      for (auto &x : th) x.join();
+    }
+    size_t sum = 0;
+    for (size_t d = 0; d < (1u << 16); d++)
+      for (int t = 0; t < T; t++) {
+        size_t c = cnt[(size_t)t][d];
+        cnt[(size_t)t][d] = sum;
+        sum += c;
+      }
+    {
+      std::vector<std::thread> th;
+      for (int t = 0; t < T; t++)
+        th.emplace_back([&, t]() {
+          auto &c = cnt[(size_t)t];
+          for (size_t i = bounds[(size_t)t]; i < bounds[(size_t)t + 1]; i++)
+            dst[c[(src[i] >> shift) & 0xFFFF]++] = src[i];
+        });
+      for (auto &x : th) x.join();
+    }
+    std::swap(src, dst);
+  }
+  if (src != v.data()) std::memcpy(v.data(), src, n * sizeof(uint64_t));
+}
+
 }  // namespace seedjoin
 
 extern "C" {
@@ -1417,7 +1469,7 @@ int64_t gt_seed_pair_join(
     int32_t **out_aseq, int32_t **out_bseq, int32_t **out_bpos,
     int32_t **out_apos) {
   using seedjoin::bits_for;
-  using seedjoin::radix_u64;
+  using seedjoin::radix_u64_mt;
   if (na <= 0 || nb <= 0) {
     *out_aseq = *out_bseq = *out_bpos = *out_apos = nullptr;
     return 0;
@@ -1451,14 +1503,14 @@ int64_t gt_seed_pair_join(
   std::vector<uint64_t> sa(na);
   for (int64_t i = 0; i < na; i++)
     sa[i] = ((uint64_t)acode[i] << iab) | (uint64_t)i;
-  radix_u64(sa, cb + iab);
+  radix_u64_mt(sa, cb + iab, nthreads);
   std::vector<uint64_t> sb_store;
   const std::vector<uint64_t> *sb = &sa;
   if (!same_list) {
     sb_store.resize(nb);
     for (int64_t i = 0; i < nb; i++)
       sb_store[i] = ((uint64_t)bcode[i] << iab) | (uint64_t)i;
-    radix_u64(sb_store, cb + iab);
+    radix_u64_mt(sb_store, cb + iab, nthreads);
     sb = &sb_store;
   }
   const uint64_t idxmask = (iab >= 64) ? ~0ull : ((1ull << iab) - 1);
@@ -1547,7 +1599,7 @@ int64_t gt_seed_pair_join(
     pairs.insert(pairs.end(), p.begin(), p.end());
     p.clear(); p.shrink_to_fit();
   }
-  radix_u64(pairs, f_as + f_bs + f_bp + f_ap);
+  radix_u64_mt(pairs, f_as + f_bs + f_bp + f_ap, nthreads);
 
   int32_t *oas = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
   int32_t *obs = (int32_t *)malloc(sizeof(int32_t) * (size_t)(total ? total : 1));
