@@ -170,9 +170,23 @@ def cmd_tallymer(args):
     from .match import tallymer
 
     if args.sub == "mkindex":
-        esa = load_esa(args.esa, need_lcp="small", signed_suftab=False)
-        mi = tallymer.mkindex(esa, args.mersize, minocc=args.minocc,
-                              maxocc=args.maxocc)
+        from .index.esa import read_prj
+        mi = None
+        try:
+            rm = int(read_prj(args.esa).get("readmode", 0))
+        except OSError:
+            rm = None
+        if rm == 0:
+            # forward readmode: ESA-free native counting (identical
+            # bytes, no .suf/.lcp load)
+            mi = tallymer.mkindex_direct(Encseq.load(args.esa),
+                                         args.mersize,
+                                         minocc=args.minocc,
+                                         maxocc=args.maxocc)
+        if mi is None:
+            esa = load_esa(args.esa, need_lcp="small", signed_suftab=False)
+            mi = tallymer.mkindex(esa, args.mersize, minocc=args.minocc,
+                                  maxocc=args.maxocc)
         if args.indexname:
             mi.save(args.indexname)
         else:
@@ -187,6 +201,20 @@ def cmd_tallymer(args):
         out_toks = args.output if isinstance(args.output, list) \
             else [args.output]
         show = [f for tok in out_toks for f in tok.split(",")]
+        if show in (["qseqnum", "qpos", "counts"], ["qpos", "counts"]) \
+                and res.counts.size > (1 << 14):
+            try:
+                fd = sys.stdout.fileno()
+            except Exception:
+                fd = None
+            if fd is not None:
+                from .core.native import tyr_write_lines_native
+                sys.stdout.flush()
+                if tyr_write_lines_native(res.qseqnum, res.qpos,
+                                          res.counts, res.strand,
+                                          f"/dev/fd/{fd}",
+                                          show[0] == "qseqnum", True):
+                    return 0
         qs = res.qseqnum.tolist()
         qp = res.qpos.tolist()
         ct = res.counts.tolist()
@@ -279,10 +307,18 @@ def cmd_repfind(args):
             print(m.line())
         return 0
     if args.f or not (args.r or args.p):
-        # i32 planes feed the native walker without int64 intermediates
-        esa = load_esa(args.ii, encseq=enc, signed_suftab="i32")
-        write_match_lines(sys.stdout, repfind_self(enc, args.l, esa=esa),
-                          "F")
+        # memmap-fed native walk: no table loads or conversions at all
+        from .match.maxpairs import enumerate_maxpairs_files
+        from .match.repfind import _format_rows
+        mp = enumerate_maxpairs_files(args.ii, enc, args.l)
+        if mp is not None:
+            write_match_lines(
+                sys.stdout,
+                _format_rows(enc, mp.pos1, mp.pos2, mp.length, "F"), "F")
+        else:
+            esa = load_esa(args.ii, encseq=enc, signed_suftab="i32")
+            write_match_lines(sys.stdout,
+                              repfind_self(enc, args.l, esa=esa), "F")
     if args.r:
         esa_r = load_esa(args.ii, encseq=enc)
         write_match_lines(sys.stdout,

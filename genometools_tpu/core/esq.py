@@ -218,8 +218,13 @@ for _b in range(256):
 
 
 def _twobit_decode(words: np.ndarray, total: int) -> np.ndarray:
-    # all-uint8 passes (byte un-flip + 256x4 LUT) — ~6x faster than the
-    # uint64 broadcast-shift formulation at 32Mbp
+    # threaded native LUT decode; numpy fallback: all-uint8 passes
+    # (byte un-flip + 256x4 LUT)
+    if total > (1 << 20):
+        from .native import twobit_decode_native
+        out = twobit_decode_native(words, total)
+        if out is not None:
+            return out
     raw = np.ascontiguousarray(
         words.view(np.uint8).reshape(-1, 8)[:, ::-1]).reshape(-1)
     return _TWOBIT_LUT[raw].reshape(-1)[:total]

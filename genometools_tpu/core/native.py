@@ -621,3 +621,125 @@ def seedext_write_lines_native(recs, direction: str, path: str,
     rc = fn(recs.ctypes.data_as(i64p), recs.shape[0],
             direction.encode()[0:1], path.encode(), 1 if append else 0)
     return rc == 0
+
+
+def tallymer_count_native(flat, seq_start, seq_len, k: int, minocc: int,
+                          maxocc):
+    """ESA-free tallymer counting (gt_tallymer_count): radix over the
+    window codes of the per-sequence spans; byte-identical mer/count
+    planes to the ESA walk. Returns (packed, counts u32, small u8) or
+    None."""
+    lib = get_lib()
+    if lib is None or k > 31:
+        return None
+    try:
+        fn = lib.gt_tallymer_count
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                       u8p, u32p, u8p]
+    flat = np.ascontiguousarray(flat, np.uint8)
+    seq_start = np.ascontiguousarray(seq_start, np.int64)
+    seq_len = np.ascontiguousarray(seq_len, np.int64)
+    cap = int(np.maximum(seq_len - k + 1, 0).sum())
+    merbytes = (k + 3) // 4
+    if cap == 0:
+        return (np.zeros((0, merbytes), np.uint8), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint8))
+    mers = np.empty((cap, merbytes), np.uint8)
+    counts = np.empty(cap, np.uint32)
+    small = np.empty(cap, np.uint8)
+    nm = fn(flat.ctypes.data_as(u8p), seq_start.ctypes.data_as(i64p),
+            seq_len.ctypes.data_as(i64p), seq_start.size, int(k),
+            int(minocc), -1 if maxocc is None else int(maxocc),
+            os.cpu_count() or 1, mers.ctypes.data_as(u8p),
+            counts.ctypes.data_as(u32p), small.ctypes.data_as(u8p))
+    if nm < 0:
+        return None
+    return mers[:nm], counts[:nm], small[:nm]
+
+
+def tyr_write_lines_native(qs, qp, ct, st, path: str, with_seqnum: bool,
+                           append: bool) -> bool:
+    """Bulk tallymer-search line emission (gt_tyr_write_lines)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    try:
+        fn = lib.gt_tyr_write_lines
+    except AttributeError:
+        return False
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [i64p, i64p, i64p, u8p, ctypes.c_int64,
+                       ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    qs = np.ascontiguousarray(qs, np.int64)
+    qp = np.ascontiguousarray(qp, np.int64)
+    ct = np.ascontiguousarray(ct, np.int64)
+    st = np.ascontiguousarray(st, np.uint8)
+    rc = fn(qs.ctypes.data_as(i64p), qp.ctypes.data_as(i64p),
+            ct.ctypes.data_as(i64p), st.ctypes.data_as(u8p), ct.size,
+            path.encode(), 1 if with_seqnum else 0, 1 if append else 0)
+    return rc == 0
+
+
+def maxpairs_esa_native(codes, suf_u64, lcp_small, llv_u64,
+                        searchlength: int, sigma: int):
+    """Maxpairs off memmapped on-disk ESA tables (gt_maxpairs_esa):
+    u64 suftab + capped lcp bytes + llv exceptions, context classes
+    derived inline. Returns (pos1, pos2, length) int32 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_maxpairs_esa
+    except AttributeError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    pp = ctypes.POINTER(i32p)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, ctypes.c_int64, u64p, u8p, u64p,
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                       ctypes.c_uint8, pp, pp, pp]
+    codes = np.ascontiguousarray(codes, np.uint8)
+    op1, op2, ol = i32p(), i32p(), i32p()
+    cnt = fn(codes.ctypes.data_as(u8p), codes.size,
+             suf_u64.ctypes.data_as(u64p), lcp_small.ctypes.data_as(u8p),
+             llv_u64.ctypes.data_as(u64p), llv_u64.size // 2,
+             suf_u64.size, int(searchlength), int(sigma),
+             ctypes.byref(op1), ctypes.byref(op2), ctypes.byref(ol))
+    if cnt < 0:
+        return None
+    return (_take_array(lib, op1, cnt), _take_array(lib, op2, cnt),
+            _take_array(lib, ol, cnt))
+
+
+def twobit_decode_native(words: np.ndarray, total: int):
+    """Decode the .esq 2-bit plane (gt_twobit_decode) — threaded LUT
+    stores. Returns uint8[total] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_twobit_decode
+    except AttributeError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
+    wb = np.ascontiguousarray(words).view(np.uint8)
+    nwords = wb.size // 8
+    out = np.empty(nwords * 32, np.uint8)
+    fn(wb.ctypes.data_as(u8p), nwords, total, out.ctypes.data_as(u8p))
+    return out[:total]

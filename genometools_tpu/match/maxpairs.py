@@ -62,6 +62,38 @@ class MaxPairs:
         return rows[order]
 
 
+def enumerate_maxpairs_files(indexname: str, enc, searchlength: int
+                             ) -> "MaxPairs | None":
+    """Maxpairs fed straight from the memmapped index files (.suf u64 +
+    .lcp bytes + .llv), context classes derived in the native walker —
+    no table conversions, no lcp reconstruction (ref: gt_mapsuffixarray
+    + gt_enumeratemaxpairs).  Forward 64-bit indexes only; None when
+    the fast path does not apply."""
+    from pathlib import Path
+    from ..core.native import maxpairs_esa_native
+    from ..index.esa import read_prj
+    try:
+        prj = read_prj(indexname)
+    except OSError:
+        return None
+    if int(prj.get("integersize", 64)) != 64 or \
+            int(prj.get("readmode", 0)) != 0:
+        return None
+    suf_p, lcp_p = Path(indexname + ".suf"), Path(indexname + ".lcp")
+    if not suf_p.exists() or not lcp_p.exists():
+        return None
+    suf = np.memmap(suf_p, dtype=np.uint64, mode="r")
+    lcp = np.memmap(lcp_p, dtype=np.uint8, mode="r")
+    llv_p = Path(indexname + ".llv")
+    llv = np.fromfile(llv_p, np.uint64) \
+        if llv_p.exists() and llv_p.stat().st_size else np.zeros(0, np.uint64)
+    res = maxpairs_esa_native(enc.codes, suf, lcp, llv, searchlength,
+                              enc.alphabet.num_chars)
+    if res is None:
+        return None
+    return MaxPairs(*res)
+
+
 def enumerate_maxpairs(esa: EnhancedSuffixArray, searchlength: int) -> MaxPairs:
     """All maximal pairs with length >= searchlength."""
     assert esa.lcptab is not None, "maxpairs needs the lcp table"

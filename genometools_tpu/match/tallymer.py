@@ -208,6 +208,27 @@ class MerIndex:
         return prefixlength, bounds
 
 
+def mkindex_direct(enc, mersize: int, minocc: int = 1,
+                   maxocc: int | None = None) -> "MerIndex | None":
+    """ESA-free mkindex: count k-mers straight off the encseq via the
+    native radix counter (byte-identical .mer/.mct output to the ESA
+    walk, ref: src/match/tyr-mkindex.c) — skips the .suf/.lcp load
+    entirely.  Forward readmode only; None when unavailable."""
+    from ..core.native import tallymer_count_native
+    n = enc.num_sequences
+    starts = np.asarray([enc.seq_startpos(s) for s in range(n)], np.int64)
+    lens = np.asarray(enc.seq_length(np.arange(n)), np.int64) \
+        if n else np.zeros(0, np.int64)
+    res = tallymer_count_native(enc.codes, starts, lens, mersize,
+                                minocc, maxocc)
+    if res is None:
+        return None
+    packed, cnts, small_ct = res
+    mi = MerIndex(mersize, None, cnts)
+    mi._packed = packed
+    return mi
+
+
 def mkindex(esa: EnhancedSuffixArray, mersize: int,
             minocc: int = 1, maxocc: int | None = None) -> MerIndex:
     """Count all k-mers of the indexed sequence set (both the engine and

@@ -325,6 +325,161 @@ int64_t gt_maxpairs(const int32_t *sa, const int32_t *lcp, const uint8_t *cls,
 
 }  // extern "C"
 
+extern "C" {
+
+// 2-bit-plane decode: little-endian u64 words with the first symbol in
+// the MSBs -> one uint8 code per symbol (the .esq twobitencoding plane,
+// ref: src/core/encseq.c twobitencoding access).  One 256->4-codes LUT
+// store per byte, threaded over word ranges.
+void gt_twobit_decode(const uint8_t *wordbytes, int64_t nwords,
+                      int64_t total, uint8_t *out) {
+  static uint32_t lut[256];
+  static bool lut_ready = false;
+  if (!lut_ready) {
+    for (int b = 0; b < 256; b++)
+      lut[b] = (uint32_t)((b >> 6) & 3) | ((uint32_t)((b >> 4) & 3) << 8) |
+               ((uint32_t)((b >> 2) & 3) << 16) |
+               ((uint32_t)(b & 3) << 24);
+    lut_ready = true;
+  }
+  (void)total;
+  auto run = [&](int64_t w0, int64_t w1) {
+    for (int64_t w = w0; w < w1; w++) {
+      const uint8_t *wb = wordbytes + 8 * w;
+      uint8_t *o = out + 32 * w;
+      for (int t = 0; t < 8; t++) {
+        uint32_t v = lut[wb[7 - t]];
+        std::memcpy(o + 4 * t, &v, 4);
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = hw ? (int)hw : 1;
+  if (T > 4) T = 4;
+  if (nwords < (1 << 18) || T < 2) {
+    run(0, nwords);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; t++)
+      th.emplace_back(run, nwords * t / T, nwords * (t + 1) / T);
+    for (auto &x : th) x.join();
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Whole-index maxpairs straight off the on-disk tables: u64 suftab +
+// capped .lcp bytes + .llv exceptions (rank, value u64 pairs, rank-
+// sorted), with the left-context classes derived from the codes
+// inline -- one chunked pass feeding the streaming walker, no
+// host-side table conversions (ref: gt_enumeratemaxpairs,
+// src/match/esa-maxpairs.c:477; special chars >= 254 map to the
+// always-left-maximal class).
+int64_t gt_maxpairs_esa(const uint8_t *codes, int64_t n,
+                        const uint64_t *suf, const uint8_t *lcp_small,
+                        const uint64_t *llv, int64_t nllv, int64_t n1,
+                        int32_t searchlength, uint8_t sigma,
+                        int32_t **out_p1, int32_t **out_p2,
+                        int32_t **out_len) {
+  (void)n;
+  // rank ranges split at lcp < searchlength boundaries are independent
+  // interval trees (no pair of depth >= searchlength crosses such a
+  // cut), so they walk in parallel; per-range outputs concatenate in
+  // rank order == the sequential emission order.
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = hw ? (int)hw : 1;
+  if (T > 4) T = 4;
+  std::vector<int64_t> cuts{0};
+  if (T >= 2 && n1 > (1 << 21) && searchlength <= 255) {
+    for (int t = 1; t < T; t++) {
+      int64_t r = n1 * t / T;
+      while (r < n1 && lcp_small[r] >= searchlength) r++;
+      if (r > cuts.back() && r < n1) cuts.push_back(r);
+    }
+  }
+  cuts.push_back(n1);
+  const int R = (int)cuts.size() - 1;
+  struct Part {
+    int32_t *p1 = nullptr, *p2 = nullptr, *ln = nullptr;
+    int64_t cnt = 0;
+  };
+  std::vector<Part> parts((size_t)R);
+  auto run_range = [&](int ri) {
+    const int64_t r0 = cuts[(size_t)ri], r1 = cuts[(size_t)ri + 1];
+    GtMaxpairsStream s(searchlength, sigma);
+    const int64_t CH = 1 << 20;
+    std::vector<int32_t> sab((size_t)CH), lcb((size_t)CH);
+    std::vector<uint8_t> clb((size_t)CH);
+    // llv cursor: first exception at/after r0
+    int64_t li = 0, lhi = nllv;
+    {
+      int64_t lo = 0;
+      while (lo < lhi) {
+        int64_t mid = (lo + lhi) / 2;
+        if ((int64_t)llv[2 * mid] < r0) lo = mid + 1; else lhi = mid;
+      }
+      li = lo;
+    }
+    for (int64_t base = r0; base < r1; base += CH) {
+      const int64_t m = std::min(CH, r1 - base);
+      for (int64_t i = 0; i < m; i++) {
+        const uint64_t p = suf[base + i];
+        sab[(size_t)i] = (int32_t)p;
+        lcb[(size_t)i] = lcp_small[base + i];
+        const uint8_t c = (p == 0) ? (uint8_t)254 : codes[p - 1];
+        clb[(size_t)i] = c >= 254 ? sigma : c;
+      }
+      while (li < nllv && (int64_t)llv[2 * li] < base + m) {
+        if ((int64_t)llv[2 * li] >= base) {
+          const uint64_t v = llv[2 * li + 1];
+          lcb[(size_t)((int64_t)llv[2 * li] - base)] =
+              (int32_t)(v > 0x7fffffff ? 0x7fffffff : v);
+        }
+        li++;
+      }
+      s.feed(sab.data(), lcb.data(), clb.data(), m);
+    }
+    void *h = new GtMaxpairsStream(std::move(s));
+    Part &pt = parts[(size_t)ri];
+    pt.cnt = gt_maxpairs_stream_finish(h, &pt.p1, &pt.p2, &pt.ln);
+  };
+  if (R == 1) {
+    run_range(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int ri = 0; ri < R; ri++) th.emplace_back(run_range, ri);
+    for (auto &x : th) x.join();
+  }
+  int64_t total_cnt = 0;
+  for (auto &pt : parts) total_cnt += pt.cnt < 0 ? 0 : pt.cnt;
+  int32_t *p1 = (int32_t *)malloc(sizeof(int32_t) *
+                                  (size_t)(total_cnt ? total_cnt : 1));
+  int32_t *p2 = (int32_t *)malloc(sizeof(int32_t) *
+                                  (size_t)(total_cnt ? total_cnt : 1));
+  int32_t *ln = (int32_t *)malloc(sizeof(int32_t) *
+                                  (size_t)(total_cnt ? total_cnt : 1));
+  int64_t pos = 0;
+  for (auto &pt : parts) {
+    if (pt.cnt > 0) {
+      std::memcpy(p1 + pos, pt.p1, (size_t)pt.cnt * 4);
+      std::memcpy(p2 + pos, pt.p2, (size_t)pt.cnt * 4);
+      std::memcpy(ln + pos, pt.ln, (size_t)pt.cnt * 4);
+      pos += pt.cnt;
+    }
+    free(pt.p1);
+    free(pt.p2);
+    free(pt.ln);
+  }
+  *out_p1 = p1;
+  *out_p2 = p2;
+  *out_len = ln;
+  return total_cnt;
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Xdrop extension -- cost-wave band scan, native twin of ops/xdrop.py
 // (behavioral spec: ref src/match/xdrop.c:224, used as spec only; see the
@@ -1237,6 +1392,107 @@ void gt_tallymer_mkindex(const uint8_t *codes, int64_t n,
 
 }  // extern "C"
 
+namespace seedjoin {
+void radix_u64(std::vector<uint64_t> &v, int nbits);
+void radix_u64_mt(std::vector<uint64_t> &v, int nbits, int nthreads);
+}  // namespace seedjoin
+
+extern "C" {
+
+// ESA-free tallymer counting: enumerate the valid k-windows over the
+// per-sequence spans, parallel-radix-sort the 2-bit codes, run-length
+// emit — sorted-code order equals the ESA walk's emission order, so
+// the .mer/.mct bytes are identical while skipping the .suf/.lcp load
+// entirely (capability of tyr-mkindex counting, ref:
+// src/match/tyr-mkindex.c).  k <= 31; returns the mer count.
+int64_t gt_tallymer_count(const uint8_t *flat, const int64_t *seq_start,
+                          const int64_t *seq_len, int64_t nseq, int64_t k,
+                          int64_t minocc, int64_t maxocc, int nthreads,
+                          uint8_t *out_mers, uint32_t *out_counts,
+                          uint8_t *out_small) {
+  if (k > 31) return -2;
+  const int64_t merbytes = (k + 3) / 4;
+  const uint64_t mask = ((uint64_t)1 << (2 * k)) - 1;
+  std::vector<uint64_t> v;
+  {
+    int64_t cap = 0;
+    for (int64_t s = 0; s < nseq; s++)
+      if (seq_len[s] >= k) cap += seq_len[s] - k + 1;
+    v.reserve((size_t)cap);
+  }
+  for (int64_t s = 0; s < nseq; s++) {
+    const uint8_t *p = flat + seq_start[s];
+    const int64_t len = seq_len[s];
+    if (len < k) continue;
+    uint64_t code = 0;
+    int64_t bad = -1;
+    for (int64_t i = 0; i < len; i++) {
+      const uint8_t c = p[i];
+      if (c >= 4) {
+        bad = i;
+        code = (code << 2) & mask;
+      } else {
+        code = ((code << 2) | c) & mask;
+      }
+      if (i >= k - 1 && bad <= i - k) v.push_back(code);
+    }
+  }
+  seedjoin::radix_u64_mt(v, (int)(2 * k), nthreads);
+  const int shift_pad = (int)((merbytes * 4 - k) * 2);
+  int64_t nm = 0;
+  const size_t n = v.size();
+  for (size_t i = 0; i < n;) {
+    size_t j = i + 1;
+    while (j < n && v[j] == v[i]) j++;
+    const int64_t c = (int64_t)(j - i);
+    if (c >= minocc && (maxocc < 0 || c <= maxocc)) {
+      const uint64_t full = v[i] << shift_pad;
+      uint8_t *dst = out_mers + nm * merbytes;
+      for (int64_t b = 0; b < merbytes; b++)
+        dst[b] = (uint8_t)(full >> ((merbytes - 1 - b) * 8));
+      out_counts[nm] = (uint32_t)c;
+      out_small[nm] = c > 255 ? (uint8_t)255 : (uint8_t)c;
+      nm++;
+    }
+    i = j;
+  }
+  return nm;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Bulk tallymer-search line emission: "qseqnum\t<strand>qpos\tcounts"
+// rows (with_seqnum=0 drops the first column) — mirrors the per-row
+// formatting of `gt tallymer search -output`.
+int gt_tyr_write_lines(const int64_t *qs, const int64_t *qp,
+                       const int64_t *ct, const uint8_t *st, int64_t n,
+                       const char *path, int with_seqnum, int append) {
+  FILE *fp = fopen(path, append ? "ab" : "wb");
+  if (!fp) return -1;
+  std::vector<char> buf(1 << 20);
+  char *p = buf.data();
+  char *end = buf.data() + buf.size() - 128;
+  for (int64_t i = 0; i < n; i++) {
+    if (with_seqnum)
+      p += snprintf(p, 100, "%lld\t%c%lld\t%lld\n", (long long)qs[i],
+                    (char)st[i], (long long)qp[i], (long long)ct[i]);
+    else
+      p += snprintf(p, 100, "%c%lld\t%lld\n", (char)st[i],
+                    (long long)qp[i], (long long)ct[i]);
+    if (p >= end) {
+      fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
+      p = buf.data();
+    }
+  }
+  if (p > buf.data()) fwrite(buf.data(), 1, (size_t)(p - buf.data()), fp);
+  fclose(fp);
+  return 0;
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Bulk match-line formatter: rows of (len, seq1, rel1, len2, seq2,
@@ -1380,7 +1636,7 @@ static inline int bits_for(uint64_t maxval) {
 }
 
 // LSD radix sort, 16-bit digits, low `nbits` significant.
-static void radix_u64(std::vector<uint64_t> &v, int nbits) {
+void radix_u64(std::vector<uint64_t> &v, int nbits) {
   const size_t n = v.size();
   if (n < 2) return;
   std::vector<uint64_t> tmp(n);
@@ -1405,7 +1661,7 @@ static void radix_u64(std::vector<uint64_t> &v, int nbits) {
 // parallel LSD radix: per-thread digit histograms, one (digit, thread)
 // prefix, then each thread scatters its own contiguous slice with its
 // base offsets -- stable, same order as the serial sort.
-static void radix_u64_mt(std::vector<uint64_t> &v, int nbits,
+void radix_u64_mt(std::vector<uint64_t> &v, int nbits,
                          int nthreads) {
   const size_t n = v.size();
   if (n < (1u << 17) || nthreads < 2) return radix_u64(v, nbits);
