@@ -36,16 +36,68 @@ from ..core.chardef import UNDEFCHAR, WILDCARD
 from ..core.seqio import SeqSet, read_seqfiles
 
 
-@dataclass
 class ReadSet:
-    """2-bit-clean read set: uint8 code arrays, no wildcards."""
+    """2-bit-clean read set: uint8 code arrays, no wildcards.
 
-    reads: list[np.ndarray]          # uint8 codes 0..3
-    copynum: np.ndarray | None = None
+    Canonical storage is FLAT (one blob + offsets) so bulk consumers
+    never touch 100k small arrays; `reads` is a lazily built list of
+    views kept for per-read consumers."""
+
+    def __init__(self, reads: list | None = None,
+                 copynum: np.ndarray | None = None, *,
+                 blob: np.ndarray | None = None,
+                 lens: np.ndarray | None = None):
+        self.copynum = copynum
+        self._reads = reads
+        self._rcblob = None
+        if blob is not None:
+            self.blob = np.ascontiguousarray(blob, np.uint8)
+            self.lens = np.ascontiguousarray(lens, np.int64)
+            self.starts = np.cumsum(self.lens) - self.lens
+        elif reads is not None:
+            self.lens = np.fromiter((len(r) for r in reads), np.int64,
+                                    len(reads))
+            self.blob = np.concatenate(reads) if reads \
+                else np.zeros(0, np.uint8)
+            self.starts = np.cumsum(self.lens) - self.lens
+        else:
+            self.blob = np.zeros(0, np.uint8)
+            self.lens = np.zeros(0, np.int64)
+            self.starts = np.zeros(0, np.int64)
+
+    @property
+    def reads(self) -> list:
+        if self._reads is None:
+            s, e = self.starts.tolist(), (self.starts + self.lens).tolist()
+            self._reads = [self.blob[a:b] for a, b in zip(s, e)]
+        return self._reads
+
+    @property
+    def rcblob(self) -> np.ndarray:
+        """Same layout as blob with every read reverse-complemented in
+        place (one vectorized gather)."""
+        if self._rcblob is None:
+            if self.blob.size == 0:
+                self._rcblob = self.blob
+            elif self.lens.size and int(self.lens.min()) == \
+                    int(self.lens.max()):
+                # uniform read length: the global reversal holds every
+                # read's rc contiguously in reversed read order
+                L = int(self.lens[0])
+                rev = (3 - self.blob)[::-1]
+                self._rcblob = np.ascontiguousarray(
+                    rev.reshape(-1, L)[::-1]).reshape(-1)
+            else:
+                rid = np.repeat(np.arange(self.lens.size), self.lens)
+                src = self.starts[rid] + (self.starts[rid] +
+                                          self.lens[rid] - 1) - \
+                    np.arange(self.blob.size)
+                self._rcblob = (3 - self.blob[src]).astype(np.uint8)
+        return self._rcblob
 
     @property
     def num_reads(self) -> int:
-        return len(self.reads)
+        return int(self.lens.size)
 
     @classmethod
     def from_files(cls, paths: list[str], maxlow: int | None = None,
@@ -73,9 +125,9 @@ class ReadSet:
             starts = ends - lens
             wc = np.concatenate([[0], np.cumsum(codes >= 4)])
             nbad = wc[ends] - wc[starts]       # wildcards per read
-            keepers = np.flatnonzero((lens > 0) & (nbad == 0))
-            pieces = np.split(codes, ends[:-1])
-            return cls([pieces[i] for i in keepers])
+            keepmask = (lens > 0) & (nbad == 0)
+            posmask = np.repeat(keepmask, lens)
+            return cls(blob=codes[posmask], lens=lens[keepmask])
         reads = []
         for i, seq in enumerate(seqset.seqs):
             if quals is not None and i < len(quals) \
@@ -89,7 +141,8 @@ class ReadSet:
         return cls(reads)
 
     def rc(self, r: int) -> np.ndarray:
-        return (3 - self.reads[r][::-1]).astype(np.uint8)
+        s = int(self.starts[r])
+        return self.rcblob[s:s + int(self.lens[r])]
 
 
 def _read_code(codes: np.ndarray, start: int, k: int) -> int:
@@ -353,8 +406,8 @@ def find_spms(readset: ReadSet, minlen: int,
                     np.zeros(0, np.int64))
     if n == 0:
         return empty
-    lens_f = np.fromiter((len(x) for x in readset.reads), np.int64, n)
-    blob_f = np.concatenate(readset.reads)
+    lens_f = readset.lens
+    blob_f = readset.blob
     if singlestrand:
         m_count = n
         lens = lens_f
@@ -573,18 +626,39 @@ class StringGraph:
     @classmethod
     def from_spms(cls, readset: ReadSet, spms: SpmList) -> "StringGraph":
         g = cls(readset)
-        seen = {}
-        for sr, ss, pr, ps, l in zip(spms.suf_read, spms.suf_strand,
-                                     spms.pref_read, spms.pref_strand,
-                                     spms.length):
-            # each SPM implies its reverse-complement dual edge; store both
-            # so traversal can walk either strand (bidirected graph)
-            for key in ((int(sr), bool(ss), int(pr), bool(ps)),
-                        (int(pr), not ps, int(sr), not ss)):
-                if key not in seen or seen[key] < l:
-                    seen[key] = int(l)
-        for (a, sa, b, sb), l in seen.items():
-            g.edges.append((a, sa, b, sb, l))
+        # each SPM implies its reverse-complement dual edge; store both
+        # so traversal can walk either strand (bidirected graph).
+        # Vectorized dedup keeping max overlap per (a,sa,b,sb) key, in
+        # first-appearance order (== the insertion-ordered dict)
+        n = spms.length.size
+        if n == 0:
+            return g
+        sr = spms.suf_read.astype(np.int64)
+        pr = spms.pref_read.astype(np.int64)
+        ss = spms.suf_strand.astype(bool)
+        ps = spms.pref_strand.astype(bool)
+        ln = spms.length.astype(np.int64)
+        a = np.concatenate([sr, pr])
+        sa = np.concatenate([ss, ~ps])
+        b = np.concatenate([pr, sr])
+        sb = np.concatenate([ps, ~ss])
+        ll = np.concatenate([ln, ln])
+        # interleave so the dual follows its SPM, like the dict loop
+        order = np.argsort(np.concatenate([np.arange(n) * 2,
+                                           np.arange(n) * 2 + 1]),
+                           kind="stable")
+        a, sa, b, sb, ll = a[order], sa[order], b[order], sb[order], \
+            ll[order]
+        key = ((a * 2 + sa) << 34) | ((b * 2 + sb) << 1)
+        uniq, first, inv = np.unique(key, return_index=True,
+                                     return_inverse=True)
+        lmax = np.zeros(uniq.size, np.int64)
+        np.maximum.at(lmax, inv, ll)
+        emit = np.argsort(first, kind="stable")
+        ai, bi = a[first][emit], b[first][emit]
+        g.edges = list(zip(ai.tolist(), sa[first][emit].tolist(),
+                           bi.tolist(), sb[first][emit].tolist(),
+                           lmax[emit].tolist()))
         return g
 
     def reduce_self(self) -> int:
@@ -600,25 +674,78 @@ class StringGraph:
             out_edges.setdefault((a, sa), []).append((b, sb, l))
         return out_edges
 
-    def reduce_transitive(self) -> int:
-        """Remove edge a->c when a->b->c spells the same layout
-        (ref: gt_strgraph_redtrans, rdj-strgraph.c:987). Positional
-        criterion: c's start via b is len(a)-l_ab + len(b)-l_bc, directly
-        it is len(a)-l_ac, so the edge is transitive iff
-        l_ac == l_ab + l_bc - len(b)."""
+    def _reduce_transitive_dicts(self) -> int:
+        """Reference dict walk (fallback for vertex/overlap ids past the
+        packed 21-bit key budget of the vectorized join)."""
         out_edges = self._edge_maps()
         removed = set()
-        readlen = [len(r) for r in self.readset.reads]
+        readlen = self.readset.lens
         for a, sa, c, sc, l_ac in self.edges:
             for b, sb, l_ab in out_edges.get((a, sa), []):
                 if (b, sb) == (c, sc) or (b, sb) == (a, sa):
                     continue
                 for c2, sc2, l_bc in out_edges.get((b, sb), []):
                     if (c2, sc2) == (c, sc) and \
-                            l_ac == l_ab + l_bc - readlen[b]:
+                            l_ac == l_ab + l_bc - int(readlen[b]):
                         removed.add((a, sa, c, sc, l_ac))
         self.edges = [e for e in self.edges if e not in removed]
         return len(removed)
+
+    def _edge_arrays(self):
+        """(a2, b2, l) int64 planes of the edge list, vertex packed as
+        read*2 + strand."""
+        if not self.edges:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        e = np.asarray(self.edges, np.int64)
+        return e[:, 0] * 2 + e[:, 1], e[:, 2] * 2 + e[:, 3], e[:, 4]
+
+    def reduce_transitive(self) -> int:
+        """Remove edge a->c when a->b->c spells the same layout
+        (ref: gt_strgraph_redtrans, rdj-strgraph.c:987). Positional
+        criterion: c's start via b is len(a)-l_ab + len(b)-l_bc, directly
+        it is len(a)-l_ac, so the edge is transitive iff
+        l_ac == l_ab + l_bc - len(b).
+
+        Vectorized two-hop join: expand every edge a->b by the out-edges
+        of b, build the implied (a, c, l) keys, and mark existing edges
+        that match — the same removal set as the per-vertex dict walk."""
+        ea, eb, el = self._edge_arrays()
+        ne = ea.size
+        if ne == 0:
+            return 0
+        if max(int(ea.max()), int(eb.max())) >= 1 << 21 or \
+                int(el.max()) >= 1 << 21:
+            return self._reduce_transitive_dicts()
+        readlen = self.readset.lens
+        order = np.argsort(ea, kind="stable")
+        sa_, sb_, sl_ = ea[order], eb[order], el[order]
+        # out-run of each vertex in the sorted-by-source view
+        run_start = np.searchsorted(sa_, eb)     # per edge: b's out-run
+        run_end = np.searchsorted(sa_, eb, side="right")
+        cnt = run_end - run_start
+        hop = np.repeat(np.arange(ne), cnt)      # first edge a->b
+        within = np.arange(cnt.sum()) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        succ = run_start[hop] + within           # second edge b->c (sorted idx)
+        a2, b2 = ea[hop], eb[hop]
+        c2, l_bc = sb_[succ], sl_[succ]
+        ok = (b2 != c2) & (b2 != a2)
+        l_imp = el[hop] + l_bc - readlen[b2 >> 1]
+        # membership: does edge (a2 -> c2, l_imp) exist?
+        KEY = (ea << 42) | (eb << 21) | el if ne else None
+        cand = (a2 << 42) | (c2 << 21) | l_imp
+        skey = np.sort(KEY)
+        pos = np.searchsorted(skey, cand[ok])
+        pos = np.minimum(pos, max(skey.size - 1, 0))
+        hit = skey[pos] == cand[ok]
+        hits = np.zeros(0, np.int64) if not hit.any() else \
+            np.unique(cand[ok][hit])
+        removed_mask = np.isin(KEY, hits)
+        before = len(self.edges)
+        self.edges = [e for e, r in zip(self.edges, removed_mask)
+                      if not r]
+        return before - len(self.edges)
 
     # -- error-correction reductions (ref: rdj-strgraph.c:1131,1230) ---
 
@@ -761,26 +888,50 @@ class StringGraph:
         """Unitig spelling (ref: gt_strgraph_spell, rdj-strgraph.c:2760):
         follow maximal paths through vertices with unique continuation.
         Returns list of (seq_str, depth, path_desc)."""
-        out_edges = self._edge_maps()
-        in_count = {}
-        for a, sa, b, sb, l in self.edges:
-            in_count[(b, sb)] = in_count.get((b, sb), 0) + 1
         alpha = dna_alphabet()
+        rs = self.readset
+        blob, st_, ln_ = rs.blob, rs.starts, rs.lens
+        rcb = rs.rcblob if self.edges else blob
 
         def read_seq(r, strand):
-            return self.readset.reads[r] if strand else self.readset.rc(r)
+            s = int(st_[r])
+            return (blob if strand else rcb)[s:s + int(ln_[r])]
+
+        # vertex-packed (read*2 + strand) edge planes sorted by source:
+        # out-sets and degree counts come from searchsorted/bincount
+        # instead of per-edge dict builds
+        ea, eb, el = self._edge_arrays()
+        order = np.argsort(ea, kind="stable")
+        sa_, sb_, sl_ = ea[order], eb[order], el[order]
+        n = self.readset.num_reads
+        indeg = np.bincount(eb, minlength=2 * n) if eb.size else \
+            np.zeros(2 * n, np.int64)
+        outdeg = np.bincount(ea, minlength=2 * n) if ea.size else \
+            np.zeros(2 * n, np.int64)
+
+        # per-vertex out-run bounds, one vectorized pass
+        runs = np.searchsorted(sa_, np.arange(2 * n + 1))
+        sbl = sb_.tolist()
+        sll = sl_.tolist()
+        runl = runs.tolist()
+        indl = indeg.tolist()
+
+        def out_edges_of(v):
+            key = v[0] * 2 + v[1]
+            return [(sbl[i] >> 1, bool(sbl[i] & 1), sll[i])
+                    for i in range(runl[key], runl[key + 1])]
+
+        def in_count_of(v):
+            return indl[v[0] * 2 + v[1]]
 
         used = set()
         contigs = []
-        n = self.readset.num_reads
         # path starts: vertices with no unique predecessor
-        starts = []
-        for r in range(n):
-            for s in (True, False):
-                v = (r, s)
-                if in_count.get(v, 0) != 1 and \
-                        len(out_edges.get(v, [])) >= 1:
-                    starts.append(v)
+        startv = np.flatnonzero((indeg != 1) & (outdeg >= 1))
+        # original visit order per read: strand True before False
+        startv = startv[np.argsort((startv >> 1) * 2 + (1 - (startv & 1)),
+                                   kind="stable")]
+        starts = [(int(k) >> 1, bool(k & 1)) for k in startv]
         for v0 in starts:
             if v0[0] in used:
                 continue
@@ -788,13 +939,13 @@ class StringGraph:
             lens = []
             v = v0
             while True:
-                outs = out_edges.get(v, [])
+                outs = out_edges_of(v)
                 outs = [o for o in outs if o[0] not in used and
                         o[0] != v[0]]
                 if len(outs) != 1:
                     break
                 b, sb, l = outs[0]
-                if in_count.get((b, sb), 0) != 1:
+                if in_count_of((b, sb)) != 1:
                     break
                 path.append((b, sb))
                 lens.append(l)

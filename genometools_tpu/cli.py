@@ -664,16 +664,14 @@ def cmd_readjoiner(args):
             args.db, maxlow=args.maxlow, lowqual=args.lowqual,
             phredbase=64 if args.phred64 else 33)
         contained = rj.find_contained(rs)
-        keep = [r for r, c in zip(rs.reads, contained) if not c]
         import numpy as _np
+        keepmask = ~contained
+        posmask = _np.repeat(keepmask, rs.lens)
         # one blob + offsets (a 100k-key compressed zip took ~25s)
-        lens = _np.fromiter((len(r) for r in keep), _np.int64, len(keep))
-        _np.savez(args.readset + ".reads",
-                  blob=(_np.concatenate(keep) if keep
-                        else _np.zeros(0, _np.uint8)),
-                  lens=lens)
-        print(f"# {len(rs.reads)} reads, {int(contained.sum())} contained, "
-              f"{len(keep)} kept", file=sys.stderr)
+        _np.savez(args.readset + ".reads", blob=rs.blob[posmask],
+                  lens=rs.lens[keepmask])
+        print(f"# {rs.num_reads} reads, {int(contained.sum())} contained, "
+              f"{int(keepmask.sum())} kept", file=sys.stderr)
     elif args.sub == "overlap":
         rs = _load_readset(args.readset)
         spms = rj.find_spms(rs, args.l, singlestrand=args.singlestrand)
@@ -732,10 +730,7 @@ def _load_readset(name):
     from .assembly.readjoiner import ReadSet
     d = _np.load(name + ".reads.npz")
     if "blob" in d.files:
-        blob, lens = d["blob"], d["lens"]
-        starts = _np.cumsum(lens) - lens
-        return ReadSet([blob[s:s + l]
-                        for s, l in zip(starts.tolist(), lens.tolist())])
+        return ReadSet(blob=d["blob"], lens=d["lens"])
     return ReadSet([d[k] for k in sorted(d.files,
                                          key=lambda s: int(s[1:]))])
 
