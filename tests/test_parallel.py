@@ -367,3 +367,43 @@ class TestDistributedReadjoiner:
         ref = find_spms(rs, 30)
         got = distributed_find_spms(rs, 30, mesh)
         assert got.lines() == ref.lines()
+
+
+class TestDistTallymerMaxpairs:
+    def test_sharded_mer_counts(self):
+        import numpy as np
+
+        from genometools_tpu.parallel.dist_tallymer import \
+            sharded_mer_counts
+        rng = np.random.default_rng(3)
+        codes = rng.integers(0, 4 ** 9, 50000).astype(np.int64)
+        m, c = sharded_mer_counts(codes, 9, make_mesh(8))
+        wm, wc = np.unique(codes, return_counts=True)
+        assert (m == wm).all() and (c == wc).all()
+
+    def test_sharded_mer_counts_wide_raises(self):
+        import numpy as np
+        import pytest
+
+        from genometools_tpu.parallel.dist_tallymer import \
+            sharded_mer_counts
+        with pytest.raises(ValueError):
+            sharded_mer_counts(np.zeros(4, np.int64), 19, make_mesh(8))
+
+    def test_distributed_maxpairs(self):
+        import numpy as np
+
+        from genometools_tpu.core.encseq import Encseq
+        from genometools_tpu.index.esa import build_esa
+        from genometools_tpu.match.maxpairs import enumerate_maxpairs
+        from genometools_tpu.parallel.dist_maxpairs import \
+            distributed_maxpairs
+        rng = np.random.default_rng(11)
+        s = "".join(rng.choice(list("acgt"), 4000))
+        s = s + s[:600]                      # guaranteed repeats
+        esa = build_esa(Encseq.from_string(s), 0, with_lcp=True)
+        got = distributed_maxpairs(esa, 12, devices=list(range(4)))
+        want = enumerate_maxpairs(esa, 12)
+        assert got.pos1.tolist() == want.pos1.tolist()
+        assert got.pos2.tolist() == want.pos2.tolist()
+        assert got.length.tolist() == want.length.tolist()
