@@ -28,6 +28,7 @@ equal" with no end-of-string corner cases.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -416,6 +417,34 @@ def _sa_pipeline(keys_j: jnp.ndarray, n1: int, sigma: int,
     return sa, lcp
 
 
+def _build_suffix_array_wide(keys: np.ndarray, n1: int,
+                             with_lcp: bool):
+    """>2^30 (or forced) path: pair-lane sharded doubling over the
+    available devices, Kasai host LCP."""
+    import jax
+
+    from ..parallel.dist_doubling_sharded import sharded_suffix_array
+    from ..parallel.dist_esa import make_mesh
+
+    try:
+        ndev = len(jax.devices())
+    except RuntimeError:
+        ndev = 1
+    mesh = make_mesh(ndev)
+    sa = np.asarray(sharded_suffix_array(np.asarray(keys, np.int64),
+                                         mesh))[:n1]
+    lcp = None
+    if with_lcp:
+        from ..core.native import kasai_lcp_native
+        lcp = kasai_lcp_native(np.asarray(keys, np.int32),
+                               np.asarray(sa, np.int32))
+        if lcp is None:
+            lcp = kasai_lcp(np.asarray(keys, np.int64),
+                            np.asarray(sa, np.int64))
+        lcp = jnp.asarray(np.asarray(lcp, np.int32))
+    return jnp.asarray(np.asarray(sa, np.int32)), lcp
+
+
 def build_suffix_array(keys, with_lcp: bool = True):
     """Build (sa, lcp) from int32 suffix keys.
 
@@ -440,9 +469,14 @@ def build_suffix_array(keys, with_lcp: bool = True):
     # the doubling rounds form idx + h with idx, h < npad — both must stay
     # below 2^31. encseq's own guard (n + num_chars < 2^31) admits sizes in
     # (2^30, 2^31) that would overflow silently here, so reject them too.
-    if npad > 2 ** 30 or int(keys.max()) + (npad - n1) >= 2 ** 31 - 1:
-        raise NotImplementedError(
-            "int64 index path not yet wired (n1 > 2^30 needs it)")
+    if npad > 2 ** 30 or int(keys.max()) + (npad - n1) >= 2 ** 31 - 1 \
+            or os.environ.get("GT_TPU_WIDE_FORCE"):
+        # wide lanes: values past the int32 doubling budget go through
+        # the position-sharded pair-lane engine (int32 (hi, lo) planes,
+        # parallel/dist_doubling_sharded) — a 1-device mesh IS the
+        # single-chip case, so >2^30 no longer raises here (ref scale
+        # model: src/match/sfx-suffixgetset.c:33 ulong positions).
+        return _build_suffix_array_wide(keys, n1, with_lcp)
     if npad > n1:
         maxkey = int(keys.max())
         pad = maxkey + 1 + np.arange(npad - n1, dtype=np.int32)

@@ -152,3 +152,20 @@ class TestSAIS:
                 pytest.skip("native lib unavailable")
             sa2, _ = build_suffix_array(keys, with_lcp=False)
             assert np.array_equal(sa, np.asarray(sa2)), db
+
+
+def test_wide_lane_delegation(monkeypatch):
+    """GT_TPU_WIDE_FORCE routes the single-chip build through the
+    pair-lane sharded engine; result must equal the int32 engine."""
+    import numpy as np
+
+    from genometools_tpu.core.encseq import Encseq
+    from genometools_tpu.index.suffix import build_suffix_array
+    rng = np.random.default_rng(9)
+    s = "".join(rng.choice(list("acgtn"), 3001, p=[0.24] * 4 + [0.04]))
+    keys = Encseq.from_string(s).suffix_keys()
+    ref_sa, ref_lcp = build_suffix_array(keys, with_lcp=True)
+    monkeypatch.setenv("GT_TPU_WIDE_FORCE", "1")
+    sa, lcp = build_suffix_array(keys, with_lcp=True)
+    assert np.asarray(sa).tolist() == np.asarray(ref_sa).tolist()
+    assert np.asarray(lcp).tolist() == np.asarray(ref_lcp).tolist()
