@@ -785,15 +785,28 @@ def cmd_ltrharvest(args):
     preds = ltrharvest(enc, params)
     if args.gff3:
         from .anno.gff3 import gff3_to_string
-        sys.stdout.write(gff3_to_string(gff3_nodes(preds, enc)))
-    else:
+        text = gff3_to_string(gff3_nodes(preds, enc, seqids=args.seqids))
+        if isinstance(args.gff3, str):
+            with open(args.gff3, "w") as f:
+                f.write(text)
+        else:
+            sys.stdout.write(text)
+    if args.tabout != "no" and not args.gff3:
+        from .ltr.ltrharvest import tabout_lines
         print("# s(ret) e(ret) l(ret) s(lLTR) e(lLTR) l(lLTR) "
               "s(rLTR) e(rLTR) l(rLTR) sim(LTRs) seq-nr")
-        for p in preds:
-            print(f"{p.start1} {p.end2} {p.end2 - p.start1 + 1} "
-                  f"{p.start1} {p.end1} {p.end1 - p.start1 + 1} "
-                  f"{p.start2} {p.end2} {p.end2 - p.start2 + 1} "
-                  f"{p.similarity:.2f} {p.seqnum}")
+        for line in tabout_lines(preds, enc,
+                                 longoutput=args.longoutput):
+            print(line)
+    from .ltr.ltrharvest import fasta_out_entries
+    if args.out:
+        with open(args.out, "w") as f:
+            for line in fasta_out_entries(preds, enc, inner=False):
+                f.write(line + "\n")
+    if args.outinner:
+        with open(args.outinner, "w") as f:
+            for line in fasta_out_entries(preds, enc, inner=True):
+                f.write(line + "\n")
     return 0
 
 
@@ -807,7 +820,15 @@ def _add_ltrharvest(sub):
     p.add_argument("-maxdistltr", type=int, default=15000)
     p.add_argument("-similar", type=float, default=85.0)
     p.add_argument("-mintsd", type=int, default=4)
-    p.add_argument("-gff3", action="store_true")
+    p.add_argument("-gff3", nargs="?", const=True, default=False,
+                   help="GFF3 output (optionally to a file)")
+    p.add_argument("-out", default=None,
+                   help="FASTA of predicted elements")
+    p.add_argument("-outinner", default=None,
+                   help="FASTA of inner regions between the LTRs")
+    p.add_argument("-tabout", default="yes", choices=["yes", "no"])
+    p.add_argument("-longoutput", action="store_true")
+    p.add_argument("-seqids", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_ltrharvest)
 

@@ -159,13 +159,77 @@ def _resolve_overlaps(preds: list[LTRPrediction]) -> list[LTRPrediction]:
     return out
 
 
-def gff3_nodes(preds: list[LTRPrediction], encseq: Encseq):
+def fasta_out_entries(preds: list[LTRPrediction], encseq: Encseq,
+                      inner: bool = False, width: int = 60):
+    """FASTA lines for prediction regions (capability of
+    ltrharvest_fasta_out_stream/-visitor, ref:
+    src/ltr/ltrharvest_fasta_out_visitor.c): header
+    '<desc> (dbseq-nr N) [start,end]' with 1-based inclusive
+    coordinates; inner=True emits the between-LTR region
+    (leftLTR.end+1 .. rightLTR.start-1)."""
+    import sys as _sys
+    out = []
+    for p in preds:
+        if inner:
+            lo1, hi1 = p.end1 + 2, p.start2        # 1-based inclusive
+        else:
+            lo1, hi1 = p.start1 + 1, p.end2 + 1
+        if lo1 >= hi1:
+            print(f"warning: trying to output empty"
+                  f"{' inner' if inner else ''} sequence for candidate "
+                  f"at {p.start1 + 1}-{p.end2 + 1} on sequence "
+                  f"{p.seqnum}", file=_sys.stderr)
+            continue
+        desc = encseq.descs[p.seqnum] if p.seqnum < len(encseq.descs) \
+            else ""
+        start = int(encseq.seq_startpos(p.seqnum))
+        codes = encseq.codes[start + lo1 - 1:start + hi1]
+        text = encseq.alphabet.decode(codes)
+        out.append(f">{desc} (dbseq-nr {p.seqnum}) [{lo1},{hi1}]")
+        for i in range(0, len(text), width):
+            out.append(text[i:i + width])
+    return out
+
+
+def tabout_lines(preds: list[LTRPrediction], encseq: Encseq | None = None,
+                 longoutput: bool = False):
+    """Tabular output rows (capability of ltrharvest_tabout_visitor.c);
+    longoutput adds the TSD sequence + length columns when TSDs were
+    searched (motif columns appear when motif annotation exists —
+    PPT/PBS motifs live in ltrdigest here)."""
+    lines = []
+    for p in preds:
+        cols = [f"{p.start1} {p.end2} {p.end2 - p.start1 + 1}",
+                f"{p.start1} {p.end1} {p.end1 - p.start1 + 1}"]
+        if longoutput and p.tsd_length and encseq is not None:
+            s = int(encseq.seq_startpos(p.seqnum))
+            lt = encseq.alphabet.decode(
+                encseq.codes[s + p.start1 - p.tsd_length:s + p.start1])
+            rt = encseq.alphabet.decode(
+                encseq.codes[s + p.end2 + 1:s + p.end2 + 1 + p.tsd_length])
+            cols.append(f"{lt} {p.tsd_length}")
+        cols.append(f"{p.start2} {p.end2} {p.end2 - p.start2 + 1}")
+        if longoutput and p.tsd_length and encseq is not None:
+            cols.append(f"{rt} {p.tsd_length}")
+        cols.append(f"{p.similarity:.2f} {p.seqnum}")
+        lines.append(" ".join(cols))
+    return lines
+
+
+def gff3_nodes(preds: list[LTRPrediction], encseq: Encseq,
+               seqids: bool = False):
     """Render predictions as GFF3 feature trees like `gt ltrharvest -gff3`
-    (repeat_region > LTR_retrotransposon > long_terminal_repeat x2)."""
+    (repeat_region > LTR_retrotransposon > long_terminal_repeat x2).
+    seqids=True uses the sequence description's first word as the
+    region id (ref: gt_ltrharvest.c -seqids)."""
     from ..anno.genome_node import FeatureNode
     nodes = []
     for p in preds:
         seqid = f"seq{p.seqnum}"
+        if seqids and p.seqnum < len(encseq.descs):
+            word = encseq.descs[p.seqnum].split()
+            if word:
+                seqid = word[0]
         region = FeatureNode(seqid, "repeat_region",
                              p.start1 + 1 - p.tsd_length,
                              p.end2 + 1 + p.tsd_length, "?", "LTRharvest")

@@ -163,3 +163,58 @@ class TestLtrClustering:
         assert clids[2] != clids[0]
         fams = [el.attributes.get("ltrfam") for el in nodes]
         assert fams[0] == fams[1] and fams[2] != fams[0]
+
+
+class TestLTRHarvestOutputStreams:
+    def _mk(self, tmp_path):
+        import numpy as np
+
+        from genometools_tpu.core.encseq import Encseq
+        rng = np.random.default_rng(4)
+        ltr = "".join(rng.choice(list("acgt"), 150))
+        mid = "".join(rng.choice(list("acgt"), 1200))
+        flank = "".join(rng.choice(list("acgt"), 300))
+        tsd = "acgta"
+        seq = flank + tsd + ltr + mid + ltr + tsd + flank
+        return Encseq.from_string(seq)
+
+    def test_fasta_out_and_tabout(self, tmp_path):
+        from genometools_tpu.ltr.ltrharvest import (LTRHarvestParams,
+                                                    fasta_out_entries,
+                                                    ltrharvest,
+                                                    tabout_lines)
+        enc = self._mk(tmp_path)
+        preds = ltrharvest(enc, LTRHarvestParams(
+            seedlength=30, minlenltr=100, maxlenltr=400,
+            mindistltr=500, maxdistltr=3000, mintsd=4, with_tsd=True))
+        assert preds, "expected one prediction"
+        fa = fasta_out_entries(preds, enc, inner=False)
+        assert fa[0].startswith(">") and "(dbseq-nr 0) [" in fa[0]
+        body = "".join(x for x in fa[1:] if not x.startswith(">"))
+        p = preds[0]
+        assert len(body) == p.end2 - p.start1 + 1
+        inner = fasta_out_entries(preds, enc, inner=True)
+        ibody = "".join(x for x in inner[1:] if not x.startswith(">"))
+        assert len(ibody) == p.start2 - p.end1 - 1
+        lines = tabout_lines(preds, enc, longoutput=True)
+        assert lines and str(p.seqnum) == lines[0].split()[-1]
+        if p.tsd_length:
+            assert str(p.tsd_length) in lines[0].split()
+
+    def test_cli_out_files(self, tmp_path, capsys):
+        import numpy as np
+
+        from genometools_tpu.cli import main as gt_main
+        from genometools_tpu.core.esq import write_all
+        enc = self._mk(tmp_path)
+        write_all(enc, str(tmp_path / "idx"))
+        rc = gt_main(["ltrharvest", "-index", str(tmp_path / "idx"),
+                      "-seed", "30", "-minlenltr", "100", "-maxlenltr",
+                      "400", "-mindistltr", "500", "-maxdistltr",
+                      "3000", "-out", str(tmp_path / "o.fas"),
+                      "-outinner", str(tmp_path / "i.fas"),
+                      "-gff3", str(tmp_path / "g.gff3"), "--cpu"])
+        assert rc == 0
+        assert (tmp_path / "o.fas").read_text().startswith(">")
+        assert (tmp_path / "i.fas").read_text().startswith(">")
+        assert "##gff-version" in (tmp_path / "g.gff3").read_text()
