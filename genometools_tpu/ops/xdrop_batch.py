@@ -394,3 +394,101 @@ def xdrop_extend_batch_exact(us, vs, belowscore: int, max_w: int = 512,
                 best = xdrop_extend(us[b], vs[b], belowscore)
                 iv[b], jv[b], sv[b] = best.ivalue, best.jvalue, best.score
     return iv, jv, sv
+
+
+@partial(jax.jit, static_argnames=("W0",))
+def _xdrop_pk_from_pool(gp, desc, W0: int):
+    """Device window builder for the xdrop PK layout: the greedy pool
+    gather (ops.greedy_batch._pk_from_pool) minus its seedlen column —
+    per-lane upload is the 12-byte descriptor, windows never touch the
+    host."""
+    from .greedy_batch import _pk_from_pool
+    W32 = W0 // 32
+    pk = _pk_from_pool(gp, desc, W0)
+    return jnp.concatenate([pk[:, :6 * W32], pk[:, 6 * W32 + 1:]],
+                           axis=1)
+
+
+def xdrop_extend_batch_pool(pool, u_off, u_len, v_off, v_len, rev,
+                            belowscore: int):
+    """Pool-resident exact xdrop batch: the packed pool uploads once,
+    waves send int32 descriptors, Pallas tiers compute, and unverified
+    lanes re-run on the exact host engine — bit-equal to the scalar
+    engine everywhere (device-resident task descriptors; the transfer
+    cost drops from packed windows to 12 B/lane)."""
+    N = int(np.asarray(u_off).size)
+    if N == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    u_off = np.asarray(u_off, np.int64)
+    u_len = np.asarray(u_len, np.int64)
+    v_off = np.asarray(v_off, np.int64)
+    v_len = np.asarray(v_len, np.int64)
+    rev = np.asarray(rev, bool)
+
+    def materialize(idx):
+        us, vs = [], []
+        for i in idx:
+            u = pool[u_off[i]:u_off[i] + u_len[i]]
+            v = pool[v_off[i]:v_off[i] + v_len[i]]
+            if rev[i]:
+                u, v = u[::-1], v[::-1]
+            us.append(u)
+            vs.append(v)
+        return us, vs
+
+    pall = _use_pallas_xdrop()
+    if not pall or pool.size >= 1 << 26:
+        us, vs = materialize(np.arange(N))
+        return xdrop_extend_batch_exact(us, vs, belowscore)
+
+    from .greedy_batch import _pack_desc, pack_pool
+    from .xdrop_pallas import _block_lanes, xdrop_full_pallas
+
+    D = 32
+    lens = np.maximum(u_len, v_len)
+    dif = np.abs(u_len - v_len)
+    host_mask = (lens > 512) | (dif > D)
+    iv = np.zeros(N, np.int64)
+    jv = np.zeros(N, np.int64)
+    sv = np.zeros(N, np.int64)
+    gp = jnp.asarray(pack_pool(pool))
+    T = pool.size
+    us_ = np.where(rev, T - u_off - u_len, u_off).astype(np.int32)
+    vs_ = np.where(rev, T - v_off - v_len, v_off).astype(np.int32)
+    desc_all = np.stack(
+        [us_, u_len.astype(np.int32), vs_, v_len.astype(np.int32),
+         rev.astype(np.int32), np.zeros(N, np.int32)], axis=1)
+    pending = []
+    for W in (256, 512):
+        tier = np.flatnonzero(~host_mask & (lens <= W))
+        host_mask[tier] = True
+        if tier.size == 0:
+            continue
+        tier = tier[np.argsort(lens[tier], kind="stable")]
+        BLK = _block_lanes(2 * D + 1, int(tier.size))
+        npad = -(-tier.size // BLK) * BLK
+        desc = np.zeros((npad, 3), np.int32)
+        desc[:tier.size] = _pack_desc(desc_all[tier])
+        pk = _xdrop_pk_from_pool(gp, jnp.asarray(desc), W)
+        out = xdrop_full_pallas(pk, belowscore, W, D=D, GENS=512,
+                                interpret=(pall == "interpret"),
+                                sync=False)
+        pending.append((tier, out))
+    bad_idx = []
+    for tier, out in pending:
+        out = np.asarray(out)
+        n = tier.size
+        iv[tier] = out[0][:n]
+        jv[tier] = out[1][:n]
+        sv[tier] = out[2][:n]
+        bad_idx.append(tier[out[3][:n] != 0])
+    redo = np.concatenate(
+        [np.flatnonzero((lens > 512) | (dif > D))] + bad_idx)
+    if redo.size:
+        us, vs = materialize(redo)
+        hi, hj, hs = _host_exact(us, vs, belowscore)
+        iv[redo] = hi
+        jv[redo] = hj
+        sv[redo] = hs
+    return iv, jv, sv

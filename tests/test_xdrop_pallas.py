@@ -100,3 +100,34 @@ def test_dispatcher_pallas_path_exact(monkeypatch):
         ref = xdrop_extend(us[t], vs[t], 7)
         assert (iv[t], jv[t], sv[t]) == \
             (ref.ivalue, ref.jvalue, ref.score), f"task {t}"
+
+
+def test_pool_resident_batch_exact():
+    """Pool-descriptor batch == scalar engine on random lanes."""
+    import os
+
+    import numpy as np
+
+    from genometools_tpu.ops.xdrop import xdrop_extend
+    from genometools_tpu.ops.xdrop_batch import xdrop_extend_batch_pool
+    os.environ["GT_TPU_PALLAS_XDROP"] = "interpret"
+    try:
+        rng = np.random.default_rng(17)
+        pool = rng.integers(0, 4, 3000).astype(np.uint8)
+        N = 24
+        uo = rng.integers(0, 2500, N)
+        ul = rng.integers(1, 200, N)
+        vo = rng.integers(0, 2500, N)
+        vl = rng.integers(1, 200, N)
+        rv = rng.integers(0, 2, N).astype(bool)
+        iv, jv, sv = xdrop_extend_batch_pool(pool, uo, ul, vo, vl, rv, 7)
+        for i in range(N):
+            u = pool[uo[i]:uo[i] + ul[i]]
+            v = pool[vo[i]:vo[i] + vl[i]]
+            if rv[i]:
+                u, v = u[::-1], v[::-1]
+            b = xdrop_extend(u, v, 7)
+            assert (iv[i], jv[i], sv[i]) == \
+                (b.ivalue, b.jvalue, b.score)
+    finally:
+        del os.environ["GT_TPU_PALLAS_XDROP"]
