@@ -859,6 +859,10 @@ def cmd_ltrdigest(args):
                                args.pbstrnaoffset[1]),
             pbs_max_edist=args.pbsmaxedist, pbs_radius=args.pbsradius)
         ltrdigest(nodes, mapping, trna_lib, params)
+        if args.outfileprefix:
+            from .ltr.ltrdigest import ltrdigest_file_out
+            ltrdigest_file_out(nodes, mapping, args.outfileprefix,
+                               seqnamelen=args.seqnamelen)
     except ValueError as e:
         print(f"gt ltrdigest: error: {e}", file=sys.stderr)
         return 1
@@ -884,6 +888,9 @@ def _add_ltrdigest(sub):
     p.add_argument("-pbstrnaoffset", type=int, nargs=2, default=[0, 5])
     p.add_argument("-pbsmaxedist", type=int, default=1)
     p.add_argument("-pbsradius", type=int, default=30)
+    p.add_argument("-outfileprefix", default=None,
+                   help="prefix for tabular + FASTA output files")
+    p.add_argument("-seqnamelen", type=int, default=20)
     p.set_defaults(func=cmd_ltrdigest)
 
 

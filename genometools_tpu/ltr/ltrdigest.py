@@ -309,3 +309,105 @@ def ltrdigest(nodes, mapping, trna_lib=None,
                     if m.strand in (".", "?"):
                         m.strand = strand
     return nodes
+
+
+def ltrdigest_file_out(nodes, mapping, prefix: str,
+                       seqnamelen: int = 20) -> None:
+    """Tabular + FASTA file family of `gt ltrdigest -outfileprefix`
+    (capability of ltrdigest_file_out_stream, ref:
+    src/ltr/ltrdigest_file_out_stream.c): writes
+    <prefix>_tabout.csv (header + one row per element),
+    <prefix>_{5ltr,3ltr,complete,ppt,pbs}.fas."""
+
+    def fa(path):
+        return open(path, "w")
+
+    def show(f, desc, seq, width=60):
+        f.write(f">{desc}\n")
+        for i in range(0, len(seq), width):
+            f.write(seq[i:i + width] + "\n")
+
+    tab = open(prefix + "_tabout.csv", "w")
+    tab.write(
+        "element start\telement end\telement length\tsequence\t"
+        "lLTR start\tlLTR end\tlLTR length\t"
+        "rLTR start\trLTR end\trLTR length\t"
+        "lTSD start\tlTSD end\tlTSD motif\t"
+        "rTSD start\trTSD end\trTSD motif\t"
+        "PPT start\tPPT end\tPPT motif\tPPT strand\tPPT offset"
+        "\tPBS start\tPBS end\tPBS strand\ttRNA\ttRNA motif\tPBS "
+        "offset\ttRNA offset\tPBS/tRNA edist\n")
+    f5 = fa(prefix + "_5ltr.fas")
+    f3 = fa(prefix + "_3ltr.fas")
+    fc = fa(prefix + "_complete.fas")
+    fp = fa(prefix + "_ppt.fas")
+    fb = fa(prefix + "_pbs.fas")
+    try:
+        for top in nodes:
+            if not isinstance(top, FeatureNode):
+                continue
+            for fn in top.traverse():
+                if fn.type != "LTR_retrotransposon":
+                    continue
+                ltrs = sorted((c for c in fn.children
+                               if c.type == "long_terminal_repeat"),
+                              key=lambda c: c.range.start)
+                if len(ltrs) != 2:
+                    continue
+                sid = fn.seqid.replace(" ", "_")[:seqnamelen]
+                er, lr, rr = fn.range, ltrs[0].range, ltrs[1].range
+                desc = f"{sid}_{er.start}_{er.end}"
+                row = [er.start, er.end, er.end - er.start + 1, sid,
+                       lr.start, lr.end, lr.end - lr.start + 1,
+                       rr.start, rr.end, rr.end - rr.start + 1]
+
+                def seq_of(rng):
+                    return mapping.get_sequence(fn.seqid, rng.start,
+                                                rng.end)
+
+                # on the minus strand 5'/3' LTR roles swap
+                # (ref: gt_ltrelement_*ltrlen role logic)
+                minus = fn.strand == "-"
+                show(f5, f"{desc}_5ltr",
+                     seq_of(rr if minus else lr))
+                show(f3, f"{desc}_3ltr",
+                     seq_of(lr if minus else rr))
+                show(fc, desc, seq_of(er))
+                kids = {c.type: c for c in fn.children}
+                tsds = [c for c in (top.children
+                                    if top.type == "repeat_region"
+                                    else [])
+                        if c.type == "target_site_duplication"]
+                tsds = sorted(tsds, key=lambda c: c.range.start)
+                for t in (tsds[:1], tsds[1:2]):
+                    if t:
+                        tr = t[0].range
+                        row += [tr.start, tr.end, seq_of(tr)]
+                    else:
+                        row += ["", "", ""]
+                ppt = kids.get("RR_tract")
+                if ppt is not None:
+                    pr = ppt.range
+                    off = abs(rr.start - pr.end) \
+                        if ppt.strand == "+" else abs(lr.end - pr.start)
+                    row += [pr.start, pr.end, seq_of(pr), ppt.strand,
+                            off]
+                    show(fp, f"{desc}_ppt", seq_of(pr))
+                else:
+                    row += ["", "", "", "", ""]
+                pbs = kids.get("primer_binding_site")
+                if pbs is not None:
+                    br = pbs.range
+                    row += [br.start, br.end, pbs.strand,
+                            pbs.get_attribute("trna") or "",
+                            seq_of(br),
+                            pbs.get_attribute("pbsoffset") or "",
+                            pbs.get_attribute("trnaoffset") or "",
+                            pbs.get_attribute("edist") or ""]
+                    show(fb, f"{desc}_pbs", seq_of(br))
+                else:
+                    row += [""] * 8
+                tab.write("\t".join(str(x) for x in row) + "\n")
+    finally:
+        for f in (tab, f5, f3, fc, fp, fb):
+            f.close()

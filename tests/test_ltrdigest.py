@@ -141,3 +141,43 @@ class TestLTRdigestCLI:
         assert "RR_tract" in out
         # strand propagated onto the element and its LTRs
         assert ("LTR_retrotransposon\t51\t550\t.\t+" in out)
+
+
+class TestLTRdigestFileOut:
+    def test_file_family(self, tmp_path):
+        import random
+
+        from genometools_tpu.anno.genome_node import FeatureNode
+        from genometools_tpu.ltr.ltrdigest import (ltrdigest,
+                                                   ltrdigest_file_out)
+        rng = random.Random(7)
+        left, right = _rnd(rng, 100), _rnd(rng, 100)
+        internal = _rnd(rng, 285) + "gaaaggaggggaaag"
+        seq = _rnd(rng, 1000) + left + internal + right + _rnd(rng, 200)
+
+        class Mapping:
+            def get_sequence(self, seqid, start, end):
+                return seq[start - 1:end]
+
+        region = FeatureNode("chr1", "repeat_region", 997, 1504, "?",
+                             "LTRharvest")
+        elem = FeatureNode("chr1", "LTR_retrotransposon", 1001, 1500,
+                           "?", "LTRharvest")
+        region.add_child(elem)
+        for s, e in ((1001, 1100), (1401, 1500)):
+            elem.add_child(FeatureNode("chr1", "long_terminal_repeat",
+                                       s, e, "?", "LTRharvest"))
+        nodes = ltrdigest([region], Mapping())
+        pre = str(tmp_path / "dig")
+        ltrdigest_file_out(nodes, Mapping(), pre)
+        tab = (tmp_path / "dig_tabout.csv").read_text().splitlines()
+        assert tab[0].startswith("element start\telement end")
+        assert len(tab) == 2
+        cols = tab[1].split("\t")
+        assert cols[0] == "1001" and cols[1] == "1500"
+        assert cols[3] == "chr1"
+        assert (tmp_path / "dig_5ltr.fas").read_text().startswith(">")
+        assert (tmp_path / "dig_complete.fas").read_text().count(">") == 1
+        # the planted forward PPT must appear in the PPT columns + fasta
+        assert cols[16] and cols[19] == "+"
+        assert (tmp_path / "dig_ppt.fas").read_text().startswith(">")
