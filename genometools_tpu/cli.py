@@ -3182,7 +3182,13 @@ def cmd_tirvish(args):
         vicinity=args.vic, overlaps=args.overlaps)
     pairs = tirvish(enc, p)
     from .anno.gff3 import gff3_to_string
-    sys.stdout.write(gff3_to_string(gff3_nodes(pairs, enc)))
+    nodes = gff3_nodes(pairs, enc)
+    if args.refseqs:
+        from .ltr.tirvish import refseq_match_annotate
+        refseq_match_annotate(nodes, enc, [args.refseqs],
+                              min_ali_len_perc=args.min_ali_len_perc,
+                              flcands=args.flcands, source="TIRvish")
+    sys.stdout.write(gff3_to_string(nodes))
     return 0
 
 
@@ -3207,6 +3213,10 @@ def _add_tirvish(sub):
     p.add_argument("-vic", type=int, default=60)
     p.add_argument("-overlaps", default="best",
                    choices=["best", "longest", "no", "all"])
+    p.add_argument("-refseqs", default=None,
+                   help="annotate best reference-sequence matches")
+    p.add_argument("-min_ali_len_perc", type=float, default=10.0)
+    p.add_argument("-flcands", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(func=cmd_tirvish)
 

@@ -355,3 +355,73 @@ def gff3_nodes(pairs: list[TIRPair], encseq: Encseq):
                                    "TIRvish"))
         nodes.append(region)
     return nodes
+
+
+def refseq_match_annotate(nodes, encseq, refseq_paths,
+                          min_ali_len_perc: float = 10.0,
+                          flcands: bool = False,
+                          source: str = "GenomeTools"):
+    """Annotate candidate elements with their best reference-sequence
+    match (capability of ltr_refseq_match_stream, ref:
+    src/ltr/ltr_refseq_match_stream.c) — the reference shells out to
+    BLASTN; here the in-house seed_extend greedy engine does the
+    matching natively.  Adds a `nucleotide_match` child (target = the
+    refseq description, similarity + match coordinates as attributes)
+    to every element whose best alignment covers at least
+    ``min_ali_len_perc`` percent of the element."""
+    from ..anno.genome_node import FeatureNode
+    from ..core.encseq import Encseq
+    from ..match.seed_extend import SeedExtendParams, seed_extend
+
+    ref = Encseq.from_files(list(refseq_paths))
+    params = SeedExtendParams(minidentity=80, extension="greedy",
+                              userdefinedleastlength=20)
+    for top in nodes:
+        if not isinstance(top, FeatureNode):
+            continue
+        for fn in top.traverse():
+            if fn.type not in ("LTR_retrotransposon",
+                               "terminal_inverted_repeat_element",
+                               "repeat_region"):
+                continue
+            if fn.type == "repeat_region":
+                continue
+            rng = fn.range
+            seqnum = 0
+            try:
+                seqnum = int(fn.get_attribute("seq_number") or 0)
+            except (TypeError, ValueError):
+                pass
+            start = int(encseq.seq_startpos(seqnum))
+            sub = encseq.codes[start + rng.start - 1:start + rng.end]
+            cand = Encseq.from_codes(sub) if hasattr(Encseq,
+                                                     "from_codes") \
+                else None
+            if cand is None:
+                from ..core.alphabet import dna_alphabet
+                cand = Encseq.from_string(
+                    dna_alphabet().decode(sub))
+            matches = seed_extend(cand, ref, params)
+            if not matches:
+                continue
+            best = max(matches, key=lambda m: m.dblen)
+            elen = rng.end - rng.start + 1
+            if 100.0 * best.dblen / elen < min_ali_len_perc:
+                continue
+            if flcands and best.dblen < elen:
+                continue
+            desc = ref.descs[best.queryseqnum] \
+                if best.queryseqnum < len(ref.descs) else ""
+            child = FeatureNode(fn.seqid, "nucleotide_match",
+                                rng.start + best.dbstart,
+                                rng.start + best.dbstart +
+                                best.dblen - 1,
+                                best.direction == "P" and "-" or "+",
+                                source)
+            child.set_attribute("target", desc.split()[0] if desc
+                                else "unknown")
+            child.set_attribute("similarity",
+                                f"{best.identity:.2f}")
+            child.set_attribute("matchlen", str(best.dblen))
+            fn.add_child(child)
+    return nodes

@@ -81,3 +81,28 @@ class TestTirvish:
         assert "terminal_inverted_repeat_element" in types
         assert types.count("terminal_inverted_repeat") >= 2
         assert types.count("target_site_duplication") >= 2
+
+
+def test_refseq_match_annotate():
+    import numpy as np
+
+    from genometools_tpu.anno.genome_node import FeatureNode
+    from genometools_tpu.core.encseq import Encseq
+    from genometools_tpu.ltr.tirvish import refseq_match_annotate
+    rng = np.random.default_rng(5)
+    elem = "".join(rng.choice(list("acgt"), 400))
+    genome = "".join(rng.choice(list("acgt"), 200)) + elem + \
+        "".join(rng.choice(list("acgt"), 200))
+    enc = Encseq.from_string(genome)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        ref = os.path.join(td, "ref.fas")
+        with open(ref, "w") as f:
+            f.write(f">refelem family1\n{elem}\n")
+        node = FeatureNode("seq0", "terminal_inverted_repeat_element",
+                           201, 600, "?", "TIRvish")
+        refseq_match_annotate([node], enc, [ref])
+    kids = [c for c in node.children if c.type == "nucleotide_match"]
+    assert kids, "expected a refseq match annotation"
+    assert kids[0].get_attribute("target") == "refelem"
+    assert float(kids[0].get_attribute("similarity")) > 95.0
