@@ -613,7 +613,11 @@ def bench_vs_gt(dev) -> None:
     big = _ensure_big()
     cache = _load_cache()
     gt_s = None
-    if os.path.exists(GT_BIN):
+    if "gt_suffixerator_32M_s" in cache:
+        # cache-first like every other gt leg (delete the key to
+        # re-measure; an unoptimized parity build must not skew this)
+        gt_s = cache["gt_suffixerator_32M_s"]
+    elif os.path.exists(GT_BIN):
         with tempfile.TemporaryDirectory() as w:
             ts = []
             for _ in range(3):
@@ -630,8 +634,6 @@ def bench_vs_gt(dev) -> None:
             CACHE.write_text(json.dumps(cache))
         except OSError:
             pass
-    elif "gt_suffixerator_32M_s" in cache:
-        gt_s = cache["gt_suffixerator_32M_s"]
     if gt_s is None:
         print("# vs_reference_gt skipped: no gt binary and no cached "
               "time (scripts/regen_golden_esa.sh documents the build)",
