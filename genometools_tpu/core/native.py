@@ -108,6 +108,18 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         pp, pp, pp, pp]
+    u64p_ = ctypes.POINTER(ctypes.c_uint64)
+    try:
+        lib.gt_seed_pair_join2.restype = ctypes.c_int64
+        lib.gt_seed_pair_join2.argtypes = [
+            i64p, i32p, i32p, ctypes.c_int64,
+            i64p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u64p_,
+            ctypes.POINTER(u64p_), pp, pp, pp, pp]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -405,6 +417,12 @@ def write_match_lines_native(rows: np.ndarray, direction: str,
     return rc == 0
 
 
+# sorted a-list pack reuse across join calls (the two strands of one
+# seed_extend run share alist): keyed by object identity with a
+# liveness check — id() alone can be recycled after GC
+_JOIN_PACK_CACHE: dict = {}
+
+
 def seed_pair_join_native(alist, blist, selfcomp: bool,
                           maxfreq, inseqseeds: bool, mindist: int,
                           maxdist):
@@ -438,18 +456,65 @@ def seed_pair_join_native(alist, blist, selfcomp: bool,
         bp = np.ascontiguousarray(bpos, np.int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
     oas, obs, obp, oap = i32p(), i32p(), i32p(), i32p()
-    cnt = lib.gt_seed_pair_join(
-        ac.ctypes.data_as(i64p), as_.ctypes.data_as(i32p),
-        ap.ctypes.data_as(i32p), ac.size,
-        bc.ctypes.data_as(i64p), bs.ctypes.data_as(i32p),
-        bp.ctypes.data_as(i32p), bc.size,
-        int(same), int(selfcomp), int(inseqseeds),
-        int(maxfreq) if maxfreq is not None else 0,
-        int(mindist), int(maxdist) if maxdist is not None else -1,
-        os.cpu_count() or 1,
-        ctypes.byref(oas), ctypes.byref(obs), ctypes.byref(obp),
-        ctypes.byref(oap))
+    # sorted-pack reuse: fixed (cb, iab=32) budget so the pack is
+    # byte-compatible across the strands sharing this a list
+    use_cache = hasattr(lib, "gt_seed_pair_join2") and \
+        ac.size >= (1 << 20)
+    force_cb = int(ac.max()).bit_length() if use_cache else 0
+    if force_cb == 0 or force_cb + 32 > 64:
+        use_cache = False
+    cached = None
+    if use_cache:
+        ent = _JOIN_PACK_CACHE.get(id(acode))
+        if ent is not None and ent[0]() is acode and \
+                ent[1] == force_cb:
+            cached = ent[2]
+    out_pack = u64p()
+
+    def call(cb, iab, pack_in, want_pack):
+        return lib.gt_seed_pair_join2(
+            ac.ctypes.data_as(i64p), as_.ctypes.data_as(i32p),
+            ap.ctypes.data_as(i32p), ac.size,
+            bc.ctypes.data_as(i64p), bs.ctypes.data_as(i32p),
+            bp.ctypes.data_as(i32p), bc.size,
+            int(same), int(selfcomp), int(inseqseeds),
+            int(maxfreq) if maxfreq is not None else 0,
+            int(mindist), int(maxdist) if maxdist is not None else -1,
+            os.cpu_count() or 1, cb, iab,
+            pack_in.ctypes.data_as(u64p) if pack_in is not None
+            else None,
+            ctypes.byref(out_pack) if want_pack else None,
+            ctypes.byref(oas), ctypes.byref(obs), ctypes.byref(obp),
+            ctypes.byref(oap))
+
+    if use_cache:
+        want = cached is None
+        cnt = call(force_cb, 32, cached, want)
+        if cnt >= 0 and want:
+            import weakref
+            pk = np.ctypeslib.as_array(out_pack,
+                                       shape=(int(ac.size),)).copy()
+            lib.gt_free(out_pack)
+            _JOIN_PACK_CACHE.clear()
+            _JOIN_PACK_CACHE[id(acode)] = (weakref.ref(acode),
+                                           force_cb, pk)
+        if cnt == -2:       # budget mismatch: plain path
+            cnt = call(0, 0, None, False)
+    else:
+        cnt = call(0, 0, None, False) if hasattr(
+            lib, "gt_seed_pair_join2") else lib.gt_seed_pair_join(
+            ac.ctypes.data_as(i64p), as_.ctypes.data_as(i32p),
+            ap.ctypes.data_as(i32p), ac.size,
+            bc.ctypes.data_as(i64p), bs.ctypes.data_as(i32p),
+            bp.ctypes.data_as(i32p), bc.size,
+            int(same), int(selfcomp), int(inseqseeds),
+            int(maxfreq) if maxfreq is not None else 0,
+            int(mindist), int(maxdist) if maxdist is not None else -1,
+            os.cpu_count() or 1,
+            ctypes.byref(oas), ctypes.byref(obs), ctypes.byref(obp),
+            ctypes.byref(oap))
     if cnt < 0:
         return None
     return tuple(_take_array(lib, p, cnt).astype(np.int64)

@@ -1554,30 +1554,83 @@ int64_t gt_kmer_list(const uint8_t *flat, const int64_t *seq_start,
                      int64_t *out_code, int32_t *out_seq,
                      int32_t *out_pos) {
   const int64_t mask = (k >= 32) ? -1 : ((int64_t)1 << (2 * k)) - 1;
-  int64_t w = 0;
+  // chunk plan: split every sequence's window-end range over threads;
+  // each chunk re-rolls its first k-1 symbols, counts its valid
+  // windows (pass 1), then emits at its exclusive-prefix offset
+  // (pass 2) -- output order identical to the serial scan
+  struct Chunk {
+    int64_t s, i0, i1;  // sequence, window-end range [i0, i1)
+    int64_t cnt, off;
+  };
+  std::vector<Chunk> chunks;
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = hw ? (int)hw : 1;
+  if (T > 8) T = 8;
   for (int64_t s = 0; s < nseq; s++) {
-    const uint8_t *p = flat + seq_start[s];
     const int64_t len = seq_len[s];
     if (len < k) continue;
+    const int64_t w0 = k - 1, w1 = len;
+    const int64_t span = w1 - w0;
+    const int nch = (span > (1 << 20)) ? T : 1;
+    for (int c = 0; c < nch; c++)
+      chunks.push_back({s, w0 + span * c / nch, w0 + span * (c + 1) / nch,
+                        0, 0});
+  }
+  auto scan = [&](Chunk &ch, bool emit) {
+    const uint8_t *p = flat + seq_start[ch.s];
     int64_t code = 0;
-    int64_t bad = -1;  // index of the latest special seen
-    for (int64_t i = 0; i < len; i++) {
+    int64_t bad = -1;
+    const int64_t warm = ch.i0 - (k - 1);
+    for (int64_t i = warm < 0 ? 0 : warm; i < ch.i0; i++) {
+      const uint8_t c = p[i];
+      if (c >= 4) bad = i;
+      code = ((code << 2) | (c >= 4 ? 0 : c)) & mask;
+    }
+    int64_t w = ch.off;
+    for (int64_t i = ch.i0; i < ch.i1; i++) {
       const uint8_t c = p[i];
       if (c >= 4) {
         bad = i;
-        code = ((code << 2)) & mask;
+        code = (code << 2) & mask;
       } else {
         code = ((code << 2) | c) & mask;
       }
-      if (i >= k - 1 && bad <= i - k) {
-        out_code[w] = code;
-        out_seq[w] = (int32_t)s;
-        out_pos[w] = (int32_t)i;
+      if (bad <= i - k) {
+        if (emit) {
+          out_code[w] = code;
+          out_seq[w] = (int32_t)ch.s;
+          out_pos[w] = (int32_t)i;
+        }
         w++;
       }
     }
+    ch.cnt = w - ch.off;
+  };
+  auto run_phase = [&](bool emit) {
+    if ((int64_t)chunks.size() <= 1 || T < 2) {
+      for (auto &ch : chunks) scan(ch, emit);
+      return;
+    }
+    std::atomic<size_t> next{0};
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; t++)
+      th.emplace_back([&]() {
+        for (;;) {
+          size_t i = next.fetch_add(1);
+          if (i >= chunks.size()) break;
+          scan(chunks[i], emit);
+        }
+      });
+    for (auto &x : th) x.join();
+  };
+  run_phase(false);
+  int64_t total = 0;
+  for (auto &ch : chunks) {
+    ch.off = total;
+    total += ch.cnt;
   }
-  return w;
+  run_phase(true);
+  return total;
 }
 
 // Bulk seed_extend match-line emission: recs are the 12-column
@@ -1715,13 +1768,19 @@ extern "C" {
 // Returns the pair count (>= 0) with *out_* set to malloc'd int32
 // planes (caller frees via gt_free), or -2 if the inputs exceed the
 // packed 64-bit budget (caller falls back).
-int64_t gt_seed_pair_join(
+// a_sorted/out_a_sorted: optional reuse of the sorted a-list pack
+// across calls sharing the SAME a list and bit budget (fixed by
+// force_cb/force_iab > 0); out_a_sorted, when non-null, receives a
+// malloc'd copy of the pack (caller frees via gt_free).
+int64_t gt_seed_pair_join2(
     const int64_t *acode, const int32_t *aseq, const int32_t *apos,
     int64_t na,
     const int64_t *bcode, const int32_t *bseq, const int32_t *bpos,
     int64_t nb,
     int same_list, int selfcomp, int inseqseeds,
     int64_t maxfreq, int64_t mindist, int64_t maxdist, int nthreads,
+    int force_cb, int force_iab, const uint64_t *a_sorted,
+    uint64_t **out_a_sorted,
     int32_t **out_aseq, int32_t **out_bseq, int32_t **out_bpos,
     int32_t **out_apos) {
   using seedjoin::bits_for;
@@ -1747,19 +1806,35 @@ int64_t gt_seed_pair_join(
       if (bpos[i] > max_bp) max_bp = bpos[i];
     }
   }
-  const int cb = bits_for((uint64_t)(maxac > maxbc ? maxac : maxbc));
-  const int iab = bits_for((uint64_t)(na > nb ? na : nb));
+  const int cb = force_cb > 0 ? force_cb
+      : bits_for((uint64_t)(maxac > maxbc ? maxac : maxbc));
+  const int iab = force_iab > 0 ? force_iab
+      : bits_for((uint64_t)(na > nb ? na : nb));
+  if (force_cb > 0 &&
+      (uint64_t)(maxac > maxbc ? maxac : maxbc) >> force_cb)
+    return -2;
+  if (force_iab > 0 && (uint64_t)(na > nb ? na : nb) >> force_iab)
+    return -2;
   const int f_as = bits_for((uint64_t)max_as);
   const int f_bs = bits_for((uint64_t)max_bs);
   const int f_bp = bits_for((uint64_t)max_bp);
   const int f_ap = bits_for((uint64_t)max_ap);
   if (cb + iab > 64 || f_as + f_bs + f_bp + f_ap > 64) return -2;
 
-  // sort (code, idx) packs per list
+  // sort (code, idx) packs per list; the a pack can arrive presorted
   std::vector<uint64_t> sa(na);
-  for (int64_t i = 0; i < na; i++)
-    sa[i] = ((uint64_t)acode[i] << iab) | (uint64_t)i;
-  radix_u64_mt(sa, cb + iab, nthreads);
+  if (a_sorted != nullptr) {
+    std::memcpy(sa.data(), a_sorted, (size_t)na * 8);
+  } else {
+    for (int64_t i = 0; i < na; i++)
+      sa[i] = ((uint64_t)acode[i] << iab) | (uint64_t)i;
+    radix_u64_mt(sa, cb + iab, nthreads);
+  }
+  if (out_a_sorted != nullptr) {
+    uint64_t *cp = (uint64_t *)malloc((size_t)na * 8);
+    std::memcpy(cp, sa.data(), (size_t)na * 8);
+    *out_a_sorted = cp;
+  }
   std::vector<uint64_t> sb_store;
   const std::vector<uint64_t> *sb = &sa;
   if (!same_list) {
@@ -1876,6 +1951,22 @@ int64_t gt_seed_pair_join(
   }
   *out_aseq = oas; *out_bseq = obs; *out_bpos = obp; *out_apos = oap;
   return total;
+}
+
+int64_t gt_seed_pair_join(
+    const int64_t *acode, const int32_t *aseq, const int32_t *apos,
+    int64_t na,
+    const int64_t *bcode, const int32_t *bseq, const int32_t *bpos,
+    int64_t nb,
+    int same_list, int selfcomp, int inseqseeds,
+    int64_t maxfreq, int64_t mindist, int64_t maxdist, int nthreads,
+    int32_t **out_aseq, int32_t **out_bseq, int32_t **out_bpos,
+    int32_t **out_apos) {
+  return gt_seed_pair_join2(acode, aseq, apos, na, bcode, bseq, bpos,
+                            nb, same_list, selfcomp, inseqseeds,
+                            maxfreq, mindist, maxdist, nthreads, 0, 0,
+                            nullptr, nullptr, out_aseq, out_bseq,
+                            out_bpos, out_apos);
 }
 
 }  // extern "C"
