@@ -163,12 +163,17 @@ class Encseq:
             starts = np.cumsum(lens + 1) - (lens + 1)  # incl. separators
             ssp = (starts[1:] - 1).tolist()
             off = int(lens.sum()) + nseq - 1
-            codes = np.full(off, SEPARATOR, np.uint8)
+            codes = np.empty(off, np.uint8)
             raw = seqset.seqs[0] if nseq == 1 else np.concatenate(
                 [np.asarray(s, np.uint8) for s in seqset.seqs])
-            mask = np.ones(off, bool)
-            mask[np.asarray(ssp, np.int64)] = False
-            codes[mask] = alphabet.encode(raw)
+            enc_all = alphabet.encode(raw)
+            # per-sequence block copies beat a whole-array boolean
+            # scatter (few sequences, tens of MB each)
+            cum = np.cumsum(lens) - lens
+            for i in range(nseq):
+                codes[starts[i]:starts[i] + lens[i]] = \
+                    enc_all[cum[i]:cum[i] + lens[i]]
+            codes[np.asarray(ssp, np.int64)] = SEPARATOR
         enc = cls(codes, np.asarray(ssp, np.int64), list(seqset.descs),
                   alphabet)
         enc.origin = EncseqOrigin.from_seqset(seqset, alphabet, filenames,

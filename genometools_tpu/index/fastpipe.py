@@ -272,10 +272,12 @@ def suffixerator_e2e(fasta_paths: list[str], indexname: str,
             hpc = np.asarray(hp[a // 3:(b + 2) // 3]).view(np.uint32)
             return lo, hpc
 
-        pool = ThreadPoolExecutor(max_workers=3)
-        futs = [pool.submit(fetch_chunk, ci) for ci in range(nchunks)]
+        pool = ThreadPoolExecutor(max_workers=4)
+        # the lcp nib plane gates the serial .lcp/.llv tail: fetch it
+        # on the first worker, suf chunks stream on the rest
         nib_fut = pool.submit(
             lambda: np.asarray(nib).view(np.uint32))
+        futs = [pool.submit(fetch_chunk, ci) for ci in range(nchunks)]
 
         def write_suf():
             from ..core.native import pack_suf_native
