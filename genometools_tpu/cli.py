@@ -765,7 +765,7 @@ def _add_readjoiner(sub):
     po.add_argument("-readset", default="reads")
     po.add_argument("-l", type=int, default=45)
     po.add_argument("-singlestrand", action="store_true")
-    po.add_argument("-spmformat", default="text",
+    po.add_argument("-spmformat", default="bin32",
                     choices=["text", "bin32", "bin64"])
     pc = sp.add_parser("cgraph")
     pc.add_argument("-readset", default="reads")
