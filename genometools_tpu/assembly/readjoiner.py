@@ -102,6 +102,30 @@ class ReadSet:
     @classmethod
     def from_files(cls, paths: list[str], maxlow: int | None = None,
                    lowqual: int = 0, phredbase: int = 33) -> "ReadSet":
+        if maxlow is None:
+            # native single-pass FASTA -> clean blob (quality filters
+            # need the FASTQ parser)
+            from ..core.native import fasta_clean_reads_native
+            blobs, lens = [], []
+            ok = True
+            for p in paths:
+                try:
+                    data = open(p, "rb").read()
+                except OSError:
+                    ok = False
+                    break
+                if not data.lstrip()[:1] == b">":
+                    ok = False
+                    break
+                res = fasta_clean_reads_native(data)
+                if res is None:
+                    ok = False
+                    break
+                blobs.append(res[0])
+                lens.append(res[1])
+            if ok and blobs:
+                return cls(blob=np.concatenate(blobs),
+                           lens=np.concatenate(lens))
         return cls.from_seqset(read_seqfiles(paths), maxlow=maxlow,
                                lowqual=lowqual, phredbase=phredbase)
 
@@ -194,7 +218,7 @@ def find_contained(readset: ReadSet, singlestrand: bool = False) -> np.ndarray:
     if n == 0:
         return contained
 
-    rlen0 = np.fromiter((len(r) for r in readset.reads), np.int64, n)
+    rlen0 = readset.lens
     if n > 1 and (rlen0 == rlen0[0]).all():
         # equal-length reads: proper containment is impossible, only the
         # duplicate rule applies — group identical rows (reads + their
@@ -247,7 +271,7 @@ def find_contained(readset: ReadSet, singlestrand: bool = False) -> np.ndarray:
     inv[sa] = np.arange(total)
 
     sa_src = srcread[sa]                      # source read per suffix
-    rlen = np.fromiter((len(r) for r in readset.reads), np.int64, n)
+    rlen = readset.lens
     sa_len = np.where(sa_src >= 0, rlen[np.maximum(sa_src, 0)], 0)
     sa_off0 = offset0[sa]
 
@@ -573,8 +597,7 @@ def _drop_transitive_spms(out, readset: ReadSet):
     # CSR over source vertex (ukey sorted => uva sorted)
     deg = np.bincount(uva, minlength=n2)
     adj_start = np.concatenate([[0], np.cumsum(deg)])
-    rl = np.fromiter((len(r) for r in readset.reads), np.int64,
-                     readset.num_reads)
+    rl = readset.lens
 
     # candidate edges: the original rows whose L is the pair maximum
     k0 = va0 * n2 + vb0
@@ -809,7 +832,7 @@ class StringGraph:
         dest within maxdiff width are bubbles — the shallower path is
         marked and removed. maxwidth=0 uses the reference default
         4*longest_read - 2*minmatchlen - 1."""
-        readlen = [len(r) for r in self.readset.reads]
+        readlen = self.readset.lens
         if maxwidth == 0:
             minmatch = min((e[4] for e in self.edges), default=0)
             maxwidth = (max(readlen, default=0) << 2) - \
@@ -911,6 +934,23 @@ class StringGraph:
 
         # per-vertex out-run bounds, one vectorized pass
         runs = np.searchsorted(sa_, np.arange(2 * n + 1))
+        if not return_paths and self.edges:
+            from ..core.native import strgraph_spell_native
+            res = strgraph_spell_native(
+                sb_, sl_, runs, indeg, 2 * n, blob, rcb, st_, ln_,
+                min_depth, min_length)
+            if res is not None:
+                cb, cl, cd, csv, cev = res
+                out = []
+                off = 0
+                for i in range(cl.size):
+                    seq = cb[off:off + int(cl[i])]
+                    off += int(cl[i])
+                    sv, ev = int(csv[i]), int(cev[i])
+                    desc = (f"{sv >> 1}{'E' if sv & 1 else 'B'}-->"
+                            f"{ev >> 1}{'E' if ev & 1 else 'B'}")
+                    out.append((alpha.decode(seq), int(cd[i]), desc))
+                return out
         sbl = sb_.tolist()
         sll = sl_.tolist()
         runl = runs.tolist()

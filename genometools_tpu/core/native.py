@@ -808,3 +808,75 @@ def twobit_decode_native(words: np.ndarray, total: int):
     out = np.empty(nwords * 32, np.uint8)
     fn(wb.ctypes.data_as(u8p), nwords, total, out.ctypes.data_as(u8p))
     return out[:total]
+
+
+def fasta_clean_reads_native(data: bytes):
+    """FASTA bytes -> (blob u8, lens i64) of 2-bit-clean reads
+    (gt_fasta_clean_reads; reads with non-ACGT symbols dropped whole).
+    None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_fasta_clean_reads
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p]
+    buf = np.frombuffer(data, np.uint8)
+    blob = np.empty(buf.size, np.uint8)
+    lens = np.empty(buf.size // 2 + 2, np.int64)
+    bl = np.zeros(1, np.int64)
+    n = fn(buf.ctypes.data_as(u8p), buf.size, blob.ctypes.data_as(u8p),
+           lens.ctypes.data_as(i64p), bl.ctypes.data_as(i64p))
+    return blob[:int(bl[0])].copy(), lens[:n].copy()
+
+
+def strgraph_spell_native(sb, sl, runs, indeg, nverts2, blob, rcblob,
+                          starts, lens, min_depth, min_length):
+    """Unitig spelling walk (gt_strgraph_spell). Returns
+    (contig blob u8, lens, depths, start vertex, end vertex) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_strgraph_spell
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [i64p, i64p, i64p, i64p, ctypes.c_int64, u8p,
+                       u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int64, u8p, i64p, i64p, i64p, i64p,
+                       i64p]
+    sb = np.ascontiguousarray(sb, np.int64)
+    sl = np.ascontiguousarray(sl, np.int64)
+    runs = np.ascontiguousarray(runs, np.int64)
+    indeg = np.ascontiguousarray(indeg, np.int64)
+    blob = np.ascontiguousarray(blob, np.uint8)
+    rcblob = np.ascontiguousarray(rcblob, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    nreads = lens.size
+    ob = np.empty(blob.size + 16, np.uint8)
+    cap = 2 * nreads + 2
+    ol = np.empty(cap, np.int64)
+    od = np.empty(cap, np.int64)
+    osv = np.empty(cap, np.int64)
+    oev = np.empty(cap, np.int64)
+    obl = np.zeros(1, np.int64)
+    nc = fn(sb.ctypes.data_as(i64p), sl.ctypes.data_as(i64p),
+            runs.ctypes.data_as(i64p), indeg.ctypes.data_as(i64p),
+            int(nverts2), blob.ctypes.data_as(u8p),
+            rcblob.ctypes.data_as(u8p), starts.ctypes.data_as(i64p),
+            lens.ctypes.data_as(i64p), nreads, int(min_depth),
+            int(min_length), ob.ctypes.data_as(u8p),
+            ol.ctypes.data_as(i64p), od.ctypes.data_as(i64p),
+            osv.ctypes.data_as(i64p), oev.ctypes.data_as(i64p),
+            obl.ctypes.data_as(i64p))
+    return (ob[:int(obl[0])], ol[:nc], od[:nc], osv[:nc], oev[:nc])

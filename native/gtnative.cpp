@@ -1972,6 +1972,155 @@ int64_t gt_seed_pair_join(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Readjoiner native kernels: FASTA -> clean read blob, unitig spelling.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Parse FASTA bytes into the 2-bit-clean read blob: acgt/ACGT encode to
+// 0..3; reads containing any other non-whitespace symbol (or empty
+// reads) are dropped whole (capability of reads2twobit prefiltering,
+// ref: src/match/reads2twobit.c ambiguity skip). Returns the kept read
+// count; *out_blob_len receives the blob length.
+int64_t gt_fasta_clean_reads(const uint8_t *data, int64_t n,
+                             uint8_t *out_blob, int64_t *out_lens,
+                             int64_t *out_blob_len) {
+  static uint8_t lut[256];
+  static bool lut_ready = false;
+  if (!lut_ready) {
+    for (int i = 0; i < 256; i++) lut[i] = 4;   // 4 = bad symbol
+    lut[(int)'a'] = lut[(int)'A'] = 0;
+    lut[(int)'c'] = lut[(int)'C'] = 1;
+    lut[(int)'g'] = lut[(int)'G'] = 2;
+    lut[(int)'t'] = lut[(int)'T'] = 3;
+    lut[(int)'\n'] = lut[(int)'\r'] = lut[(int)' '] = lut[(int)'\t'] =
+        5;                                       // 5 = skip
+    lut_ready = true;
+  }
+  int64_t nreads = 0, blob = 0;
+  int64_t read_start = 0;     // blob offset of the current read
+  bool in_read = false, bad = false, in_header = false;
+  auto finish = [&]() {
+    if (!in_read) return;
+    const int64_t len = blob - read_start;
+    if (bad || len == 0) {
+      blob = read_start;      // drop the whole read
+    } else {
+      out_lens[nreads++] = len;
+      read_start = blob;
+    }
+    in_read = false;
+  };
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t c = data[i];
+    if (in_header) {
+      if (c == '\n') in_header = false;
+      continue;
+    }
+    if (c == '>') {
+      finish();
+      in_header = true;
+      in_read = true;          // the read starts after this header
+      bad = false;
+      continue;
+    }
+    const uint8_t v = lut[c];
+    if (v == 5) continue;
+    if (v == 4) {
+      bad = true;
+      continue;
+    }
+    out_blob[blob++] = v;
+  }
+  finish();
+  *out_blob_len = blob;
+  return nreads;
+}
+
+// Unitig spelling walk (capability of gt_strgraph_spell, ref:
+// src/match/rdj-strgraph.c:2760) over source-sorted edge planes.
+// Vertices are read*2 + strand; runs[v]..runs[v+1] index the edges out
+// of v in (sb, sl). Outputs: per-contig code blob (concatenated),
+// contig lengths, depths, start/end vertices -- identical stream to the
+// Python walk (start order: per read, strand True before False).
+int64_t gt_strgraph_spell(const int64_t *sb, const int64_t *sl,
+                          const int64_t *runs, const int64_t *indeg,
+                          int64_t nverts2, const uint8_t *blob,
+                          const uint8_t *rcblob, const int64_t *starts,
+                          const int64_t *lens, int64_t nreads,
+                          int64_t min_depth, int64_t min_length,
+                          uint8_t *out_blob, int64_t *out_lens,
+                          int64_t *out_depth, int64_t *out_sv,
+                          int64_t *out_ev, int64_t *out_blob_len) {
+  std::vector<uint8_t> used((size_t)nreads, 0);
+  std::vector<int64_t> path;    // vertices
+  std::vector<int64_t> ovls;    // overlaps per hop
+  int64_t ncontig = 0, ob = 0;
+  auto seq_ptr = [&](int64_t v) {
+    const int64_t r = v >> 1;
+    return ((v & 1) ? blob : rcblob) + starts[r];
+  };
+  for (int64_t r = 0; r < nreads; r++) {
+    for (int s = 1; s >= 0; s--) {      // strand True first
+      const int64_t v0 = r * 2 + s;
+      if (v0 >= nverts2) continue;
+      if (indeg[v0] == 1 || runs[v0 + 1] - runs[v0] < 1) continue;
+      if (used[(size_t)(v0 >> 1)]) continue;
+      path.clear();
+      ovls.clear();
+      path.push_back(v0);
+      int64_t v = v0;
+      for (;;) {
+        int64_t pick = -1, cnt = 0;
+        for (int64_t e = runs[v]; e < runs[v + 1]; e++) {
+          const int64_t b = sb[e];
+          if (used[(size_t)(b >> 1)] || (b >> 1) == (v >> 1)) continue;
+          cnt++;
+          pick = e;
+          if (cnt > 1) break;
+        }
+        if (cnt != 1) break;
+        const int64_t b = sb[pick];
+        if (indeg[b] != 1) break;
+        path.push_back(b);
+        ovls.push_back(sl[pick]);
+        used[(size_t)(v >> 1)] = 1;
+        v = b;
+      }
+      for (int64_t p : path) used[(size_t)(p >> 1)] = 1;
+      if ((int64_t)path.size() < 2) continue;
+      const int64_t cstart = ob;
+      {
+        const int64_t r0 = path[0] >> 1;
+        std::memcpy(out_blob + ob, seq_ptr(path[0]), (size_t)lens[r0]);
+        ob += lens[r0];
+      }
+      for (size_t h = 1; h < path.size(); h++) {
+        const int64_t rr = path[h] >> 1;
+        const int64_t l = ovls[h - 1];
+        std::memcpy(out_blob + ob, seq_ptr(path[h]) + l,
+                    (size_t)(lens[rr] - l));
+        ob += lens[rr] - l;
+      }
+      const int64_t clen = ob - cstart;
+      if ((int64_t)path.size() >= min_depth && clen >= min_length) {
+        out_lens[ncontig] = clen;
+        out_depth[ncontig] = (int64_t)path.size();
+        out_sv[ncontig] = path.front();
+        out_ev[ncontig] = path.back();
+        ncontig++;
+      } else {
+        ob = cstart;            // rejected: rewind the blob
+      }
+    }
+  }
+  *out_blob_len = ob;
+  return ncontig;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Suffix-prefix-match (SPM) finder: the readjoiner overlap phase's hot
 // join (capability of firstcodes + gt_spmsk, ref: src/match/firstcodes.c
 // + esa-spmsk.c; brute-force oracle rdj-ovlfind-bf.c).
