@@ -1395,6 +1395,8 @@ void gt_tallymer_mkindex(const uint8_t *codes, int64_t n,
 namespace seedjoin {
 void radix_u64(std::vector<uint64_t> &v, int nbits);
 void radix_u64_mt(std::vector<uint64_t> &v, int nbits, int nthreads);
+void radix_u64_mt_range(std::vector<uint64_t> &v, int lo_bit,
+                        int hi_bit, int nthreads);
 }  // namespace seedjoin
 
 extern "C" {
@@ -1718,16 +1720,26 @@ void radix_u64_mt(std::vector<uint64_t> &v, int nbits,
                          int nthreads) {
   const size_t n = v.size();
   if (n < (1u << 17) || nthreads < 2) return radix_u64(v, nbits);
+  radix_u64_mt_range(v, 0, nbits, nthreads);
+}
+
+// Stable LSD radix over bit range [lo_bit, hi_bit) only: when the low
+// bits are a pre-ordered tiebreak (e.g. the input index embedded below
+// a sort key), stability makes sorting just the key bits equivalent to
+// sorting the whole word -- at half the passes.
+void radix_u64_mt_range(std::vector<uint64_t> &v, int lo_bit,
+                        int hi_bit, int nthreads) {
+  const size_t n = v.size();
   const int T = nthreads > 8 ? 8 : nthreads;
   std::vector<uint64_t> tmp(n);
   uint64_t *src = v.data(), *dst = tmp.data();
-  const int passes = (nbits + 15) / 16;
+  const int passes = (hi_bit - lo_bit + 15) / 16;
   std::vector<std::vector<size_t>> cnt((size_t)T,
                                        std::vector<size_t>(1 << 16));
   std::vector<size_t> bounds((size_t)T + 1);
   for (int t = 0; t <= T; t++) bounds[(size_t)t] = n * (size_t)t / (size_t)T;
   for (int p = 0; p < passes; p++) {
-    const int shift = p * 16;
+    const int shift = lo_bit + p * 16;
     {
       std::vector<std::thread> th;
       for (int t = 0; t < T; t++)
@@ -1785,6 +1797,7 @@ int64_t gt_seed_pair_join2(
     int32_t **out_apos) {
   using seedjoin::bits_for;
   using seedjoin::radix_u64_mt;
+  using seedjoin::radix_u64_mt_range;
   if (na <= 0 || nb <= 0) {
     *out_aseq = *out_bseq = *out_bpos = *out_apos = nullptr;
     return 0;
@@ -1828,7 +1841,9 @@ int64_t gt_seed_pair_join2(
   } else {
     for (int64_t i = 0; i < na; i++)
       sa[i] = ((uint64_t)acode[i] << iab) | (uint64_t)i;
-    radix_u64_mt(sa, cb + iab, nthreads);
+    // the embedded index below the code IS ascending input order:
+    // stable radix over the code bits alone reproduces the full sort
+    radix_u64_mt_range(sa, iab, cb + iab, nthreads);
   }
   if (out_a_sorted != nullptr) {
     uint64_t *cp = (uint64_t *)malloc((size_t)na * 8);
@@ -1841,7 +1856,7 @@ int64_t gt_seed_pair_join2(
     sb_store.resize(nb);
     for (int64_t i = 0; i < nb; i++)
       sb_store[i] = ((uint64_t)bcode[i] << iab) | (uint64_t)i;
-    radix_u64_mt(sb_store, cb + iab, nthreads);
+    radix_u64_mt_range(sb_store, iab, cb + iab, nthreads);
     sb = &sb_store;
   }
   const uint64_t idxmask = (iab >= 64) ? ~0ull : ((1ull << iab) - 1);
