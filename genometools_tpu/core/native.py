@@ -880,3 +880,33 @@ def strgraph_spell_native(sb, sl, runs, indeg, nverts2, blob, rcblob,
             osv.ctypes.data_as(i64p), oev.ctypes.data_as(i64p),
             obl.ctypes.data_as(i64p))
     return (ob[:int(obl[0])], ol[:nc], od[:nc], osv[:nc], oev[:nc])
+
+
+def tyr_lookup_native(packed: np.ndarray, qfull: np.ndarray):
+    """Threaded binary search over the packed big-endian .mer rows
+    (gt_tyr_lookup). qfull: uint64 query keys already shifted to the
+    padded code position. Returns (idx i64, hit bool) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_tyr_lookup
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, ctypes.c_int64, ctypes.c_int, u8p,
+                       ctypes.c_int64, ctypes.c_int, i64p, u8p]
+    packed = np.ascontiguousarray(packed, np.uint8)
+    nm, merbytes = packed.shape
+    qb = np.ascontiguousarray(
+        qfull.astype(">u8").view(np.uint8).reshape(-1, 8)[:, 8 - merbytes:])
+    nq = qb.shape[0]
+    idx = np.empty(nq, np.int64)
+    hit = np.empty(nq, np.uint8)
+    fn(packed.ctypes.data_as(u8p), nm, merbytes,
+       qb.ctypes.data_as(u8p), nq, os.cpu_count() or 1,
+       idx.ctypes.data_as(i64p), hit.ctypes.data_as(u8p))
+    return idx, hit.astype(bool)

@@ -168,8 +168,13 @@ class MerIndex:
             hit = (idx < nm) & \
                 ((packed[idx_c].astype(np.int64) @ w) == qv)
             return idx_c, hit
-        keys = self.sort_keys()
         qk = qcodes.astype(np.uint64) << kshift
+        if packed is not None and nm and qcodes.size >= (1 << 14):
+            from ..core.native import tyr_lookup_native
+            res = tyr_lookup_native(np.asarray(packed), qk)
+            if res is not None:
+                return res
+        keys = self.sort_keys()
         idx = np.searchsorted(keys, qk)
         idx_c = np.clip(idx, 0, max(nm - 1, 0))
         hit = (idx < nm) & (keys[idx_c] == qk)

@@ -1415,20 +1415,37 @@ int64_t gt_tallymer_count(const uint8_t *flat, const int64_t *seq_start,
   if (k > 31) return -2;
   const int64_t merbytes = (k + 3) / 4;
   const uint64_t mask = ((uint64_t)1 << (2 * k)) - 1;
-  std::vector<uint64_t> v;
+  // threaded two-pass enumeration (count, then emit at prefix
+  // offsets) -- same chunking as gt_kmer_list
+  struct Chunk {
+    int64_t s, i0, i1, cnt, off;
+  };
+  std::vector<Chunk> chunks;
   {
-    int64_t cap = 0;
-    for (int64_t s = 0; s < nseq; s++)
-      if (seq_len[s] >= k) cap += seq_len[s] - k + 1;
-    v.reserve((size_t)cap);
+    int T = nthreads < 1 ? 1 : (nthreads > 8 ? 8 : nthreads);
+    for (int64_t s = 0; s < nseq; s++) {
+      const int64_t len = seq_len[s];
+      if (len < k) continue;
+      const int64_t w0 = k - 1, span = len - w0;
+      const int nch = (span > (1 << 20)) ? T : 1;
+      for (int c = 0; c < nch; c++)
+        chunks.push_back({s, w0 + span * c / nch,
+                          w0 + span * (c + 1) / nch, 0, 0});
+    }
   }
-  for (int64_t s = 0; s < nseq; s++) {
-    const uint8_t *p = flat + seq_start[s];
-    const int64_t len = seq_len[s];
-    if (len < k) continue;
+  std::vector<uint64_t> v;
+  auto scan = [&](Chunk &ch, bool emit) {
+    const uint8_t *p = flat + seq_start[ch.s];
     uint64_t code = 0;
     int64_t bad = -1;
-    for (int64_t i = 0; i < len; i++) {
+    const int64_t warm = ch.i0 - (k - 1);
+    for (int64_t i = warm < 0 ? 0 : warm; i < ch.i0; i++) {
+      const uint8_t c = p[i];
+      if (c >= 4) bad = i;
+      code = ((code << 2) | (c >= 4 ? 0 : c)) & mask;
+    }
+    int64_t w = ch.off;
+    for (int64_t i = ch.i0; i < ch.i1; i++) {
       const uint8_t c = p[i];
       if (c >= 4) {
         bad = i;
@@ -1436,9 +1453,39 @@ int64_t gt_tallymer_count(const uint8_t *flat, const int64_t *seq_start,
       } else {
         code = ((code << 2) | c) & mask;
       }
-      if (i >= k - 1 && bad <= i - k) v.push_back(code);
+      if (bad <= i - k) {
+        if (emit) v[(size_t)w] = code;
+        w++;
+      }
     }
+    ch.cnt = w - ch.off;
+  };
+  auto phase = [&](bool emit) {
+    int T = nthreads < 1 ? 1 : (nthreads > 8 ? 8 : nthreads);
+    if ((int64_t)chunks.size() <= 1 || T < 2) {
+      for (auto &ch : chunks) scan(ch, emit);
+      return;
+    }
+    std::atomic<size_t> next{0};
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; t++)
+      th.emplace_back([&]() {
+        for (;;) {
+          size_t i = next.fetch_add(1);
+          if (i >= chunks.size()) break;
+          scan(chunks[i], emit);
+        }
+      });
+    for (auto &x : th) x.join();
+  };
+  phase(false);
+  int64_t total_w = 0;
+  for (auto &ch : chunks) {
+    ch.off = total_w;
+    total_w += ch.cnt;
   }
+  v.resize((size_t)total_w);
+  phase(true);
   seedjoin::radix_u64_mt(v, (int)(2 * k), nthreads);
   const int shift_pad = (int)((merbytes * 4 - k) * 2);
   int64_t nm = 0;
@@ -1982,6 +2029,44 @@ int64_t gt_seed_pair_join(
                             maxfreq, mindist, maxdist, nthreads, 0, 0,
                             nullptr, nullptr, out_aseq, out_bseq,
                             out_bpos, out_apos);
+}
+
+int64_t gt_tyr_lookup(const uint8_t *packed, int64_t nm, int merbytes,
+                      const uint8_t *qpacked, int64_t nq,
+                      int nthreads, int64_t *out_idx,
+                      uint8_t *out_hit) {
+  // big-endian packed rows compare bytewise == numerically: binary
+  // search straight over the .mer plane, threaded over queries
+  auto run = [&](int64_t q0, int64_t q1) {
+    for (int64_t q = q0; q < q1; q++) {
+      const uint8_t *qp = qpacked + q * merbytes;
+      int64_t lo = 0, hi = nm;
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) >> 1;
+        if (std::memcmp(packed + mid * merbytes, qp,
+                        (size_t)merbytes) < 0)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      const int64_t ix = lo < nm ? lo : nm - 1;
+      out_idx[q] = ix < 0 ? 0 : ix;
+      out_hit[q] = (uint8_t)(lo < nm &&
+                             std::memcmp(packed + lo * merbytes, qp,
+                                         (size_t)merbytes) == 0);
+    }
+  };
+  int T = nthreads < 2 || nq < (1 << 14) ? 1
+                                         : (nthreads > 8 ? 8 : nthreads);
+  if (T == 1) {
+    run(0, nq);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; t++)
+      th.emplace_back(run, nq * t / T, nq * (t + 1) / T);
+    for (auto &x : th) x.join();
+  }
+  return nq;
 }
 
 }  // extern "C"
