@@ -457,18 +457,16 @@ def find_spms(readset: ReadSet, minlen: int,
         ss = A < n
         pr = np.where(B < n, B, m_count - 1 - B)
         ps_ = B < n
-        out = list(zip(sr.tolist(), ss.tolist(), pr.tolist(),
-                       ps_.tolist(), LL.tolist()))
-        if irreducible and out:
-            out = _drop_transitive_spms(out, readset)
-        if not out:
+        if irreducible and LL.size:
+            keep = _transitive_keep_rows(
+                2 * sr + ss, 2 * pr + ps_, LL.astype(np.int64),
+                readset)
+            sr, ss, pr, ps_, LL = (sr[keep], ss[keep], pr[keep],
+                                   ps_[keep], LL[keep])
+        if not LL.size:
             return empty
-        return SpmList(
-            np.array([o[0] for o in out], np.int64),
-            np.array([o[1] for o in out], bool),
-            np.array([o[2] for o in out], np.int64),
-            np.array([o[3] for o in out], bool),
-            np.array([o[4] for o in out], np.int64))
+        return SpmList(sr.astype(np.int64), ss, pr.astype(np.int64),
+                       ps_, LL.astype(np.int64))
 
     rid = np.repeat(np.arange(m_count, dtype=np.int64), lens)
 
@@ -565,27 +563,33 @@ def find_spms(readset: ReadSet, minlen: int,
 
 
 def _drop_transitive_spms(out, readset: ReadSet):
-    """Keep only irreducible SPMs: build the bidirected adjacency
-    (incl. dual edges), drop a->b when some a->c->b composes to the
-    same layout (the redtrans criterion, ref: rdj-strgraph.c:987 —
-    applied at SPM level because the reference overlap phase only ever
-    emits irreducible matches).
-
-    Vectorized: vertices (read, strand) pack to ints, the max-L edge
-    table to sorted packed keys, and the a->c->b triangle test to a
-    CSR neighbor expansion + one searchsorted — no per-edge dicts."""
+    """Tuple-list wrapper over _transitive_keep_rows."""
     m = len(out)
     if m == 0:
         return out
     arr = np.asarray([(sr, ss, pr, ps, L) for sr, ss, pr, ps, L in out],
                      np.int64)
+    keep_rows = _transitive_keep_rows(
+        2 * arr[:, 0] + arr[:, 1], 2 * arr[:, 2] + arr[:, 3],
+        arr[:, 4], readset)
+    return [out[i] for i in keep_rows]
+
+
+def _transitive_keep_rows(va0, vb0, L0, readset: ReadSet):
+    """Row indices of the irreducible SPMs: build the bidirected
+    adjacency (incl. dual edges), drop a->b when some a->c->b composes
+    to the same layout (the redtrans criterion, ref: rdj-strgraph.c:987
+    — applied at SPM level because the reference overlap phase only
+    ever emits irreducible matches).
+
+    Vectorized: vertices (read, strand) pack to ints, the max-L edge
+    table to sorted packed keys, and the a->c->b triangle test to a
+    CSR neighbor expansion + one searchsorted — no per-edge dicts."""
     n2 = 2 * readset.num_reads
-    va0 = 2 * arr[:, 0] + arr[:, 1]
-    vb0 = 2 * arr[:, 2] + arr[:, 3]
-    L0 = arr[:, 4]
-    # dual edge: (pr, !ps) -> (sr, !ss)
-    va = np.concatenate([va0, 2 * arr[:, 2] + (1 - arr[:, 3])])
-    vb = np.concatenate([vb0, 2 * arr[:, 0] + (1 - arr[:, 1])])
+    # dual edge: (pr, !ps) -> (sr, !ss); vertex packing flips the
+    # strand bit
+    va = np.concatenate([va0, vb0 ^ 1])
+    vb = np.concatenate([vb0, va0 ^ 1])
     L = np.concatenate([L0, L0])
     key = va * n2 + vb
     # best (max L) per directed pair
@@ -625,7 +629,7 @@ def _drop_transitive_spms(out, readset: ReadSet):
         keep_rows = cand[~red]
     else:
         keep_rows = cand
-    return [out[i] for i in keep_rows]
+    return keep_rows
 
 
 # ---------------------------------------------------------------------------
