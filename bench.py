@@ -384,7 +384,7 @@ def bench_extension(dev, encseq) -> None:
     # each wave ships 12 B/lane instead of packed windows
     xdrop_extend_batch_pool(pool, *(a[:256] for a in sub), 7)  # warmup
     times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         iv, jv, sv = xdrop_extend_batch_pool(pool, *sub, 7)
         times.append(time.perf_counter() - t0)
@@ -648,7 +648,7 @@ def bench_vs_gt(dev) -> None:
 
     with tempfile.TemporaryDirectory() as w:
         ts = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             suffixerator_e2e([big], os.path.join(w, "idx"), device=dev)
             ts.append(time.perf_counter() - t0)
