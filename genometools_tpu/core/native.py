@@ -571,7 +571,8 @@ def seedext_greedy_run_native(aflat, bflat, a_start, a_len, b_start, b_len,
                               pa_seq, pb_seq, pb_pos, pa_pos, *, k, amaxlen,
                               logw, mincov, use_filter, selfcomp, is_p,
                               max_combine, history, pmh, mad, pol,
-                              errperc, leastlen2):
+                              errperc, leastlen2, engine=0,
+                              belowscore=0):
     """Fused seed_extend greedy engine (gt_seedext_greedy_run): the whole
     per-strand diagband-filter + sequential skip/extend/accept walk over
     the joined pair lists, flanks extended in place over the flat code
@@ -597,8 +598,8 @@ def seedext_greedy_run_native(aflat, bflat, a_start, a_len, b_start, b_len,
                        ctypes.c_int, ctypes.c_int, ctypes.c_int,
                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                        i32p, i32p, ctypes.c_int64, ctypes.c_int64,
-                       ctypes.c_int64, ctypes.c_int64,
-                       ctypes.POINTER(i64p)]
+                       ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                       ctypes.c_int64, ctypes.POINTER(i64p)]
     aflat = np.ascontiguousarray(aflat, np.uint8)
     bflat = np.ascontiguousarray(bflat, np.uint8)
     a_start = np.ascontiguousarray(a_start, np.int64)
@@ -620,7 +621,8 @@ def seedext_greedy_run_native(aflat, bflat, a_start, a_len, b_start, b_len,
              int(logw), int(mincov), int(use_filter), int(selfcomp),
              int(is_p), int(max_combine), int(history), int(pmh),
              int(mad), _i32ptr(dfm), _i32ptr(ssum), pol.cut_depth,
-             pol.mask, int(errperc), int(leastlen2), ctypes.byref(out))
+             pol.mask, int(errperc), int(leastlen2), int(engine),
+             int(belowscore), ctypes.byref(out))
     if cnt < 0:
         lib.gt_free(out)
         return None

@@ -808,7 +808,14 @@ def _native_segment_recs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
     call over the flat code arrays (no per-seed marshalling).  Returns
     the raw int64[n, 12] record array, or None when the engine does not
     apply (the wave / per-seed paths take over)."""
-    if params.extension != "greedy" or params.use_apos != 0:
+    if params.use_apos != 0:
+        return None
+    engine = 0
+    if params.extension == "xdrop":
+        if params.scores != XdropScores():
+            return None                 # general scores: host engine
+        engine = 1
+    elif params.extension != "greedy":
         return None
     if os.environ.get("GT_TPU_DEVICE_EXTEND"):
         return None                     # explicit device-path request
@@ -831,7 +838,8 @@ def _native_segment_recs(aenc, benc, direction, pa_seq, pb_seq, pb_pos,
         selfcomp=selfcomp, is_p=direction == "P",
         max_combine=params.max_combine_mode, history=params.history,
         pmh=pmh, mad=mad, pol=pol, errperc=params.errorpercentage,
-        leastlen2=2 * params.userdefinedleastlength)
+        leastlen2=2 * params.userdefinedleastlength, engine=engine,
+        belowscore=params.belowscore())
     return recs
 
 

@@ -497,17 +497,26 @@ struct XBest {
   int64_t i, j, score;
 };
 
-static inline int64_t xlcp(const uint8_t *u, int64_t ulen, const uint8_t *v,
-                           int64_t vlen, int64_t i, int64_t j) {
+template <int STEP>
+static inline int64_t xlcp_t(const uint8_t *u, int64_t ulen,
+                             const uint8_t *v, int64_t vlen, int64_t i,
+                             int64_t j) {
   int64_t l = 0;
-  while (i + l < ulen && j + l < vlen && u[i + l] == v[j + l] &&
-         u[i + l] < 4)
+  while (i + l < ulen && j + l < vlen &&
+         u[(i + l) * STEP] == v[(j + l) * STEP] && u[(i + l) * STEP] < 4)
     l++;
   return l;
 }
 
-static XBest xdrop_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
-                       int64_t vlen, int64_t belowscore) {
+static inline int64_t xlcp(const uint8_t *u, int64_t ulen, const uint8_t *v,
+                           int64_t vlen, int64_t i, int64_t j) {
+  return xlcp_t<1>(u, ulen, v, vlen, i, j);
+}
+
+// STEP: read stride (+1 forward, -1 for left flanks read in place)
+template <int STEP>
+static XBest xdrop_one_t(const uint8_t *u, int64_t ulen, const uint8_t *v,
+                         int64_t vlen, int64_t belowscore) {
   XBest peak{0, 0, 0};
   if (ulen == 0 || vlen == 0) return peak;
   // unit edit costs; score(total rows+cols, wave) = total - 3 * wave
@@ -520,7 +529,7 @@ static XBest xdrop_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
     return total * half - wv * quantum;
   };
 
-  const int64_t run0 = xlcp(u, ulen, v, vlen, 0, 0);
+  const int64_t run0 = xlcp_t<STEP>(u, ulen, v, vlen, 0, 0);
   peak = {run0, run0, grade(2 * run0, 0)};
   if (run0 >= ulen || run0 >= vlen) return peak;
 
@@ -580,7 +589,7 @@ static XBest xdrop_one(const uint8_t *u, int64_t ulen, const uint8_t *v,
       // everyone else carries the old front
       if (d <= -w || d >= w || (prev < cand && cand <= cap)) {
         if (cand < ulen && col < vlen) {  // sprint down the diagonal
-          const int64_t r = xlcp(u, ulen, v, vlen, cand, col);
+          const int64_t r = xlcp_t<STEP>(u, ulen, v, vlen, cand, col);
           cand += r;
           col += r;
         }
@@ -843,7 +852,7 @@ void gt_xdrop_batch(const uint8_t *useq, const int64_t *uoff,
                     const uint8_t *vseq, const int64_t *voff, int64_t n,
                     int64_t belowscore, int64_t *out) {
   for (int64_t p = 0; p < n; p++) {
-    XBest b = xdrop_one(useq + uoff[2 * p], uoff[2 * p + 1],
+    XBest b = xdrop_one_t<1>(useq + uoff[2 * p], uoff[2 * p + 1],
                         vseq + voff[2 * p], voff[2 * p + 1], belowscore);
     out[3 * p] = b.i;
     out[3 * p + 1] = b.j;
@@ -910,6 +919,8 @@ struct SeedExtCtx {
   const int32_t *pol_dfm, *pol_ssum;
   int64_t pol_cut, pol_mask;
   int64_t errperc, leastlen2;
+  int engine;            // 0 = greedy, 1 = unit-score xdrop
+  int64_t belowscore;
 };
 
 // per-thread diagband scratch: band-indexed score/lastpos planes plus a
@@ -984,26 +995,44 @@ static void seedext_run_segment(const SeedExtCtx &C, int64_t s0, int64_t s1,
       const int64_t voff = same ? db + k : 0;
       const int64_t ulen = db, vlen = qs - voff;
       if (ulen > 0 && vlen > 0) {
-        GBest g = greedy_one_t<-1>(
-            useq + db - 1, ulen, vseq + qs - 1, vlen, C.history, C.pmh,
-            C.mad, k, C.pol_dfm, C.pol_ssum, C.pol_cut, C.pol_mask, 1);
-        u_l = g.row;
-        v_l = g.alignedlen - g.row;
-        sd_l = g.distance;
-        mm_l = g.max_mismatches;
+        if (C.engine == 1) {
+          XBest x = xdrop_one_t<-1>(useq + db - 1, ulen,
+                                    vseq + qs - 1, vlen, C.belowscore);
+          u_l = x.i;
+          v_l = x.j;
+          sd_l = x.score;
+        } else {
+          GBest g = greedy_one_t<-1>(
+              useq + db - 1, ulen, vseq + qs - 1, vlen, C.history,
+              C.pmh, C.mad, k, C.pol_dfm, C.pol_ssum, C.pol_cut,
+              C.pol_mask, 1);
+          u_l = g.row;
+          v_l = g.alignedlen - g.row;
+          sd_l = g.distance;
+          mm_l = g.max_mismatches;
+        }
       }
     }
     const int64_t urb = same ? std::min(ulen_t, qs - v_l) : ulen_t;
     int64_t u_r = 0, v_r = 0, sd_r = 0, mm_r = 0;
     if (db + k < urb && qs + k < vlen_t) {
-      GBest g = greedy_one_t<1>(
-          useq + db + k, urb - db - k, vseq + qs + k, vlen_t - qs - k,
-          C.history, C.pmh, C.mad, k, C.pol_dfm, C.pol_ssum, C.pol_cut,
-          C.pol_mask, 1);
-      u_r = g.row;
-      v_r = g.alignedlen - g.row;
-      sd_r = g.distance;
-      mm_r = g.max_mismatches;
+      if (C.engine == 1) {
+        XBest x = xdrop_one_t<1>(useq + db + k, urb - db - k,
+                                 vseq + qs + k, vlen_t - qs - k,
+                                 C.belowscore);
+        u_r = x.i;
+        v_r = x.j;
+        sd_r = x.score;
+      } else {
+        GBest g = greedy_one_t<1>(
+            useq + db + k, urb - db - k, vseq + qs + k, vlen_t - qs - k,
+            C.history, C.pmh, C.mad, k, C.pol_dfm,
+            C.pol_ssum, C.pol_cut, C.pol_mask, 1);
+        u_r = g.row;
+        v_r = g.alignedlen - g.row;
+        sd_r = g.distance;
+        mm_r = g.max_mismatches;
+      }
     }
     has_prev = true;
     bool got = false;
@@ -1015,7 +1044,17 @@ static void seedext_run_segment(const SeedExtCtx &C, int64_t s0, int64_t s1,
       const int64_t sr = mode != 1 ? sd_r : 0, mr = mode != 1 ? mm_r : 0;
       const int64_t dblen = k + ul + ur, querylen = k + vl + vr;
       const int64_t alignedlen = dblen + querylen;
-      const int64_t dist = sl + sr;
+      int64_t dist, total_score;
+      if (C.engine == 1) {
+        // xdrop: sides carry scores; distance derives from the score
+        // (ref: seed-extend.c:26 gt_querymatch_score2distance)
+        total_score = 2 * k + sl + sr;
+        dist = total_score >= 0 ? (alignedlen - total_score) / 3
+                                : -((alignedlen + total_score) / 3);
+      } else {
+        dist = sl + sr;
+        total_score = alignedlen - 3 * dist;
+      }
       const int64_t astart_ = db - ul, bstart_ = qs - vl;
       if (mode == 0) T = bstart_ + querylen - 1;
       const double err = 200.0 * (double)dist / (double)alignedlen;
@@ -1024,7 +1063,7 @@ static void seedext_run_segment(const SeedExtCtx &C, int64_t s0, int64_t s1,
       const int64_t bsf =
           C.is_p ? vlen_t - bstart_ - querylen : bstart_;
       rec = SeedExtRec{dblen,    aseq, astart_, querylen, bseq, bsf,
-                       alignedlen - 3 * dist, dist, db, qs, ml + mr,
+                       total_score, dist, db, qs, ml + mr,
                        bstart_};
       got = true;
       break;
@@ -1057,12 +1096,13 @@ int64_t gt_seedext_greedy_run(
     int max_combine, int64_t history, int64_t pmh, int64_t mad,
     const int32_t *pol_dfm, const int32_t *pol_ssum, int64_t pol_cut,
     int64_t pol_mask, int64_t errperc, int64_t leastlen2,
+    int engine, int64_t belowscore,
     int64_t **out_recs) {
   SeedExtCtx C{aflat,  bflat,  a_start, a_len, b_start, b_len,
                pa_seq, pb_seq, pb_pos,  pa_pos, k,      amaxlen,
                logw,   mincov, use_filter, selfcomp, is_p, max_combine,
                history, pmh,   mad,    pol_dfm, pol_ssum, pol_cut,
-               pol_mask, errperc, leastlen2};
+               pol_mask, errperc, leastlen2, engine, belowscore};
   // segment boundaries: contiguous (aseq, bseq) runs
   std::vector<std::pair<int64_t, int64_t>> segs;
   for (int64_t i = 0; i < n;) {
