@@ -192,12 +192,13 @@ def cmd_tallymer(args):
         except OSError:
             rm = None
         if rm == 0:
-            # forward readmode: ESA-free native counting (identical
-            # bytes, no .suf/.lcp load)
-            mi = tallymer.mkindex_direct(Encseq.load(args.esa),
-                                         args.mersize,
-                                         minocc=args.minocc,
-                                         maxocc=args.maxocc)
+            # forward readmode, DNA codes: ESA-free native counting
+            # (identical bytes, no .suf/.lcp load)
+            enc_t = Encseq.load(args.esa)
+            if enc_t.alphabet.num_chars == 4:
+                mi = tallymer.mkindex_direct(enc_t, args.mersize,
+                                             minocc=args.minocc,
+                                             maxocc=args.maxocc)
         if mi is None:
             esa = load_esa(args.esa, need_lcp="small", signed_suftab=False)
             mi = tallymer.mkindex(esa, args.mersize, minocc=args.minocc,

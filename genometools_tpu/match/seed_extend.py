@@ -118,9 +118,11 @@ def enumerate_kmers(encseq: Encseq, k: int, revcomp: bool = False,
     span-k window (ref: diagbandseed spaced-seed k-mer extraction,
     src/match/dbs_spaced_seeds.c)."""
     from ..ops.kmer import spaced_kmer_codes_np
-    if spaced_mask is None and k <= 31:
+    if spaced_mask is None and k <= 31 and \
+            encseq.alphabet.num_chars == 4:
         # native single-pass enumerator over the flat code array (the
-        # P strand enumerates the cached per-sequence revcomp plane)
+        # P strand enumerates the cached per-sequence revcomp plane);
+        # DNA 2-bit codes only — other alphabets take the numpy path
         from ..core.native import kmer_list_native
         n = encseq.num_sequences
         flat = _revcomp_codes(encseq) if revcomp else encseq.codes
