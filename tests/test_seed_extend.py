@@ -647,3 +647,48 @@ class TestSpacedSeeds:
                              extension="greedy")
         matches = seed_extend(e, None, p)
         assert matches, "spaced seed must still seed the mutated repeat"
+
+
+class TestFusedEngineEquivalence:
+    """The fused native engine must equal the wave/per-seed engine on
+    arbitrary inputs, both extension modes (goldens pin known inputs;
+    this pins random ones)."""
+
+    def _random_enc(self, seed, nseq=3, n=2500):
+        import numpy as np
+
+        from genometools_tpu.core.encseq import Encseq
+        rng = np.random.default_rng(seed)
+        parts = []
+        for s in range(nseq):
+            base = "".join(rng.choice(list("acgt"), n))
+            # plant shared repeats across sequences
+            ins = base[100:400]
+            parts.append(base[:1200] + ins + base[1200:])
+        return Encseq.from_string("|".join(parts))
+
+    def _lines(self, enc, extension, monkeypatch, device):
+        import os
+
+        from genometools_tpu.match.seed_extend import (SeedExtendParams,
+                                                       seed_extend)
+        if device:
+            monkeypatch.setenv("GT_TPU_DEVICE_EXTEND", "1")
+        else:
+            monkeypatch.delenv("GT_TPU_DEVICE_EXTEND", raising=False)
+        p = SeedExtendParams(seedlength=12, minidentity=85,
+                             extension=extension,
+                             userdefinedleastlength=20)
+        return [m.line() for m in seed_extend(enc, None, p)]
+
+    def test_greedy_equivalence(self, monkeypatch):
+        enc = self._random_enc(21)
+        fused = self._lines(enc, "greedy", monkeypatch, device=False)
+        wave = self._lines(enc, "greedy", monkeypatch, device=True)
+        assert fused == wave and fused
+
+    def test_xdrop_equivalence(self, monkeypatch):
+        enc = self._random_enc(22)
+        fused = self._lines(enc, "xdrop", monkeypatch, device=False)
+        wave = self._lines(enc, "xdrop", monkeypatch, device=True)
+        assert fused == wave and fused
