@@ -904,13 +904,14 @@ def pack_pool(pool: np.ndarray) -> np.ndarray:
 def _pack_desc(desc: np.ndarray) -> np.ndarray:
     """Host: squeeze (ustart, ulen, vstart, vlen, rev, seedlen) rows
     into 3 int32 words (12B/task over the tunnel instead of 24B):
-    d0 = ustart | rev<<31; d1 = vstart | seedlen<<26; d2 = ulen |
-    vlen<<16. Bounds: starts < 2^26 (pool guard), lens <= W tiers
-    (< 2^16), seedlen <= 63."""
+    d0 = ustart | rev<<31; d1 = vstart; d2 = ulen | vlen<<12 |
+    seedlen<<24. Bounds: starts < 2^31 (pool guard), lens <= W tiers
+    (< 2^12), seedlen <= 63."""
     d = np.empty((desc.shape[0], 3), np.int32)
-    d[:, 0] = desc[:, 0] | (desc[:, 4] << 31)
-    d[:, 1] = desc[:, 2] | (desc[:, 5] << 26)
-    d[:, 2] = desc[:, 1] | (desc[:, 3] << 16)
+    d[:, 0] = (desc[:, 0] | (desc[:, 4] << 31)).astype(np.int64) \
+        .astype(np.uint32).view(np.int32)
+    d[:, 1] = desc[:, 2]
+    d[:, 2] = desc[:, 1] | (desc[:, 3] << 12) | (desc[:, 5] << 24)
     return d
 
 
@@ -950,12 +951,12 @@ def _pk_from_pool(gp, desc, W0: int):
     d0 = desc[:, 0]
     d1 = desc[:, 1]
     d2 = desc[:, 2]
-    ustart = d0 & 0x03FFFFFF
+    ustart = d0 & 0x7FFFFFFF
     rev = (d0 >> 31) & 1
-    vstart = d1 & 0x03FFFFFF
-    sl = (d1 >> 26) & 63
-    ulen = d2 & 0xFFFF
-    vlen = (d2 >> 16) & 0x7FFF
+    vstart = d1
+    ulen = d2 & 0xFFF
+    vlen = (d2 >> 12) & 0xFFF
+    sl = (d2 >> 24) & 63
     w = jnp.arange(W32, dtype=jnp.int32)
 
     def side(start, length):
@@ -996,7 +997,8 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
                              history: int = 64,
                              matchscore_bias: float = 1.0,
                              pol_info=None,
-                             cfg: _GreedyBatchConfig | None = None):
+                             cfg: _GreedyBatchConfig | None = None,
+                             skip_chunked: bool = False):
     """Pool-resident batched greedy extension: task i extends
     u = pool[u_off:u_off+u_len] vs v = pool[v_off:v_off+v_len], both
     read REVERSED when rev[i] (left flanks). Single-shot waves upload
@@ -1067,7 +1069,7 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
     desc_all = np.stack(
         [us_, u_len.astype(np.int32), vs_, v_len.astype(np.int32),
          rev.astype(np.int32), sl.astype(np.int32)], axis=1)
-    if pool.size >= 1 << 26 or int(sl.max(initial=0)) > 63:
+    if pool.size >= 1 << 31 or int(sl.max(initial=0)) > 63:
         # descriptor packing bounds exceeded: take the array path
         us = [slice_task(i)[0] for i in range(N)]
         vs = [slice_task(i)[1] for i in range(N)]
@@ -1159,6 +1161,10 @@ def greedy_extend_batch_pool(pool: np.ndarray, u_off, u_len, v_off,
                   f"{NP_ - int(todo.sum())} finished")
 
     fallback = np.zeros(N, bool)
+    if todo.any() and skip_chunked:
+        # wave-dispatch callers clean stragglers up with the C++ batch
+        fallback[todo] = True
+        todo[:] = False
     if todo.any():
         sub = np.flatnonzero(todo)
 

@@ -438,7 +438,7 @@ def xdrop_extend_batch_pool(pool, u_off, u_len, v_off, v_len, rev,
         return us, vs
 
     pall = _use_pallas_xdrop()
-    if not pall or pool.size >= 1 << 26:
+    if not pall or pool.size >= 1 << 31:
         us, vs = materialize(np.arange(N))
         return xdrop_extend_batch_exact(us, vs, belowscore)
 
