@@ -590,10 +590,11 @@ def bench_workloads(dev) -> None:
     for name, (gt_cmds, our_cmds) in loads.items():
         try:
             gt_s = _gt_time(f"gt_wl_{name}_32M_s", gt_cmds)
-            # min-of-2 damps the shared-host/tunnel variance (the VM
-            # sees 25%+ cross-run CPU-steal swings); total bench time
-            # stays well under the driver watchdog
-            ours_s = _ours_time(our_cmds, reps=2)
+            # min-of-N damps the shared-host/tunnel variance (the VM
+            # sees 25%+ CPU-steal swings that can span a whole rep);
+            # total bench time stays well under the driver watchdog
+            ours_s = _ours_time(our_cmds,
+                                reps=2 if name == "seed_extend" else 3)
             ratio = (gt_s / ours_s) if gt_s else None
             print(f"# workload {name}: ours={ours_s:.2f}s "
                   f"gt={gt_s and f'{gt_s:.2f}'}s "
