@@ -184,6 +184,9 @@ class Encseq:
     def from_files(cls, paths: list[str], alphabet: Alphabet | None = None) -> "Encseq":
         """ref: gt_encseq_new_from_files (src/core/encseq.c:7503)."""
         import os
+        fast = cls._from_files_native(paths, alphabet)
+        if fast is not None:
+            return fast
         seqsets = [read_seqfile(p) for p in paths]
         merged = SeqSet()
         filelengths = []
@@ -195,6 +198,99 @@ class Encseq:
             merged.descs.extend(s.descs)
         return cls.from_seqset(merged, alphabet, filenames=list(paths),
                                filelengths=filelengths)
+
+    @classmethod
+    def _from_files_native(cls, paths: list[str],
+                           alphabet: Alphabet | None):
+        """One-pass native FASTA intake: codes + separators + header
+        spans + seen-char stats straight off the file bytes, with
+        encoding through the alphabet's own LUT — byte-identical
+        Encseq (codes, descs, origin incl. md5s/char stats) to the
+        seqset path, one file read instead of four array passes."""
+        import hashlib
+        import os
+
+        from .native import fasta_encseq_native
+        datas = []
+        for p in paths:
+            try:
+                d = open(p, "rb").read()
+            except OSError:
+                return None
+            if not d[:1] == b">":
+                return None             # other formats: general reader
+            datas.append(d)
+        if not datas:
+            return None
+        if alphabet is None:
+            from .seqio import parse_fasta_bytes
+            prefix = datas[0][:1 << 16]
+            cut = prefix.rfind(b"\n")
+            if 0 < cut < len(datas[0]) - 1:
+                prefix = prefix[:cut]
+            try:
+                head = parse_fasta_bytes(prefix)
+            except (ValueError, IndexError):
+                return None
+            if not head.seqs:
+                return None
+            sample = b"".join(s[:2048].tobytes()
+                              for s in head.seqs[:16])
+            from .alphabet import guess_alphabet
+            alphabet = guess_alphabet(sample)
+        pieces = []
+        descs: list[str] = []
+        lens_all = []
+        filelengths = []
+        seen = np.zeros(256, bool)
+        for p, d in zip(paths, datas):
+            res = fasta_encseq_native(d, alphabet._encode_lut)
+            if res is None:
+                return None
+            codes_f, lens_f, hs, he, seen_f = res
+            pieces.append(codes_f)
+            seen |= seen_f.astype(bool)
+            for a, b in zip(hs.tolist(), he.tolist()):
+                descs.append(d[a:b].decode("latin-1").rstrip("\r"))
+            nsep = lens_f.size - 1 + (1 if lens_all else 0)
+            filelengths.append((os.path.getsize(p),
+                                int(lens_f.sum()) + nsep))
+            lens_all.append(lens_f)
+        lens = np.concatenate(lens_all) if lens_all else \
+            np.zeros(0, np.int64)
+        if lens.size == 0:
+            return None
+        sep = np.array([SEPARATOR], np.uint8)
+        joined = []
+        for t, c in enumerate(pieces):
+            if t:
+                joined.append(sep)
+            joined.append(c)
+        codes = np.concatenate(joined) if len(joined) > 1 else pieces[0]
+        ssp = (np.cumsum(lens + 1) - 1)[:-1]
+        enc = cls(codes, ssp.astype(np.int64), descs, alphabet)
+        # origin stats: md5 maps each code to the uppercased class
+        # char ('N' for every non-regular), identical to hashing the
+        # mapped original bytes (the map factors through the code)
+        nreg = len(alphabet.characters)
+        md5lut = np.full(256, ord(alphabet.wildcard_show.upper()),
+                         np.uint8)
+        md5lut[:nreg] = np.frombuffer(
+            alphabet.characters.upper().encode("latin-1"), np.uint8)
+        starts = np.cumsum(lens + 1) - (lens + 1)
+        md5s = []
+        for s0, ln in zip(starts.tolist(), lens.tolist()):
+            md5s.append(hashlib.md5(
+                md5lut[codes[s0:s0 + ln]].tobytes()).hexdigest())
+        chars = np.flatnonzero(seen)
+        classes: dict[int, int] = {}
+        for c in alphabet.encode(chars.astype(np.uint8)):
+            classes[int(c)] = classes.get(int(c), 0) + 1
+        enc.origin = EncseqOrigin(
+            filenames=list(paths), filelengths=filelengths, md5s=md5s,
+            numofallchars=int(chars.size),
+            maxsubalphasize=max(classes.values()) if classes else 0)
+        return enc
 
     @classmethod
     def from_string(cls, s: str, alphabet: Alphabet | None = None) -> "Encseq":

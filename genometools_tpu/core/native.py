@@ -912,3 +912,38 @@ def tyr_lookup_native(packed: np.ndarray, qfull: np.ndarray):
        qb.ctypes.data_as(u8p), nq, os.cpu_count() or 1,
        idx.ctypes.data_as(i64p), hit.ctypes.data_as(u8p))
     return idx, hit.astype(bool)
+
+
+def fasta_encseq_native(data: bytes, lut: np.ndarray):
+    """One-pass FASTA -> encseq codes (gt_fasta_encseq): payload bytes
+    mapped through the given 256-entry alphabet LUT, SEPARATOR between
+    sequences, headers as byte spans. Returns (codes u8, lens i64,
+    hdr_start i64, hdr_end i64, seen u8[256]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_fasta_encseq
+    except AttributeError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [u8p, ctypes.c_int64, u8p, u8p, i64p, i64p,
+                       i64p, u8p, i64p]
+    buf = np.frombuffer(data, np.uint8)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    codes = np.empty(buf.size + 1, np.uint8)
+    cap = buf.size // 2 + 2
+    lens = np.empty(cap, np.int64)
+    hs = np.empty(cap, np.int64)
+    he = np.empty(cap, np.int64)
+    seen = np.zeros(256, np.uint8)
+    cl = np.zeros(1, np.int64)
+    ns = fn(buf.ctypes.data_as(u8p), buf.size,
+            lut.ctypes.data_as(u8p), codes.ctypes.data_as(u8p),
+            lens.ctypes.data_as(i64p), hs.ctypes.data_as(i64p),
+            he.ctypes.data_as(i64p), seen.ctypes.data_as(u8p),
+            cl.ctypes.data_as(i64p))
+    return (codes[:int(cl[0])], lens[:ns], hs[:ns], he[:ns], seen)

@@ -70,9 +70,14 @@ def parse_fasta_bytes(data: bytes) -> SeqSet:
     header_starts = line_starts[buf[line_starts] == _GT]
     if header_starts.size == 0:
         raise ValueError("not FASTA: no '>' header found")
-    # line end for each header
+    # line end for each header (a header at EOF has no newline)
     header_ends = np.searchsorted(nl, header_starts)
-    header_ends = np.where(header_ends < nl.size, nl[header_ends], buf.size)
+    if nl.size:
+        header_ends = np.where(header_ends < nl.size,
+                               nl[np.minimum(header_ends, nl.size - 1)],
+                               buf.size)
+    else:
+        header_ends = np.full(header_ends.shape, buf.size)
 
     descs = [
         buf[s + 1:e].tobytes().decode("latin-1").rstrip("\r")

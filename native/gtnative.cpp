@@ -2177,6 +2177,52 @@ int64_t gt_fasta_clean_reads(const uint8_t *data, int64_t n,
   return nreads;
 }
 
+// FASTA -> encseq codes in one pass: headers to (start, end) byte
+// spans, payload bytes mapped through the caller-provided alphabet LUT
+// (exact alphabet.encode semantics), SEPARATOR (255) between
+// sequences.  Whitespace inside payload is skipped.  Returns the
+// sequence count; *out_codes_len receives the code length (incl.
+// separators).
+int64_t gt_fasta_encseq(const uint8_t *data, int64_t n,
+                        const uint8_t *lut, uint8_t *out_codes,
+                        int64_t *out_lens, int64_t *out_hdr_start,
+                        int64_t *out_hdr_end, uint8_t *out_seen,
+                        int64_t *out_codes_len) {
+  int64_t nseq = 0, w = 0, seq_start = 0;
+  bool in_header = false, any = false;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t c = data[i];
+    if (in_header) {
+      if (c == '\n') {
+        in_header = false;
+        int64_t e = i;
+        if (e > out_hdr_start[nseq - 1] && data[e - 1] == '\r') e--;
+        out_hdr_end[nseq - 1] = e;
+      }
+      continue;
+    }
+    if (c == '>') {
+      if (any) {
+        out_lens[nseq - 1] = w - seq_start;
+        out_codes[w++] = 255;  // SEPARATOR
+      }
+      any = true;
+      in_header = true;
+      out_hdr_start[nseq] = i + 1;
+      out_hdr_end[nseq] = i + 1;
+      nseq++;
+      seq_start = w;
+      continue;
+    }
+    if (c == '\n' || c == '\r' || c == ' ' || c == '\t') continue;
+    out_seen[c] = 1;
+    out_codes[w++] = lut[c];
+  }
+  if (any) out_lens[nseq - 1] = w - seq_start;
+  *out_codes_len = w;
+  return nseq;
+}
+
 // Unitig spelling walk (capability of gt_strgraph_spell, ref:
 // src/match/rdj-strgraph.c:2760) over source-sorted edge planes.
 // Vertices are read*2 + strand; runs[v]..runs[v+1] index the edges out

@@ -171,3 +171,32 @@ class TestEncseq:
         # match the reference's own stats for Atinsert
         # (21 seqs, separators = 20)
         assert (e.codes == SEPARATOR).sum() == 20
+
+
+def test_from_files_native_equals_seqset_path(tmp_path, monkeypatch):
+    """The one-pass native FASTA intake must build the identical Encseq
+    (codes, ssp, descs, origin stats) to the general seqset path."""
+    import numpy as np
+
+    from genometools_tpu.core.encseq import Encseq
+    f1 = tmp_path / "a.fas"
+    f1.write_bytes(b">s one desc\r\nacgtNnACGT\nacg\n>s2\r\nTTnnTT\n\n"
+                   b">empty\n>s3\nacgtacgtacgt")
+    f2 = tmp_path / "b.fas"
+    f2.write_bytes(b">other file\ngggcccNNN\n")
+    paths = [str(f1), str(f2)]
+    fast = Encseq._from_files_native(paths, None)
+    assert fast is not None
+
+    def no_native(*a, **k):
+        return None
+    monkeypatch.setattr(
+        "genometools_tpu.core.native.fasta_encseq_native", no_native)
+    slow = Encseq.from_files(paths)
+    assert fast.codes.tolist() == slow.codes.tolist()
+    assert fast.descs == slow.descs
+    assert np.asarray(fast.ssp).tolist() == np.asarray(slow.ssp).tolist()
+    assert fast.origin.md5s == slow.origin.md5s
+    assert fast.origin.filelengths == slow.origin.filelengths
+    assert fast.origin.numofallchars == slow.origin.numofallchars
+    assert fast.origin.maxsubalphasize == slow.origin.maxsubalphasize
